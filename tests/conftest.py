@@ -1,0 +1,30 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so
+sharding/pjit paths are exercised without TPU hardware (the driver separately
+dry-runs the multi-chip path)."""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = '/root/reference'
+
+
+def reference_path(*parts):
+    return os.path.join(REFERENCE_DIR, *parts)
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture
+def tmp_model_dir(tmp_path, monkeypatch):
+    """Redirect the pretrained-models root to a temp dir."""
+    from text_to_speech_tpu.models import saving
+    monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+    return str(tmp_path)

@@ -1,0 +1,185 @@
+import queue
+import numpy as np
+import pytest
+
+from text_to_speech_tpu.hparams import HParams
+from text_to_speech_tpu.utils import (
+    pad_batch, pad_to_multiple, is_equal, is_diff, load_data, dump_data,
+    time_to_string, Stream, AsyncResult, PriorityQueue, STOP,
+)
+from text_to_speech_tpu.loggers import Timer, timer, timer_report, reset_timers
+
+
+class TestHParams:
+    def test_basic_access(self):
+        hp = HParams(a = 1, b = 'x')
+        assert hp.a == 1
+        assert hp['b'] == 'x'
+        hp.c = 3.0
+        assert hp['c'] == 3.0
+        assert 'a' in hp and 'z' not in hp
+
+    def test_prefix_namespacing(self):
+        enc = HParams(vocab_size = 148, dim = 512)
+        full = HParams(** enc.get_config(add_prefix = 'encoder'), lr = 1e-3)
+        assert full.encoder_vocab_size == 148
+        sub = full.get_config(prefix = 'encoder')
+        assert sub == {'vocab_size': 148, 'dim': 512}
+
+    def test_extract(self):
+        template = HParams(a = 1, b = 2)
+        kwargs = {'a': 10, 'c': 30}
+        hp = template.extract(kwargs)
+        assert hp.a == 10 and hp.b == 2
+        assert 'c' not in hp
+
+    def test_merge_conflict(self):
+        merged = HParams(a = 1) + HParams(a = 2, b = 3)
+        assert merged.a == 2 and merged.b == 3
+
+    def test_call_copy(self):
+        hp = HParams(a = 1)
+        hp2 = hp(a = 5, b = 6)
+        assert hp.a == 1 and hp2.a == 5 and hp2.b == 6
+
+
+class TestSequenceUtils:
+    def test_pad_batch_1d(self):
+        out = pad_batch([np.array([1, 2]), np.array([3])], pad_value = -1)
+        assert out.shape == (2, 2)
+        assert out[1, 1] == -1
+
+    def test_pad_batch_2d(self):
+        out = pad_batch([np.ones((2, 3)), np.ones((4, 2))], pad_value = 0.)
+        assert out.shape == (2, 4, 3)
+
+    def test_pad_to_multiple(self):
+        x = np.ones((5, 3))
+        out = pad_to_multiple(x, 4, axis = 0, constant_values = 7)
+        assert out.shape == (8, 3)
+        assert out[5, 0] == 7
+        assert pad_to_multiple(x, 5, axis = 0).shape == (5, 3)
+
+
+class TestComparison:
+    def test_tensor_tolerance(self):
+        a, b = np.ones(4), np.ones(4) + 1e-8
+        assert is_equal(a, b)[0]
+        assert is_diff(a, b + 1.)[0]
+
+    def test_nested(self):
+        a = {'x': [1, 2], 'y': {'z': np.zeros(3)}}
+        b = {'x': [1, 2], 'y': {'z': np.zeros(3)}}
+        assert is_equal(a, b)[0]
+        b['y']['z'] = np.ones(3)
+        eq, msg = is_equal(a, b)
+        assert not eq and 'y.z' in msg
+
+    def test_shape_mismatch(self):
+        eq, msg = is_equal(np.zeros(3), np.zeros(4))
+        assert not eq and 'shape' in msg
+
+
+class TestFileUtils:
+    def test_json_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'x.json')
+        dump_data(path, {'a': 1, 'arr': np.arange(3)})
+        assert load_data(path) == {'a': 1, 'arr': [0, 1, 2]}
+
+    def test_npy_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'x.npy')
+        dump_data(path, np.arange(5.))
+        assert np.allclose(load_data(path), np.arange(5.))
+
+    def test_default(self):
+        assert load_data('/nonexistent/file.json', default = {}) == {}
+        with pytest.raises(FileNotFoundError):
+            load_data('/nonexistent/file.json')
+
+
+class TestTimeToString:
+    def test_formats(self):
+        assert 'ms' in time_to_string(0.5)
+        assert 's' in time_to_string(2.0)
+        assert 'min' in time_to_string(120.)
+
+
+class TestTimers:
+    def test_span_tree(self):
+        reset_timers()
+
+        @timer(name = 'outer')
+        def outer():
+            with Timer('inner'):
+                pass
+
+        outer()
+        report = timer_report()
+        assert 'outer' in report and 'inner' in report
+        reset_timers()
+
+
+class TestStream:
+    def test_sync(self):
+        s = Stream(lambda x: x * 2, [1, 2, 3], workers = 0)
+        assert list(s.items()) == [2, 4, 6]
+
+    def test_single_worker(self):
+        s = Stream(lambda x: x + 1, range(5), workers = 1)
+        assert list(s) == [1, 2, 3, 4, 5]
+
+    def test_pool_order(self):
+        import time
+
+        def slow(x):
+            time.sleep(0.01 * (3 - x))
+            return x
+
+        s = Stream(slow, [0, 1, 2], workers = 3)
+        assert list(s) == [0, 1, 2]
+
+    def test_queue_input_with_stop(self):
+        q = queue.Queue()
+        for i in range(3): q.put(i)
+        q.put(STOP)
+        s = Stream(lambda x: x, q, workers = 1)
+        assert list(s) == [0, 1, 2]
+
+    def test_callbacks(self):
+        seen = []
+        s = Stream(lambda x: x, [1, 2], workers = 0, item_callback = seen.append)
+        list(s.items())
+        assert seen == [1, 2]
+
+    def test_bad_callback_removed(self):
+        def bad(_):
+            raise RuntimeError('boom')
+
+        s = Stream(lambda x: x, [1, 2, 3], workers = 0, item_callback = bad)
+        assert list(s) == [1, 2, 3]
+
+    def test_error_propagates(self):
+        def f(x):
+            if x == 1: raise ValueError('x')
+            return x
+
+        with pytest.raises(ValueError):
+            list(Stream(f, [0, 1, 2], workers = 1))
+
+    def test_async_call(self):
+        s = Stream(lambda x: x * 10)
+        assert s(4).get(timeout = 5) == 40
+
+
+class TestAsyncPrimitives:
+    def test_async_result(self):
+        r = AsyncResult()
+        r.set_result(7)
+        assert r.done() and r.get() == 7
+
+    def test_priority_queue(self):
+        pq = PriorityQueue()
+        pq.put('low', priority = 5)
+        pq.put('high', priority = 1)
+        pq.put('mid', priority = 3)
+        assert [pq.get(), pq.get(), pq.get()] == ['high', 'mid', 'low']

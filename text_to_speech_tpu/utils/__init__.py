@@ -1,0 +1,10 @@
+"""Generic host-side utilities (no JAX imports at module load)."""
+
+from .file_utils import load_data, dump_data, load_json, dump_json, expand_path
+from .generic_utils import (
+    time_to_string, create_iterable, get_args, get_kwargs, filter_kwargs,
+    to_json_serializable,
+)
+from .sequence_utils import pad_batch, pad_to_multiple, truncate
+from .comparison_utils import is_equal, is_diff
+from .stream import Stream, AsyncResult, PriorityQueue, STOP, KEEP_ALIVE, IS_RUNNING

@@ -1,0 +1,92 @@
+"""Small generic helpers (time formatting, iterables, signatures).
+
+Capability parity with ``/root/reference/utils/generic_utils.py:31,106``.
+"""
+
+import inspect
+import queue
+
+
+def time_to_string(seconds):
+    """Human-readable duration: '123 ms', '12.345 s', '2 min 03.1 s', '1h 02min'."""
+    if seconds < 0.001: return '{:.3f} ms'.format(seconds * 1000.)
+    if seconds < 1.: return '{} ms'.format(int(seconds * 1000))
+    if seconds < 60.: return '{:.3f} s'.format(seconds)
+    m, s = divmod(seconds, 60.)
+    if m < 60: return '{} min {:05.2f} s'.format(int(m), s)
+    h, m = divmod(m, 60.)
+    return '{}h {:02d}min'.format(int(h), int(m))
+
+
+def create_iterable(generator, timeout = None):
+    """Normalize `generator` into an iterable.
+
+    Accepts: iterables, callables returning iterables, and queue.Queue-like
+    objects (drained until a `None` sentinel, with optional `timeout`).
+    """
+    if isinstance(generator, queue.Queue) or (hasattr(generator, 'get') and not isinstance(generator, dict)):
+        def _queue_iterator():
+            while True:
+                try:
+                    item = generator.get(timeout = timeout)
+                except queue.Empty:
+                    return
+                if item is None:
+                    return
+                yield item
+        return _queue_iterator()
+    if callable(generator) and not hasattr(generator, '__iter__'):
+        return generator()
+    return generator
+
+
+def get_fn_name(fn):
+    if hasattr(fn, '__name__'): return fn.__name__
+    return fn.__class__.__name__
+
+
+def get_args(fn):
+    """Names of the positional/keyword parameters of `fn`."""
+    return [
+        name for name, p in inspect.signature(fn).parameters.items()
+        if p.kind in (p.POSITIONAL_OR_KEYWORD, p.POSITIONAL_ONLY, p.KEYWORD_ONLY)
+    ]
+
+
+def get_kwargs(fn):
+    """Dict of parameters of `fn` that have defaults."""
+    return {
+        name: p.default for name, p in inspect.signature(fn).parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+
+
+def has_kwargs(fn):
+    return any(
+        p.kind == p.VAR_KEYWORD for p in inspect.signature(fn).parameters.values()
+    )
+
+
+def signature_to_str(fn):
+    return '{}{}'.format(get_fn_name(fn), inspect.signature(fn))
+
+
+def filter_kwargs(fn, kwargs):
+    """Keep only entries of `kwargs` accepted by `fn`'s signature."""
+    if has_kwargs(fn): return kwargs
+    accepted = set(get_args(fn))
+    return {k: v for k, v in kwargs.items() if k in accepted}
+
+
+def to_json_serializable(data):
+    """Recursively convert numpy scalars/arrays to plain python."""
+    import numpy as np
+    if isinstance(data, dict):
+        return {k: to_json_serializable(v) for k, v in data.items()}
+    if isinstance(data, (list, tuple)):
+        return [to_json_serializable(v) for v in data]
+    if isinstance(data, np.integer): return int(data)
+    if isinstance(data, np.floating): return float(data)
+    if isinstance(data, np.ndarray): return data.tolist()
+    if hasattr(data, 'item') and getattr(data, 'ndim', None) == 0: return data.item()
+    return data
