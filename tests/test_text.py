@@ -1,0 +1,175 @@
+import numpy as np
+import pytest
+
+from text_to_speech_tpu.text import (
+    num2words, normalize_numbers, english_cleaners, french_cleaners,
+    split_text, split_sentences, merge_texts, Tokenizer, get_tokenizer,
+    en_symbols, fr_symbols, get_symbols, default_english_tokenizer,
+    default_french_tokenizer, convert_to_ascii,
+)
+
+
+class TestNum2Words:
+    @pytest.mark.parametrize('n,expected', [
+        (0, 'zero'), (7, 'seven'), (13, 'thirteen'), (21, 'twenty-one'),
+        (100, 'one hundred'), (101, 'one hundred one'), (345, 'three hundred forty-five'),
+        (1000, 'one thousand'), (1017, 'one thousand seventeen'),
+        (1000000, 'one million'), (123456, 'one hundred twenty-three thousand four hundred fifty-six'),
+    ])
+    def test_english_cardinals(self, n, expected):
+        assert num2words(n, 'en') == expected
+
+    @pytest.mark.parametrize('n,expected', [
+        (1, 'first'), (2, 'second'), (3, 'third'), (4, 'fourth'), (5, 'fifth'),
+        (12, 'twelfth'), (20, 'twentieth'), (21, 'twenty-first'), (100, 'one hundredth'),
+    ])
+    def test_english_ordinals(self, n, expected):
+        assert num2words(n, 'en', ordinal = True) == expected
+
+    @pytest.mark.parametrize('n,expected', [
+        (0, 'zéro'), (1, 'un'), (16, 'seize'), (17, 'dix-sept'),
+        (21, 'vingt et un'), (70, 'soixante-dix'), (71, 'soixante et onze'),
+        (80, 'quatre-vingts'), (81, 'quatre-vingt-un'), (90, 'quatre-vingt-dix'),
+        (99, 'quatre-vingt-dix-neuf'), (100, 'cent'), (200, 'deux cents'),
+        (201, 'deux cent un'), (1000, 'mille'), (2000, 'deux mille'),
+        (1000000, 'un million'), (2000000, 'deux millions'),
+    ])
+    def test_french_cardinals(self, n, expected):
+        assert num2words(n, 'fr') == expected
+
+    @pytest.mark.parametrize('n,expected', [
+        (1, 'premier'), (2, 'deuxième'), (4, 'quatrième'), (5, 'cinquième'),
+        (9, 'neuvième'), (21, 'vingt et unième'),
+    ])
+    def test_french_ordinals(self, n, expected):
+        assert num2words(n, 'fr', ordinal = True) == expected
+
+    def test_belgian(self):
+        assert num2words(70, 'be') == 'septante'
+        assert num2words(91, 'be') == 'nonante et un'
+
+    def test_decimal(self):
+        assert num2words(3.14, 'en') == 'three point one four'
+        assert num2words(3.5, 'fr') == 'trois virgule cinq'
+
+
+class TestNormalizeNumbers:
+    def test_plain(self):
+        assert normalize_numbers('I have 3 cats') == 'I have three cats'
+
+    def test_money(self):
+        assert normalize_numbers('$5', 'en') == 'five dollars'
+        assert normalize_numbers('$1.50', 'en') == 'one dollar, fifty cents'
+        assert normalize_numbers('£3', 'en') == 'three pounds'
+
+    def test_thousands(self):
+        assert normalize_numbers('1,000 people') == 'one thousand people'
+
+    def test_ordinal_suffix(self):
+        assert normalize_numbers('the 3rd time') == 'the third time'
+        assert 'troisième' in normalize_numbers('la 3ème fois', 'fr')
+
+    def test_clock(self):
+        out = normalize_numbers('at 10:30', 'en')
+        assert 'ten hours' in out and 'thirty minutes' in out
+
+    def test_decimal_text(self):
+        assert normalize_numbers('pi is 3.14') == 'pi is three point one four'
+
+    def test_fr_decimal_comma(self):
+        assert 'trois virgule un quatre' in normalize_numbers('pi vaut 3,14', 'fr')
+
+
+class TestCleaners:
+    def test_english_pipeline(self):
+        out = english_cleaners('Dr. Smith   has 2 dogs!')
+        assert out == 'doctor smith has two dogs!'
+
+    def test_french_keeps_accents(self):
+        out = french_cleaners('Le café coûte 2€')
+        assert 'é' in out and 'deux euros' in out
+
+    def test_ascii(self):
+        assert convert_to_ascii('œuvre naïve') == 'oeuvre naive'
+        assert convert_to_ascii('“hello”') == '"hello"'
+
+    def test_symbols_expansion(self):
+        assert 'percent' in english_cleaners('50% off')
+
+
+class TestSplitText:
+    def test_short_passthrough(self):
+        assert split_text('hello world', 150) == ['hello world']
+
+    def test_splits_sentences(self):
+        text = 'First sentence is here. Second one follows. Third closes it.'
+        chunks = split_text(text, 30)
+        assert len(chunks) >= 2
+        assert all(len(c) <= 30 for c in chunks)
+        assert ' '.join(chunks).replace('  ', ' ') == text
+
+    def test_long_word_clause(self):
+        text = 'word ' * 40
+        chunks = split_text(text.strip(), 25)
+        assert all(len(c) <= 25 for c in chunks)
+
+    def test_split_sentences(self):
+        out = split_sentences('One. Two! Three?')
+        assert out == ['One.', 'Two!', 'Three?']
+
+    def test_merge(self):
+        assert merge_texts(['a', 'b', 'c'], 3) == ['a b', 'c']
+
+
+class TestTokenizer:
+    def test_char_roundtrip(self):
+        tok = default_english_tokenizer()
+        ids = tok.encode('Hello world.')
+        assert ids.dtype == np.int32
+        assert tok.decode(ids) == 'hello world.'
+
+    def test_cleaning_applied(self):
+        tok = default_english_tokenizer()
+        assert tok.decode(tok.encode('2 cats')) == 'two cats'
+
+    def test_unknown_dropped(self):
+        tok = Tokenizer(list('_abc '), level = 'char')  # '_' is the pad/blank
+        assert tok.decode(tok.encode('abc xyz', cleaned = True)) == 'abc '
+        # with ukn token, mapped instead
+        tok2 = Tokenizer(list('abc?'), level = 'char', ukn_token = '?')
+        assert tok2.decode(tok2.encode('ad', cleaned = True), skip_special = False) == 'a?'
+
+    def test_sos_eos(self):
+        tok = Tokenizer(['<s>', '</s>'] + list('ab'), level = 'char',
+                        sos_token = '<s>', eos_token = '</s>', use_sos_and_eos = True)
+        ids = tok.encode('ab', cleaned = True)
+        assert ids[0] == 0 and ids[-1] == 1
+
+    def test_json_roundtrip(self, tmp_path):
+        tok = default_french_tokenizer()
+        path = tok.save(str(tmp_path / 'tok.json'))
+        tok2 = Tokenizer.load_from_file(path)
+        assert tok2.vocab == tok.vocab
+        text = 'bonjour à tous'
+        assert np.array_equal(tok.encode(text), tok2.encode(text))
+
+    def test_byte_level(self):
+        tok = Tokenizer([chr(i) for i in range(256)], level = 'byte')
+        ids = tok.encode('héllo', cleaned = True)
+        assert tok.decode(ids) == 'héllo'
+
+    def test_ctc_decode(self):
+        tok = Tokenizer(list('_ab'), level = 'char', blank_token = '_')
+        assert tok.ctc_decode(np.array([0, 1, 1, 0, 2, 2])) == 'ab'
+
+    def test_get_tokenizer_lang(self):
+        tok = get_tokenizer(lang = 'en')
+        assert tok.level == 'char'
+        assert tok.vocab == get_symbols('en', arpabet = False)
+
+    def test_symbols_match_reference_layout(self):
+        # en: pad + '-' + 10 punct + 52 letters + 84 arpabet = 148
+        assert len(en_symbols) == 148
+        assert en_symbols[0] == '_'
+        # fr: pad + '-' + 10 punct + 52 letters + 6 accents = 70
+        assert len(fr_symbols) == 70

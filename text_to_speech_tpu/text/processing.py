@@ -1,0 +1,157 @@
+"""Long-text chunking for bounded-length synthesis.
+
+Capability parity with ``/root/reference/utils/text/text_processing.py:34,146,228``
+(`split_text` recursive splitting, `split_sentences`, `merge_texts`,
+`format_text`).  Long inputs are recursively split (paragraph → sentence →
+clause → word) into chunks of at most `max_length` units, then greedily
+merged back so chunks are as large as possible — larger chunks mean fewer
+autoregressive decoder launches on device.
+"""
+
+import re
+
+_SENTENCE_SPLIT_RE = re.compile(r'(?<=[.!?…])\s+|\n+')
+_CLAUSE_SPLIT_RE = re.compile(r'(?<=[,;:])\s+')
+_WORD_SPLIT_RE = re.compile(r'\s+')
+
+
+def _measure(text, tokenizer = None):
+    if tokenizer is not None:
+        return len(tokenizer.encode(text))
+    return len(text)
+
+
+def split_sentences(text):
+    """Split on sentence boundaries (punctuation + whitespace, newlines)."""
+    return [s.strip() for s in _SENTENCE_SPLIT_RE.split(text) if s and s.strip()]
+
+
+def split_paragraphs(text):
+    return [p.strip() for p in re.split(r'\n\s*\n', text) if p.strip()]
+
+
+def merge_texts(parts, max_length, sep = ' ', tokenizer = None):
+    """Greedily merge consecutive `parts` while staying under `max_length`."""
+    merged, current = [], ''
+    for part in parts:
+        if not current:
+            current = part
+        elif _measure(current, tokenizer) + len(sep) + _measure(part, tokenizer) <= max_length:
+            current = current + sep + part
+        else:
+            merged.append(current)
+            current = part
+    if current: merged.append(current)
+    return merged
+
+
+def _split_level(parts, max_length, splitters, tokenizer):
+    """Recursively split any part exceeding `max_length` with the next splitter."""
+    if not splitters:
+        return parts
+    splitter, *rest = splitters
+    out = []
+    for part in parts:
+        if _measure(part, tokenizer) <= max_length:
+            out.append(part)
+        else:
+            sub = [s.strip() for s in splitter(part) if s and s.strip()]
+            if len(sub) <= 1:
+                out.extend(_split_level(sub or [part], max_length, rest, tokenizer))
+            else:
+                out.extend(_split_level(sub, max_length, rest, tokenizer))
+    return out
+
+
+def split_text(text, max_length = 150, tokenizer = None):
+    """Split `text` into chunks of at most `max_length` units (characters, or
+    tokens when a `tokenizer` is given), breaking at the largest possible
+    linguistic boundary and merging back greedily."""
+    if _measure(text, tokenizer) <= max_length:
+        stripped = text.strip()
+        return [stripped] if stripped else []
+
+    splitters = [
+        split_paragraphs,
+        _SENTENCE_SPLIT_RE.split,
+        _CLAUSE_SPLIT_RE.split,
+        _WORD_SPLIT_RE.split,
+    ]
+    parts = _split_level([text], max_length, splitters, tokenizer)
+    return merge_texts(parts, max_length, tokenizer = tokenizer)
+
+
+def format_text(text, title = None, max_line_length = None):
+    """Light formatting helper: optional title header + line wrapping."""
+    out = '{}\n\n{}'.format(title, text) if title else text
+    if max_line_length:
+        lines = []
+        for line in out.split('\n'):
+            while len(line) > max_line_length:
+                cut = line.rfind(' ', 0, max_line_length)
+                if cut <= 0: cut = max_line_length
+                lines.append(line[:cut])
+                line = line[cut:].lstrip()
+            lines.append(line)
+        out = '\n'.join(lines)
+    return out
+
+
+# -- byte-pair-encoding helpers (BPE tokenizer support) -----------------------
+
+def bytes_to_unicode():
+    """GPT-2-style reversible byte→unicode mapping (standard published table)."""
+    bs = (
+        list(range(ord('!'), ord('~') + 1))
+        + list(range(ord('¡'), ord('¬') + 1))
+        + list(range(ord('®'), ord('ÿ') + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def get_pairs(word):
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def bpe(token, merge_ranks, cache = None):
+    """Apply byte-pair merges to `token` given a {pair: rank} table."""
+    if cache is not None and token in cache:
+        return cache[token]
+    word = tuple(token)
+    pairs = get_pairs(word)
+    if not pairs:
+        return (token,)
+    while True:
+        best = min(pairs, key = lambda p: merge_ranks.get(p, float('inf')))
+        if best not in merge_ranks:
+            break
+        first, second = best
+        new_word = []
+        i = 0
+        while i < len(word):
+            try:
+                j = word.index(first, i)
+            except ValueError:
+                new_word.extend(word[i:])
+                break
+            new_word.extend(word[i:j])
+            if j < len(word) - 1 and word[j + 1] == second:
+                new_word.append(first + second)
+                i = j + 2
+            else:
+                new_word.append(word[j])
+                i = j + 1
+        word = tuple(new_word)
+        if len(word) == 1:
+            break
+        pairs = get_pairs(word)
+    if cache is not None:
+        cache[token] = word
+    return word
