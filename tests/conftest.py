@@ -4,12 +4,16 @@ dry-runs the multi-chip path)."""
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS, so pin the default device to CPU
+# explicitly; mesh tests build their Mesh from jax.devices('cpu') (8 virtual).
+jax.config.update('jax_default_device', jax.devices('cpu')[0])
 
 REFERENCE_DIR = '/root/reference'
 
