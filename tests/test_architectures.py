@@ -1,0 +1,217 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from text_to_speech_tpu.models.tacotron2_arch import Tacotron2, Tacotron2InferenceOutput
+from text_to_speech_tpu.models.waveglow_arch import WaveGlow
+from text_to_speech_tpu.models.registry import get_architecture, list_architectures
+
+KEY = jax.random.PRNGKey(0)
+
+TINY_TACO = dict(
+    vocab_size = 20,
+    n_mel_channels = 6,
+    encoder_embedding_dim = 16,
+    encoder_n_conv = 2,
+    encoder_kernel_size = 3,
+    prenet_sizes = (8, 8),
+    lsa_attention_dim = 8,
+    lsa_attention_filters = 4,
+    lsa_attention_kernel_size = 7,
+    attention_rnn_dim = 12,
+    decoder_rnn_dim = 12,
+    postnet_n_conv = 3,
+    postnet_filters = 8,
+    postnet_kernel_size = 3,
+    max_decoder_steps = 20,
+)
+
+TINY_WG = dict(
+    n_mel_channels = 6,
+    n_flows = 4,
+    n_group = 4,
+    n_early_every = 2,
+    n_early_size = 2,
+    wn_layers = 2,
+    wn_channels = 8,
+    upsample_width = 8,
+    upsample_stride = 4,
+)
+
+
+@pytest.fixture(scope = 'module')
+def taco():
+    model = Tacotron2(** TINY_TACO)
+    params, state = model.init(KEY)
+    return model, params, state
+
+
+@pytest.fixture(scope = 'module')
+def wg():
+    model = WaveGlow(** TINY_WG)
+    params = model.init(KEY)
+    return model, params
+
+
+def tokens_batch():
+    t = np.zeros((2, 7), np.int32)
+    t[0, :7] = np.arange(1, 8)
+    t[1, :4] = np.arange(1, 5)  # padded row
+    return jnp.asarray(t)
+
+
+class TestTacotron2:
+    def test_teacher_forced_shapes(self, taco):
+        model, params, state = taco
+        tokens = tokens_batch()
+        mel = jax.random.normal(KEY, (2, 11, 6))
+        lengths = jnp.array([11, 8])
+        (dec, post, gates), new_state = model(
+            params, state, tokens, mel, mel_lengths = lengths,
+            train = True, rng = KEY,
+        )
+        assert dec.shape == (2, 11, 6)
+        assert post.shape == (2, 11, 6)
+        assert gates.shape == (2, 11)
+        # BN state updated in train mode
+        old = state['encoder']['conv_0']['bn']['moving_mean']
+        new = new_state['encoder']['conv_0']['bn']['moving_mean']
+        assert float(jnp.abs(new - old).sum()) > 0
+
+    def test_padded_frames_zeroed(self, taco):
+        model, params, state = taco
+        tokens = tokens_batch()
+        mel = jax.random.normal(KEY, (2, 11, 6))
+        (dec, _, _), _ = model(params, state, tokens, mel, mel_lengths = jnp.array([11, 8]))
+        assert float(jnp.abs(dec[1, 8:]).max()) == 0.
+
+    def test_infer_output(self, taco):
+        model, params, state = taco
+        out = model.infer(params, state, tokens_batch(), rng = KEY,
+                          early_stopping = False, max_length = 15)
+        assert isinstance(out, Tacotron2InferenceOutput)
+        assert out.mel.shape == (2, 15, 6)
+        assert out.stop_tokens.shape == (2, 15)
+        assert out.attention_weights.shape == (2, 15, 7)
+        assert out.lengths.shape == (2,)
+        # attention rows are a distribution over non-padded tokens
+        attn = np.asarray(out.attention_weights[1, 0])
+        np.testing.assert_allclose(attn.sum(), 1., atol = 1e-5)
+        assert np.abs(attn[4:]).max() < 1e-6  # padding masked out
+
+    def test_infer_deterministic_reproducible(self, taco):
+        model, params, state = taco
+        out1 = model.infer(params, state, tokens_batch(), rng = KEY,
+                           deterministic = True, early_stopping = False, max_length = 8)
+        out2 = model.infer(params, state, tokens_batch(), rng = jax.random.PRNGKey(7),
+                           deterministic = True, early_stopping = False, max_length = 8)
+        np.testing.assert_allclose(np.asarray(out1.mel), np.asarray(out2.mel), atol = 1e-6)
+
+    def test_infer_prenet_dropout_random(self, taco):
+        model, params, state = taco
+        out1 = model.infer(params, state, tokens_batch(), rng = KEY,
+                           early_stopping = False, max_length = 8)
+        out2 = model.infer(params, state, tokens_batch(), rng = jax.random.PRNGKey(7),
+                           early_stopping = False, max_length = 8)
+        assert float(jnp.abs(out1.mel - out2.mel).max()) > 0
+
+    def test_infer_attention_window(self, taco):
+        model, params, state = taco
+        out = model.infer(params, state, tokens_batch(), rng = KEY,
+                          early_stopping = False, max_length = 8,
+                          attn_mask_win_len = 3)
+        # each step's attention is confined to <= win_len+1 tokens
+        attn = np.asarray(out.attention_weights)
+        nonzero = (attn > 1e-8).sum(axis = -1)
+        assert nonzero.max() <= 4
+
+    def test_infer_jits(self, taco):
+        model, params, state = taco
+        jitted = jax.jit(
+            lambda p, s, t: model.infer(p, s, t, early_stopping = True, max_length = 12)
+        )
+        out = jitted(params, state, tokens_batch())
+        assert out.mel.shape == (2, 12, 6)
+
+    def test_speaker_conditioning(self):
+        model = Tacotron2(** TINY_TACO, speaker_embedding_dim = 5,
+                          speaker_concat_pos = 'end')
+        params, state = model.init(KEY)
+        assert model.encoder_output_dim == 16 + 5
+        spk = jax.random.normal(KEY, (2, 5))
+        out = model.infer(params, state, tokens_batch(), speaker_embedding = spk,
+                          early_stopping = False, max_length = 6)
+        assert out.mel.shape == (2, 6, 6)
+
+
+class TestWaveGlow:
+    def test_infer_shape(self, wg):
+        model, params = wg
+        mel = jax.random.normal(KEY, (2, 12, 6))
+        audio = model.infer(params, mel, rng = KEY)
+        assert audio.shape == (2, 12 * 4)
+
+    def test_deterministic(self, wg):
+        model, params = wg
+        mel = jax.random.normal(KEY, (1, 8, 6))
+        a1 = model.infer(params, mel, deterministic = True)
+        a2 = model.infer(params, mel, deterministic = True, rng = jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol = 1e-6)
+
+    def test_forward_shapes(self, wg):
+        model, params = wg
+        mel = jax.random.normal(KEY, (2, 12, 6))
+        audio = jax.random.normal(KEY, (2, 12 * 4))
+        z, log_s, log_det = model.forward(params, mel, audio)
+        assert z.shape == (2, 12, 4)
+        assert np.isfinite(float(log_s)) and np.isfinite(float(log_det))
+
+    def test_invertibility(self, wg):
+        """forward then inverse must reconstruct the waveform (flow property)."""
+        model, params = wg
+        mel = jax.random.normal(KEY, (1, 10, 6))
+        audio = jax.random.normal(jax.random.PRNGKey(5), (1, 10 * 4)) * 0.1
+        z, _, _ = model.forward(params, mel, audio)
+        # inverse consumes [final | early_k(last) | ... | early_k(first)]
+        n_rem = model.n_remaining_channels
+        early = []
+        idx = 0
+        hp = model.hp
+        for k in range(hp.n_flows):
+            if k % hp.n_early_every == 0 and k > 0:
+                early.append(z[..., idx: idx + hp.n_early_size])
+                idx += hp.n_early_size
+        final = z[..., idx:]
+        z_inv = jnp.concatenate([final] + list(reversed(early)), axis = -1)
+        rec = model.infer(params, mel, z = z_inv, sigma = 1.)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(audio), atol = 1e-3
+        )
+
+    def test_loss_finite(self, wg):
+        model, params = wg
+        mel = jax.random.normal(KEY, (1, 8, 6))
+        audio = jax.random.normal(KEY, (1, 8 * 4))
+        loss = model.loss(params, mel, audio)
+        assert np.isfinite(float(loss))
+
+    def test_loss_differentiable(self, wg):
+        model, params = wg
+        mel = jax.random.normal(KEY, (1, 8, 6))
+        audio = jax.random.normal(KEY, (1, 8 * 4))
+        grads = jax.grad(lambda p: model.loss(p, mel, audio))(params)
+        leaf = grads['flow_0']['block']['start']['kernel']
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestRegistry:
+    def test_listing(self):
+        assert 'tacotron2' in list_architectures()
+        assert 'waveglow' in list_architectures()
+
+    def test_factory(self):
+        model = get_architecture('WaveGlow', ** TINY_WG)
+        assert isinstance(model, WaveGlow)
+        with pytest.raises(ValueError):
+            get_architecture('unknown_arch')

@@ -1,0 +1,44 @@
+"""Architecture registry.
+
+Capability parity with ``/root/reference/architectures/__init__.py:22-61``
+(`get_architecture` case-insensitive factory, `print_architectures`).
+"""
+
+_ARCHITECTURES = {}
+
+
+def register_architecture(name, cls = None):
+    def deco(c):
+        _ARCHITECTURES[name.lower()] = c
+        return c
+    if cls is not None:
+        return deco(cls)
+    return deco
+
+
+def get_architecture(architecture, ** kwargs):
+    """Instantiate an architecture by (case-insensitive) name."""
+    if isinstance(architecture, dict):
+        kwargs = {** architecture, ** kwargs}
+        architecture = kwargs.pop('architecture')
+    key = architecture.lower()
+    if key not in _ARCHITECTURES:
+        raise ValueError('Unknown architecture {!r} (known: {})'.format(
+            architecture, sorted(_ARCHITECTURES)
+        ))
+    return _ARCHITECTURES[key](** kwargs)
+
+
+def list_architectures():
+    return sorted(_ARCHITECTURES)
+
+
+def _register_builtins():
+    from .tacotron2_arch import Tacotron2
+    from .waveglow_arch import WaveGlow
+    register_architecture('tacotron2', Tacotron2)
+    register_architecture('sv2tts_tacotron2', Tacotron2)
+    register_architecture('waveglow', WaveGlow)
+
+
+_register_builtins()

@@ -1,0 +1,530 @@
+"""Tacotron-2 architecture as pure JAX functions over pytree params.
+
+Capability parity with ``/root/reference/architectures/tacotron2_arch.py``
+(encoder :235-333, prenet :143-212, decoder cell :336-489, teacher-forced
+decode :492-607, AR inference :609-749 incl. the sliding attention window
+:629-640, postnet :214-232, top model :752-925) — re-designed TPU-first:
+
+  - teacher-forced decoding is one ``lax.scan`` whose per-step math is pure
+    matmuls; mel/gate projections are hoisted *out* of the scan into one big
+    (B, T, D) matmul on the MXU;
+  - autoregressive inference is one ``lax.while_loop`` over preallocated
+    ``(B, max_len, …)`` buffers updated with ``dynamic_update_slice`` —
+    static shapes, early exit on the stop gate;
+  - prenet dropout (intentionally active at inference,
+    reference ``:143-212``) threads a PRNG key through the loop carry;
+  - batch-norm running statistics live in a separate ``state`` tree so every
+    apply function stays pure.
+
+Parameter tree paths (e.g. ``decoder/attention/query/kernel``) are the
+namespace used by the name-based weights converter.
+"""
+
+import collections
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..hparams import HParams
+from ..nn import layers as nn
+
+Tacotron2InferenceOutput = collections.namedtuple(
+    'Tacotron2InferenceOutput',
+    ['mel', 'lengths', 'stop_tokens', 'attention_weights', 'decoder_output'],
+)
+
+HParamsTacotron2 = HParams(
+    vocab_size = 148,
+    pad_token = 0,
+    n_mel_channels = 80,
+
+    # encoder
+    encoder_embedding_dim = 512,
+    encoder_n_conv = 3,
+    encoder_kernel_size = 5,
+    encoder_drop_rate = 0.5,
+    encoder_epsilon = 1e-5,
+    encoder_momentum = 0.1,
+
+    # speaker conditioning (SV2TTS)
+    speaker_embedding_dim = None,
+    speaker_concat_pos = 'end',        # subset of {'start','end','prenet'}
+
+    # prenet
+    prenet_sizes = (256, 256),
+    prenet_use_bias = False,
+    prenet_drop_rate = 0.5,
+    prenet_deterministic = False,
+
+    # location-sensitive attention
+    lsa_attention_dim = 128,
+    lsa_attention_filters = 32,
+    lsa_attention_kernel_size = 31,
+
+    # decoder
+    attention_rnn_dim = 1024,
+    decoder_n_lstm = 1,
+    decoder_rnn_dim = 1024,
+    n_frames_per_step = 1,
+    with_logits = True,                # sigmoid on the gate output
+    pred_stop_on_mel = False,
+    max_decoder_steps = 1024,
+    gate_threshold = 0.5,
+
+    # postnet
+    postnet_n_conv = 5,
+    postnet_filters = 512,
+    postnet_kernel_size = 5,
+    postnet_drop_rate = 0.5,
+    postnet_epsilon = 1e-5,
+    postnet_momentum = 0.1,
+)
+
+
+def _eye_projection_init(shape):
+    """Identity on the first `out` rows, zeros below — the 'start'-concat
+    projection initializer (keeps pre-trained text embeddings intact when a
+    speaker embedding is concatenated)."""
+    out = jnp.eye(shape[1])
+    return jnp.pad(out, ((0, shape[0] - shape[1]), (0, 0)))
+
+
+class Tacotron2:
+    """Stateless architecture object: holds only static hyper-parameters;
+    all apply methods are pure functions of (params, state, inputs)."""
+
+    def __init__(self, ** kwargs):
+        self.hp = HParamsTacotron2.extract(kwargs)
+        hp = self.hp
+        self.spk_dim = hp.speaker_embedding_dim
+        self.concat_pos = tuple()
+        if self.spk_dim:
+            pos = hp.speaker_concat_pos
+            self.concat_pos = (pos,) if isinstance(pos, str) else tuple(pos)
+        self.encoder_output_dim = hp.encoder_embedding_dim + (
+            self.spk_dim if 'end' in self.concat_pos else 0
+        )
+        self.prenet_in_dim = hp.n_mel_channels + (
+            self.spk_dim if 'prenet' in self.concat_pos else 0
+        )
+
+    # -- init ------------------------------------------------------------------
+
+    def init(self, key):
+        hp = self.hp
+        keys = iter(jax.random.split(key, 64))
+        params, state = {}, {}
+
+        # encoder
+        enc, enc_state = {}, {}
+        enc['embedding'] = nn.init_embedding(next(keys), hp.vocab_size, hp.encoder_embedding_dim)
+        conv_in = hp.encoder_embedding_dim
+        if 'start' in self.concat_pos:
+            enc['speaker_projection'] = {
+                'kernel': _eye_projection_init(
+                    (hp.encoder_embedding_dim + self.spk_dim, hp.encoder_embedding_dim)
+                ),
+                'bias': jnp.zeros((hp.encoder_embedding_dim,)),
+            }
+        for i in range(hp.encoder_n_conv):
+            conv = nn.init_conv1d(next(keys), hp.encoder_kernel_size, conv_in, hp.encoder_embedding_dim)
+            bn, bn_state = nn.init_batch_norm(hp.encoder_embedding_dim)
+            enc['conv_{}'.format(i)] = {'conv': conv, 'bn': bn}
+            enc_state['conv_{}'.format(i)] = {'bn': bn_state}
+            conv_in = hp.encoder_embedding_dim
+        enc['bilstm'] = nn.init_bilstm(next(keys), hp.encoder_embedding_dim, hp.encoder_embedding_dim // 2)
+        params['encoder'], state['encoder'] = enc, enc_state
+
+        # decoder
+        dec = {}
+        prenet = {}
+        pre_in = self.prenet_in_dim
+        for i, size in enumerate(hp.prenet_sizes):
+            prenet['layer_{}'.format(i)] = nn.init_dense(
+                next(keys), pre_in, size, use_bias = hp.prenet_use_bias
+            )
+            pre_in = size
+        dec['prenet'] = prenet
+
+        dec['attention_rnn'] = nn.init_lstm_cell(
+            next(keys), hp.prenet_sizes[-1] + self.encoder_output_dim, hp.attention_rnn_dim
+        )
+        dec['attention'] = {
+            'query': nn.init_dense(next(keys), hp.attention_rnn_dim, hp.lsa_attention_dim, use_bias = False),
+            'memory': nn.init_dense(next(keys), self.encoder_output_dim, hp.lsa_attention_dim, use_bias = False),
+            'location_conv': nn.init_conv1d(
+                next(keys), hp.lsa_attention_kernel_size, 2, hp.lsa_attention_filters, use_bias = False
+            ),
+            'location_dense': nn.init_dense(
+                next(keys), hp.lsa_attention_filters, hp.lsa_attention_dim, use_bias = False
+            ),
+            'value': nn.init_dense(next(keys), hp.lsa_attention_dim, 1, use_bias = False),
+        }
+        rnns = {}
+        rnn_in = hp.attention_rnn_dim + self.encoder_output_dim
+        for i in range(hp.decoder_n_lstm):
+            rnns['cell_{}'.format(i)] = nn.init_lstm_cell(next(keys), rnn_in, hp.decoder_rnn_dim)
+            rnn_in = hp.decoder_rnn_dim
+        dec['decoder_rnn'] = rnns
+
+        proj_in = hp.decoder_rnn_dim + self.encoder_output_dim
+        dec['linear_projection'] = nn.init_dense(
+            next(keys), proj_in, hp.n_mel_channels * hp.n_frames_per_step
+        )
+        gate_in = proj_in + (hp.n_mel_channels * hp.n_frames_per_step if hp.pred_stop_on_mel else 0)
+        dec['gate_layer'] = nn.init_dense(next(keys), gate_in, hp.n_frames_per_step)
+        params['decoder'] = dec
+
+        # postnet: 80→512 (tanh) → 512→512 (tanh) ×(n-2) → 512→80 (linear), BN each
+        post, post_state = {}, {}
+        ch_in = hp.n_mel_channels
+        for i in range(hp.postnet_n_conv):
+            last = i == hp.postnet_n_conv - 1
+            ch_out = hp.n_mel_channels if last else hp.postnet_filters
+            conv = nn.init_conv1d(next(keys), hp.postnet_kernel_size, ch_in, ch_out)
+            bn, bn_state = nn.init_batch_norm(ch_out)
+            post['conv_{}'.format(i)] = {'conv': conv, 'bn': bn}
+            post_state['conv_{}'.format(i)] = {'bn': bn_state}
+            ch_in = ch_out
+        params['postnet'], state['postnet'] = post, post_state
+
+        return params, state
+
+    # -- encoder ---------------------------------------------------------------
+
+    def encode(self, params, state, tokens, *, speaker_embedding = None,
+               train = False, rng = None):
+        """tokens (B, S) → (encoder_output (B, S, D), mask (B, S), new_state)."""
+        hp = self.hp
+        enc, enc_state = params['encoder'], state['encoder']
+        mask = tokens != hp.pad_token
+
+        x = nn.embedding(enc['embedding'], tokens)
+
+        if 'start' in self.concat_pos:
+            spk = jnp.broadcast_to(
+                speaker_embedding[:, None, :], x.shape[:2] + (self.spk_dim,)
+            )
+            x = nn.dense(enc['speaker_projection'], jnp.concatenate([x, spk], axis = -1))
+
+        new_state = {}
+        for i in range(hp.encoder_n_conv):
+            name = 'conv_{}'.format(i)
+            x = nn.conv1d(enc[name]['conv'], x, padding = 'SAME')
+            x, bn_state = nn.batch_norm(
+                enc[name]['bn'], enc_state[name]['bn'], x,
+                train = train, momentum = hp.encoder_momentum,
+                epsilon = hp.encoder_epsilon, mask = mask if train else None,
+            )
+            x = jax.nn.relu(x)
+            if train and rng is not None:
+                rng, sub = jax.random.split(rng)
+                x = nn.dropout(sub, x, hp.encoder_drop_rate, train = True)
+            new_state[name] = {'bn': bn_state}
+            x = jnp.where(mask[..., None], x, 0.)
+
+        x = nn.bilstm(enc['bilstm'], x, mask = mask)
+
+        if 'end' in self.concat_pos:
+            spk = jnp.broadcast_to(
+                speaker_embedding[:, None, :], x.shape[:2] + (self.spk_dim,)
+            )
+            x = jnp.concatenate([x, spk], axis = -1)
+            x = jnp.where(mask[..., None], x, 0.)
+
+        return x, mask, {** state, 'encoder': new_state}
+
+    # -- prenet ----------------------------------------------------------------
+
+    def prenet(self, params, x, *, rng, speaker_embedding = None, deterministic = None):
+        """Always-on-dropout bottleneck (intentional inference randomness,
+        reference ``tacotron2_arch.py:143-212``)."""
+        hp = self.hp
+        if deterministic is None: deterministic = hp.prenet_deterministic
+        if 'prenet' in self.concat_pos and speaker_embedding is not None:
+            spk = jnp.broadcast_to(
+                speaker_embedding[..., None, :] if x.ndim == 3 else speaker_embedding,
+                x.shape[:-1] + (self.spk_dim,),
+            )
+            x = jnp.concatenate([x, spk], axis = -1)
+        for i in range(len(hp.prenet_sizes)):
+            x = jax.nn.relu(nn.dense(params['prenet']['layer_{}'.format(i)], x))
+            if not deterministic:
+                rng, sub = jax.random.split(rng)
+                x = nn.dropout(sub, x, hp.prenet_drop_rate, train = True)
+        return x
+
+    # -- attention -------------------------------------------------------------
+
+    def process_memory(self, params, memory, mask):
+        memory = jnp.where(mask[..., None], memory, 0.)
+        processed = nn.dense(params['attention']['memory'], memory)
+        return memory, processed
+
+    def attention_step(self, params, query, memory, processed_memory,
+                       prev_attn, cum_attn, mask):
+        """Location-sensitive attention (reference
+        ``layers/location_sensitive_attention.py:44``): content score +
+        convolutional features over [previous, cumulative] alignments."""
+        att = params['attention']
+        processed_query = nn.dense(att['query'], query)[:, None, :]
+        attn_cat = jnp.stack([prev_attn, cum_attn], axis = -1)          # (B, S, 2)
+        loc = nn.dense(att['location_dense'],
+                       nn.conv1d(att['location_conv'], attn_cat, padding = 'SAME'))
+        energies = nn.dense(
+            att['value'], jnp.tanh(processed_query + processed_memory + loc)
+        )[..., 0]                                                        # (B, S)
+        # large-negative (not -inf) so a fully-masked row softmaxes to uniform
+        # instead of NaN (all-pad rows appear in ragged batches)
+        energies = jnp.where(mask, energies, -1e9)
+        weights = jax.nn.softmax(energies, axis = -1)
+        context = jnp.einsum('bs,bsd->bd', weights, memory)
+        return context, weights
+
+    # -- decoder cell ----------------------------------------------------------
+
+    def decoder_cell(self, params, prenet_out, memory, processed_memory,
+                     attn_mask, cell_state):
+        """One decoder step.  cell_state = (attn_rnn, dec_rnns, context,
+        (prev_attn, cum_attn))."""
+        hp = self.hp
+        attn_rnn_state, dec_rnn_states, context, (prev_attn, cum_attn) = cell_state
+
+        x = jnp.concatenate([prenet_out, context], axis = -1)
+        attn_out, attn_rnn_state = nn.lstm_cell(params['attention_rnn'], x, attn_rnn_state)
+
+        context, attn_weights = self.attention_step(
+            params, attn_out, memory, processed_memory, prev_attn, cum_attn, attn_mask
+        )
+        cum_attn = cum_attn + attn_weights
+
+        y = jnp.concatenate([attn_out, context], axis = -1)
+        new_rnn_states = []
+        for i in range(hp.decoder_n_lstm):
+            y, s = nn.lstm_cell(params['decoder_rnn']['cell_{}'.format(i)], y, dec_rnn_states[i])
+            new_rnn_states.append(s)
+
+        cell_out = jnp.concatenate([y, context], axis = -1)
+        new_state = (attn_rnn_state, tuple(new_rnn_states), context, (attn_weights, cum_attn))
+        return cell_out, attn_weights, new_state
+
+    def init_cell_state(self, batch, seq_len, dtype = jnp.float32):
+        hp = self.hp
+        return (
+            nn.lstm_init_carry(batch, hp.attention_rnn_dim, dtype),
+            tuple(nn.lstm_init_carry(batch, hp.decoder_rnn_dim, dtype)
+                  for _ in range(hp.decoder_n_lstm)),
+            jnp.zeros((batch, self.encoder_output_dim), dtype),
+            (jnp.zeros((batch, seq_len), dtype), jnp.zeros((batch, seq_len), dtype)),
+        )
+
+    def _project(self, params, cell_out):
+        hp = self.hp
+        frame = nn.dense(params['linear_projection'], cell_out)
+        gate_in = jnp.concatenate([cell_out, frame], axis = -1) if hp.pred_stop_on_mel else cell_out
+        gate = nn.dense(params['gate_layer'], gate_in)
+        if hp.with_logits: gate = jax.nn.sigmoid(gate)
+        return frame, gate
+
+    # -- teacher-forced forward (training) --------------------------------------
+
+    def __call__(self, params, state, tokens, mel_input, *,
+                 mel_lengths = None, speaker_embedding = None,
+                 train = False, rng = None):
+        """Forward pass with teacher forcing.
+
+        tokens (B, S) int32; mel_input (B, T, n_mel) — the *previous* frames.
+        Returns ((decoder_output, mel_postnet, gates), new_state).
+        """
+        hp = self.hp
+        if rng is None: rng = jax.random.PRNGKey(0)
+        rng_enc, rng_pre, rng_post = jax.random.split(rng, 3)
+
+        encoder_output, enc_mask, state = self.encode(
+            params, state, tokens, speaker_embedding = speaker_embedding,
+            train = train, rng = rng_enc,
+        )
+        memory, processed_memory = self.process_memory(params['decoder'], encoder_output, enc_mask)
+
+        if mel_lengths is not None:
+            dec_mask = jnp.arange(mel_input.shape[1])[None, :] < mel_lengths[:, None]
+        else:
+            dec_mask = jnp.any(mel_input != 0., axis = -1)
+
+        # prenet over the whole target sequence at once (one big MXU matmul)
+        prenet_out = self.prenet(
+            params['decoder'], mel_input, rng = rng_pre,
+            speaker_embedding = speaker_embedding,
+            deterministic = hp.prenet_deterministic and not train,
+        )
+
+        cell_state = self.init_cell_state(tokens.shape[0], tokens.shape[1], mel_input.dtype)
+
+        def step(carry, x_t):
+            cell_out, _, new_carry = self.decoder_cell(
+                params['decoder'], x_t, memory, processed_memory, enc_mask, carry
+            )
+            return new_carry, cell_out
+
+        _, cell_outputs = lax.scan(step, cell_state, jnp.swapaxes(prenet_out, 0, 1))
+        cell_outputs = jnp.swapaxes(cell_outputs, 0, 1)          # (B, T, D)
+
+        # projections hoisted out of the scan: full-sequence matmuls
+        frames, gates = self._project(params['decoder'], cell_outputs)
+        gates = gates[..., 0] if hp.n_frames_per_step == 1 else gates.reshape(gates.shape[0], -1)
+
+        frames = jnp.where(dec_mask[..., None], frames, 0.)
+        decoder_output = frames
+
+        postnet_out, state = self.postnet(params, state, decoder_output,
+                                          train = train, rng = rng_post, mask = dec_mask)
+        mel_postnet = decoder_output + postnet_out
+        return (decoder_output, mel_postnet, gates), state
+
+    # -- postnet ---------------------------------------------------------------
+
+    def postnet(self, params, state, x, *, train = False, rng = None, mask = None):
+        hp = self.hp
+        post, post_state = params['postnet'], state['postnet']
+        new_state = {}
+        for i in range(hp.postnet_n_conv):
+            name = 'conv_{}'.format(i)
+            x = nn.conv1d(post[name]['conv'], x, padding = 'SAME')
+            x, bn_state = nn.batch_norm(
+                post[name]['bn'], post_state[name]['bn'], x,
+                train = train, momentum = hp.postnet_momentum,
+                epsilon = hp.postnet_epsilon, mask = mask if train else None,
+            )
+            if i < hp.postnet_n_conv - 1:
+                x = jnp.tanh(x)
+            if train and rng is not None:
+                rng, sub = jax.random.split(rng)
+                x = nn.dropout(sub, x, hp.postnet_drop_rate, train = True)
+            new_state[name] = {'bn': bn_state}
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.)
+        return x, {** state, 'postnet': new_state}
+
+    # -- autoregressive inference -----------------------------------------------
+
+    def infer(self, params, state, tokens, *,
+              speaker_embedding = None,
+              rng = None,
+              max_length = None,
+              early_stopping = True,
+              attn_mask_win_len = None,
+              attn_mask_offset = 0.5,
+              deterministic = None):
+        """Generate mel frames autoregressively.
+
+        One ``lax.while_loop``; all buffers preallocated at ``max_length``
+        (static).  With ``attn_mask_win_len`` set, attention is restricted to
+        a window centered on the previous argmax alignment (the long-input
+        stabilizer, reference ``tacotron2_arch.py:629-640``).
+        Returns ``Tacotron2InferenceOutput``.
+        """
+        hp = self.hp
+        if rng is None: rng = jax.random.PRNGKey(0)
+        if max_length is None: max_length = hp.max_decoder_steps
+        max_length = int(max_length)
+
+        batch, seq_len = tokens.shape
+        encoder_output, enc_mask, _ = self.encode(
+            params, state, tokens, speaker_embedding = speaker_embedding, train = False,
+        )
+        memory, processed_memory = self.process_memory(params['decoder'], encoder_output, enc_mask)
+        encoder_lengths = jnp.sum(enc_mask.astype(jnp.int32), axis = 1)
+
+        use_window = attn_mask_win_len is not None
+        if use_window:
+            win_len = int(attn_mask_win_len)
+            offset = int(attn_mask_win_len * attn_mask_offset) \
+                if isinstance(attn_mask_offset, float) else int(attn_mask_offset)
+            positions = jnp.arange(seq_len, dtype = jnp.int32)[None, :]
+
+        n_mel = hp.n_mel_channels * hp.n_frames_per_step
+
+        init = dict(
+            t = jnp.zeros((), jnp.int32),
+            frame = jnp.zeros((batch, n_mel)),
+            outputs = jnp.zeros((batch, max_length, n_mel)),
+            stop_tokens = jnp.zeros((batch, max_length, hp.n_frames_per_step)),
+            attention_weights = jnp.zeros((batch, max_length, seq_len)),
+            lengths = jnp.zeros((batch,), jnp.int32),
+            finished = jnp.zeros((batch,), bool),
+            main_attention = jnp.zeros((batch,), jnp.int32),
+            cell_state = self.init_cell_state(batch, seq_len),
+            rng = rng,
+        )
+
+        def cond(s):
+            not_done = s['t'] < max_length
+            if early_stopping:
+                return jnp.logical_and(not_done, jnp.logical_not(jnp.all(s['finished'])))
+            return not_done
+
+        def body(s):
+            if use_window:
+                center = jnp.maximum(s['main_attention'], offset)
+                center = jnp.minimum(center, encoder_lengths - win_len + offset)
+                lo = (center - offset)[:, None]
+                attn_mask = jnp.logical_and(positions >= lo, positions <= lo + win_len)
+                attn_mask = jnp.logical_and(attn_mask, enc_mask)
+            else:
+                attn_mask = enc_mask
+
+            step_rng = jax.random.fold_in(s['rng'], s['t'])
+            prenet_out = self.prenet(
+                params['decoder'], s['frame'][:, :hp.n_mel_channels],
+                rng = step_rng, speaker_embedding = speaker_embedding,
+                deterministic = deterministic,
+            )
+            cell_out, attn_weights, cell_state = self.decoder_cell(
+                params['decoder'], prenet_out, memory, processed_memory,
+                attn_mask, s['cell_state'],
+            )
+            frame, gate = self._project(params['decoder'], cell_out)
+
+            finished = jnp.logical_or(s['finished'], gate[:, -1] > hp.gate_threshold)
+            lengths = s['lengths'] + (~finished).astype(jnp.int32)
+
+            t = s['t']
+            return dict(
+                t = t + 1,
+                frame = frame,
+                outputs = lax.dynamic_update_slice(s['outputs'], frame[:, None, :], (0, t, 0)),
+                stop_tokens = lax.dynamic_update_slice(
+                    s['stop_tokens'], gate[:, None, :], (0, t, 0)),
+                attention_weights = lax.dynamic_update_slice(
+                    s['attention_weights'], attn_weights[:, None, :], (0, t, 0)),
+                lengths = lengths,
+                finished = finished,
+                main_attention = jnp.argmax(attn_weights, axis = 1).astype(jnp.int32),
+                cell_state = cell_state,
+                rng = s['rng'],
+            )
+
+        final = lax.while_loop(cond, body, init)
+
+        outputs = final['outputs']
+        stop_tokens = final['stop_tokens']
+        if hp.n_frames_per_step > 1:
+            outputs = outputs.reshape(batch, -1, hp.n_mel_channels)
+            stop_tokens = stop_tokens.reshape(batch, -1)
+        else:
+            stop_tokens = stop_tokens[..., 0]
+
+        postnet_out, _ = self.postnet(params, state, outputs, train = False)
+        mel = outputs + postnet_out
+
+        return Tacotron2InferenceOutput(
+            mel = mel,
+            lengths = final['lengths'],
+            stop_tokens = stop_tokens,
+            attention_weights = final['attention_weights'],
+            decoder_output = outputs,
+        )
+
+    def get_config(self):
+        return self.hp.get_config()

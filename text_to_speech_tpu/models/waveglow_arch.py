@@ -1,0 +1,220 @@
+"""WaveGlow inverse-flow vocoder as pure JAX functions.
+
+Capability parity with ``/root/reference/architectures/waveglow_arch.py``
+(WN coupling block :27-156, flow stack + grouped reshape + early outputs
+:159-306, invertible 1x1 conv ``layers/invertible_conv.py:16``) — re-designed
+TPU-first:
+
+  - every WN layer is a dilated conv + pointwise convs over (B, T, C):
+    pure MXU work, XLA fuses the gated-tanh elementwise tail;
+  - the 1x1 invertible convs are (c, c) matmuls; inverses are computed
+    on-device (c ≤ 8, negligible) instead of cached Python-side;
+  - inference is a Python loop over the *static* 12 flows inside one jit —
+    unrolled by XLA into a single fused program;
+  - forward (training) direction returns (z, log_s_total, log_det_W_total)
+    for the flow maximum-likelihood loss.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..hparams import HParams
+from ..nn import layers as nn
+
+HParamsWaveGlow = HParams(
+    n_mel_channels = 80,
+    n_flows = 12,
+    n_group = 8,
+    n_early_every = 4,
+    n_early_size = 2,
+    wn_layers = 8,
+    wn_channels = 512,
+    wn_kernel_size = 3,
+    upsample_width = 1024,
+    upsample_stride = 256,
+    sigma = 1.0,
+)
+
+
+class WaveGlow:
+    """Stateless architecture: static hparams + pure apply functions."""
+
+    def __init__(self, ** kwargs):
+        self.hp = HParamsWaveGlow.extract(kwargs)
+        hp = self.hp
+        # per-flow channel bookkeeping (early outputs shrink the stack)
+        self.flow_channels = []
+        n_remaining = hp.n_group
+        for k in range(hp.n_flows):
+            if k % hp.n_early_every == 0 and k > 0:
+                n_remaining -= hp.n_early_size
+            self.flow_channels.append(n_remaining)
+        self.n_remaining_channels = n_remaining
+        self.cond_channels = hp.n_mel_channels * hp.n_group
+
+    # -- init ------------------------------------------------------------------
+
+    def init(self, key):
+        hp = self.hp
+        keys = iter(jax.random.split(key, 16 + hp.n_flows * (3 + 2 * hp.wn_layers)))
+        params = {
+            'upsample': nn.init_conv1d_transpose(
+                next(keys), hp.upsample_width, hp.n_mel_channels, hp.n_mel_channels
+            ),
+        }
+        for k in range(hp.n_flows):
+            c = self.flow_channels[k]
+            n_half = c // 2
+            # orthogonal init keeps the 1x1 conv invertible from the start
+            w = nn.orthogonal(next(keys), (c, c))
+            block = {
+                'start': nn.init_conv1d(next(keys), 1, n_half, hp.wn_channels),
+                'end': {'kernel': jnp.zeros((1, hp.wn_channels, 2 * n_half)),
+                        'bias': jnp.zeros((2 * n_half,))},
+            }
+            for i in range(hp.wn_layers):
+                block['in_conv_{}'.format(i)] = nn.init_conv1d(
+                    next(keys), hp.wn_kernel_size, hp.wn_channels, 2 * hp.wn_channels
+                )
+                block['cond_conv_{}'.format(i)] = nn.init_conv1d(
+                    next(keys), 1, self.cond_channels, 2 * hp.wn_channels
+                )
+                out_ch = 2 * hp.wn_channels if i < hp.wn_layers - 1 else hp.wn_channels
+                block['res_skip_conv_{}'.format(i)] = nn.init_conv1d(
+                    next(keys), 1, hp.wn_channels, out_ch
+                )
+            params['flow_{}'.format(k)] = {'convinv': {'kernel': w}, 'block': block}
+        return params
+
+    # -- WN coupling block -----------------------------------------------------
+
+    def wn_block(self, block, audio_half, spect):
+        """WaveNet-like stack: gated dilated convs conditioned on the mel,
+        residual + skip accumulation; returns (B, T, 2*n_half) [b | s]."""
+        hp = self.hp
+        n_ch = hp.wn_channels
+        x = nn.conv1d(block['start'], audio_half)
+        output = None
+        for i in range(hp.wn_layers):
+            acts = (
+                nn.conv1d(block['in_conv_{}'.format(i)], x, dilation = 2 ** i, padding = 'SAME')
+                + nn.conv1d(block['cond_conv_{}'.format(i)], spect)
+            )
+            gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
+            res_skip = nn.conv1d(block['res_skip_conv_{}'.format(i)], gated)
+            if i < hp.wn_layers - 1:
+                x = x + res_skip[..., :n_ch]
+                skip = res_skip[..., n_ch:]
+            else:
+                skip = res_skip
+            output = skip if output is None else output + skip
+        return nn.conv1d(block['end'], output)
+
+    # -- mel conditioning ------------------------------------------------------
+
+    def upsample_mel(self, params, mel):
+        """mel (B, F, n_mel) → grouped conditioning (B, Lg, n_mel*n_group)."""
+        hp = self.hp
+        spect = nn.conv1d_transpose(params['upsample'], mel, stride = hp.upsample_stride)
+        time_cutoff = hp.upsample_width - hp.upsample_stride
+        spect = spect[:, :spect.shape[1] - time_cutoff, :]
+        lg = spect.shape[1] // hp.n_group
+        spect = spect[:, : lg * hp.n_group, :]
+        spect = spect.reshape(spect.shape[0], lg, hp.n_group, hp.n_mel_channels)
+        spect = jnp.swapaxes(spect, 2, 3).reshape(spect.shape[0], lg, -1)
+        return spect
+
+    # -- inference (inverse flow) ----------------------------------------------
+
+    def infer(self, params, mel, *, rng = None, sigma = None, z = None,
+              deterministic = False):
+        """mel (B, F, n_mel) → waveform (B, F*upsample_stride)."""
+        hp = self.hp
+        if sigma is None: sigma = hp.sigma
+        if rng is None: rng = jax.random.PRNGKey(0)
+
+        spect = self.upsample_mel(params, mel)
+        batch, lg = spect.shape[0], spect.shape[1]
+
+        def noise(key, channels):
+            if deterministic:
+                return jnp.zeros((batch, lg, channels))
+            return jax.random.normal(key, (batch, lg, channels))
+
+        rngs = jax.random.split(rng, hp.n_flows + 1)
+        if z is not None:
+            audio = sigma * z[:, :, :self.n_remaining_channels]
+            z_rest = z[:, :, self.n_remaining_channels:]
+        else:
+            audio = sigma * noise(rngs[0], self.n_remaining_channels)
+            z_rest = None
+
+        for k in reversed(range(hp.n_flows)):
+            flow = params['flow_{}'.format(k)]
+            c = audio.shape[-1]
+            n_half = c // 2
+            audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
+
+            wn_out = self.wn_block(flow['block'], audio_0, spect)
+            b, s = wn_out[..., :n_half], wn_out[..., n_half:]
+            audio_1 = (audio_1 - b) * jnp.exp(-s)
+            audio = jnp.concatenate([audio_0, audio_1], axis = -1)
+
+            w_inv = jnp.linalg.inv(flow['convinv']['kernel'])
+            audio = audio @ w_inv
+
+            if k % hp.n_early_every == 0 and k > 0:
+                if z_rest is not None:
+                    z_i = sigma * z_rest[..., :hp.n_early_size]
+                    z_rest = z_rest[..., hp.n_early_size:]
+                else:
+                    z_i = sigma * noise(rngs[k], hp.n_early_size)
+                audio = jnp.concatenate([z_i, audio], axis = -1)
+
+        return audio.reshape(batch, -1)
+
+    # -- forward (training direction) ------------------------------------------
+
+    def forward(self, params, mel, audio):
+        """audio (B, T) + mel (B, F, n_mel) → (z, log_s_total, log_det_w_total)
+        for the flow negative-log-likelihood loss."""
+        hp = self.hp
+        spect = self.upsample_mel(params, mel)
+        lg = spect.shape[1]
+
+        audio = audio[:, : lg * hp.n_group]
+        audio = audio.reshape(audio.shape[0], lg, hp.n_group)
+
+        z_out = []
+        log_s_total = 0.
+        log_det_total = 0.
+        for k in range(hp.n_flows):
+            if k % hp.n_early_every == 0 and k > 0:
+                z_out.append(audio[..., :hp.n_early_size])
+                audio = audio[..., hp.n_early_size:]
+
+            flow = params['flow_{}'.format(k)]
+            w = flow['convinv']['kernel']
+            audio = audio @ w
+            _, logdet = jnp.linalg.slogdet(w)
+            log_det_total = log_det_total + audio.shape[0] * lg * logdet
+
+            n_half = audio.shape[-1] // 2
+            audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
+            wn_out = self.wn_block(flow['block'], audio_0, spect)
+            b, s = wn_out[..., :n_half], wn_out[..., n_half:]
+            audio_1 = jnp.exp(s) * audio_1 + b
+            log_s_total = log_s_total + jnp.sum(s)
+            audio = jnp.concatenate([audio_0, audio_1], axis = -1)
+
+        z_out.append(audio)
+        return jnp.concatenate(z_out, axis = -1), log_s_total, log_det_total
+
+    def loss(self, params, mel, audio, sigma = None):
+        """WaveGlow negative log-likelihood (per element)."""
+        if sigma is None: sigma = self.hp.sigma
+        z, log_s, log_det = self.forward(params, mel, audio)
+        return (jnp.sum(z * z) / (2 * sigma * sigma) - log_s - log_det) / z.size
+
+    def get_config(self):
+        return self.hp.get_config()
