@@ -1,0 +1,200 @@
+import os
+import numpy as np
+import jax
+import pytest
+
+from text_to_speech_tpu.models import saving, get_pretrained
+from text_to_speech_tpu.models.interfaces import reset_instances
+from text_to_speech_tpu.models.tts import Tacotron2, SV2TTSTacotron2, WaveGlow, tts
+
+TINY_TACO = dict(
+    encoder_embedding_dim = 16,
+    encoder_n_conv = 1,
+    encoder_kernel_size = 3,
+    prenet_sizes = (8, 8),
+    lsa_attention_dim = 8,
+    lsa_attention_filters = 4,
+    lsa_attention_kernel_size = 7,
+    attention_rnn_dim = 12,
+    decoder_rnn_dim = 12,
+    postnet_n_conv = 2,
+    postnet_filters = 8,
+    postnet_kernel_size = 3,
+    max_decoder_steps = 32,
+)
+
+TINY_WG = dict(
+    n_flows = 2,
+    n_group = 4,
+    n_early_every = 4,
+    n_early_size = 2,
+    wn_layers = 2,
+    wn_channels = 8,
+    upsample_width = 16,
+    upsample_stride = 8,
+)
+
+
+@pytest.fixture(autouse = True)
+def model_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+    reset_instances()
+    yield str(tmp_path)
+    reset_instances()
+
+
+def make_taco(name = 'test_taco', ** kwargs):
+    return Tacotron2(lang = 'en', name = name, ** {** TINY_TACO, ** kwargs})
+
+
+def make_wg(name = 'test_wg', ** kwargs):
+    return WaveGlow(name = name, ** {** TINY_WG, ** kwargs})
+
+
+class TestTacotron2Model:
+    def test_creation_persists(self, model_root):
+        model = make_taco()
+        assert os.path.exists(os.path.join(model_root, 'test_taco', 'config.json'))
+        assert os.path.exists(os.path.join(
+            model_root, 'test_taco', 'saving', 'config_models.json'))
+        assert os.path.exists(os.path.join(
+            model_root, 'test_taco', 'saving', 'tokenizer.json'))
+        assert os.path.exists(os.path.join(
+            model_root, 'test_taco', 'saving', 'mel_fn.json'))
+        # new models default to the arpabet-less char vocab (64 symbols)
+        assert model.vocab_size == 64
+
+    def test_singleton(self):
+        m1 = make_taco()
+        m2 = Tacotron2(name = 'test_taco')
+        assert m1 is m2
+
+    def test_reload_from_disk(self):
+        m1 = make_taco()
+        kernel = np.asarray(m1.params['encoder']['conv_0']['conv']['kernel'])
+        reset_instances()
+        m2 = Tacotron2(name = 'test_taco')       # no kwargs: everything from disk
+        assert m2.arch.hp.encoder_embedding_dim == 16
+        assert m2.lang == 'en'
+        np.testing.assert_allclose(
+            np.asarray(m2.params['encoder']['conv_0']['conv']['kernel']), kernel
+        )
+
+    def test_get_pretrained(self):
+        make_taco()
+        reset_instances()
+        model = get_pretrained('test_taco')
+        assert isinstance(model, Tacotron2)
+
+    def test_infer_output_dict(self):
+        model = make_taco()
+        out = model.infer('hi there', max_trial = 1, max_length = 16)
+        assert out['text'] == 'hi there'
+        assert len(out['mel']) == 1
+        assert out['mel'][0].shape[1] == 80
+        assert len(out['attention']) == 1
+
+    def test_infer_with_vocoder_and_cache(self, model_root):
+        model = make_taco()
+        wg = make_wg()
+        results = model.predict('hello', vocoder = wg, max_trial = 1,
+                                max_length = 16, save = True)
+        assert 'audio' in results[0]
+        map_file = os.path.join(model_root, 'test_taco', 'predictions', 'map.json')
+        assert os.path.exists(map_file)
+        # second call hits the map.json cache (no 'mel' in cached entry)
+        cached = model.predict('hello', vocoder = wg, max_trial = 1, max_length = 16)
+        assert 'audio' in cached[0] or 'audio' in results[0]
+
+    def test_prepare_data(self):
+        model = make_taco()
+        audio = np.random.randn(22050 // 2).astype(np.float32) * 0.1
+        (tokens, mel_in, length), (mel_out, gate) = model.prepare_data(
+            {'text': 'hello', 'audio': audio, 'rate': 22050}
+        )
+        assert mel_in.shape == mel_out.shape
+        assert length == len(mel_in)
+        assert gate[-1] == 1. and gate[0] == 0.
+
+    def test_collate(self):
+        model = make_taco()
+        audio = np.random.randn(8000).astype(np.float32) * 0.1
+        rows = [model.prepare_data({'text': t, 'audio': audio, 'rate': 22050})
+                for t in ('hi', 'longer sentence')]
+        (tokens, mel_in, lengths), (mel_out, gate) = model.collate(rows)
+        assert tokens.shape[0] == 2
+        assert mel_in.shape[:2] == mel_out.shape[:2]
+
+
+class TestWaveGlowModel:
+    def test_direct_infer(self):
+        wg = make_wg()
+        mel = np.random.randn(1, 12, 80).astype(np.float32)
+        audio = wg(mel)
+        assert audio.shape == (1, 12 * 8)
+
+    def test_windowed_matches_length(self):
+        wg = make_wg()
+        mel = np.random.randn(1, 20, 80).astype(np.float32)
+        audio = wg(mel, win_len = 8, hop_len = -2)
+        assert audio.shape[-1] == 20 * 8
+
+    def test_batched_windows(self):
+        wg = make_wg()
+        mel = np.random.randn(1, 20, 80).astype(np.float32)
+        audio = wg(mel, win_len = 8, hop_len = -2, batch = True)
+        assert audio.shape[-1] == 20 * 8
+
+
+class TestSV2TTS:
+    def test_from_pretrained_transfer(self):
+        base = make_taco()
+        base_kernel = np.asarray(base.params['decoder']['attention_rnn']['kernel'])
+        reset_instances()
+
+        model = SV2TTSTacotron2.from_pretrained(
+            'test_sv2tts', 'test_taco', lang = 'en',
+            embedding_dim = 6, ** TINY_TACO,
+        )
+        # attention-rnn input widened by the speaker embedding concat at 'end'
+        new_kernel = np.asarray(model.params['decoder']['attention_rnn']['kernel'])
+        assert new_kernel.shape[0] == base_kernel.shape[0] + 6
+        np.testing.assert_allclose(new_kernel[:base_kernel.shape[0]], base_kernel)
+        np.testing.assert_allclose(new_kernel[base_kernel.shape[0]:], 0.)
+
+    def test_infer_with_embedding(self):
+        model = SV2TTSTacotron2(lang = 'en', name = 'test_sv', embedding_dim = 6,
+                                ** TINY_TACO)
+        emb = np.random.randn(6).astype(np.float32)
+        out = model.infer('hello', embeddings = emb, max_trial = 1, max_length = 16)
+        assert out['mel'][0].shape[1] == 80
+
+    def test_default_embedding(self):
+        model = SV2TTSTacotron2(lang = 'en', name = 'test_sv2', embedding_dim = 6,
+                                ** TINY_TACO)
+        with pytest.raises(ValueError):
+            model.get_speaker_embedding()
+        model.set_default_embedding(np.ones(6))
+        np.testing.assert_allclose(model.get_speaker_embedding(), np.ones(6))
+
+    def test_embedding_table_selection(self):
+        model = SV2TTSTacotron2(lang = 'en', name = 'test_sv3', embedding_dim = 4,
+                                ** TINY_TACO)
+        table = {'embedding': np.eye(4, dtype = np.float32),
+                 'speaker': np.array(['a', 'b', 'a', 'b'])}
+        emb = model.get_speaker_embedding(table, mode = 'mean', label = 'a')
+        np.testing.assert_allclose(emb, np.array([0.5, 0., 0.5, 0.]))
+
+
+class TestTTSFacade:
+    def test_tts_with_instances(self):
+        model = make_taco()
+        wg = make_wg()
+        results = tts('hi', model = model, vocoder = wg, max_trial = 1,
+                      max_length = 16, save = False)
+        assert len(results) == 1
+        assert 'audio' in results[0] or 'time' in results[0]
+
+    def test_tts_unknown_lang(self):
+        with pytest.raises(ValueError):
+            tts('hi', lang = 'xx')

@@ -1,0 +1,62 @@
+"""Persistent model directory layout.
+
+Capability parity with ``/root/reference/models/utils/saving.py:19-57`` and
+the layout described at ``models/interfaces/base_model.py:127-137``::
+
+    <root>/<name>/config.json            # class name + constructor kwargs
+    <root>/<name>/saving/config_models.json   # architecture config
+    <root>/<name>/saving/history.json
+    <root>/<name>/saving/checkpoint/     # CheckpointManager dir (.npz trees)
+    <root>/<name>/saving/tokenizer.json
+    <root>/<name>/saving/mel_fn.json
+    <root>/<name>/predictions/           # map.json + saved artifacts
+    <root>/<name>/embeddings/            # (SV2TTS)
+"""
+
+import os
+
+from ..utils.file_utils import load_json, dump_json
+
+_PRETRAINED_ROOT = os.environ.get('TTS_PRETRAINED_DIR', 'pretrained_models')
+
+
+def get_pretrained_root():
+    return _PRETRAINED_ROOT
+
+
+def set_pretrained_root(path):
+    global _PRETRAINED_ROOT
+    _PRETRAINED_ROOT = path
+
+
+def get_model_dir(name, *parts):
+    return os.path.join(_PRETRAINED_ROOT, name, *parts)
+
+
+def is_model_name(name):
+    return os.path.exists(get_model_dir(name, 'config.json'))
+
+
+def list_pretrained():
+    root = _PRETRAINED_ROOT
+    if not os.path.isdir(root): return []
+    return sorted(
+        d for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, 'config.json'))
+    )
+
+
+def get_model_config(name):
+    return load_json(get_model_dir(name, 'config.json'))
+
+
+def save_model_config(name, config):
+    return dump_json(get_model_dir(name, 'config.json'), config, indent = 2)
+
+
+def get_model_class_name(name):
+    return get_model_config(name).get('class_name')
+
+
+def get_model_history_file(name):
+    return get_model_dir(name, 'saving', 'history.json')

@@ -1,0 +1,63 @@
+"""TTS user API.
+
+Capability parity with ``/root/reference/models/tts/__init__.py``
+(`tts:62`, `stream:80`, `get_models:41`, `get_model_lang:103`, the
+language→pretrained-model map).
+"""
+
+import logging
+
+from .tacotron2 import Tacotron2
+from .sv2tts_tacotron2 import SV2TTSTacotron2
+from .waveglow import WaveGlow
+
+logger = logging.getLogger(__name__)
+
+_pretrained = {
+    'en': 'pretrained_tacotron2',
+    'fr': 'sv2tts_siwis_v3',
+}
+
+_default_vocoder = 'waveglow'
+
+
+def get_model_lang(lang):
+    if lang not in _pretrained:
+        raise ValueError('No pretrained model for lang {!r} (known: {})'.format(
+            lang, sorted(_pretrained)
+        ))
+    return _pretrained[lang]
+
+
+def get_models(model = None, lang = None, vocoder = None):
+    """Resolve (synthesizer, vocoder) from a model name/instance or a lang."""
+    from .. import get_pretrained
+
+    if model is None:
+        if lang is None:
+            raise ValueError('Provide either `model` or `lang`')
+        model = get_model_lang(lang)
+    if isinstance(model, str):
+        model = get_pretrained(model)
+
+    if vocoder is None:
+        vocoder = _default_vocoder
+    if isinstance(vocoder, str):
+        vocoder = get_pretrained(vocoder)
+    return model, vocoder
+
+
+def tts(text, *, model = None, lang = None, vocoder = None, ** kwargs):
+    """Main entry point: text (str or list) → synthesized audio + artifacts.
+
+    Returns the list of per-text output dicts (see `Tacotron2.predict`).
+    """
+    model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
+    return model.predict(text, vocoder = vocoder, ** kwargs)
+
+
+def stream(stream_input, *, model = None, lang = None, vocoder = None,
+           play = True, ** kwargs):
+    """Interactive / pipelined streaming synthesis over a queue or iterator."""
+    model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
+    return model.stream(stream_input, vocoder = vocoder, play = play, ** kwargs)

@@ -1,0 +1,419 @@
+"""Tacotron-2 task model: text → mel (→ waveform via a vocoder).
+
+Capability parity with ``/root/reference/models/tts/tacotron2.py:30``:
+text splitting + cleaning + encoding, per-chunk compiled inference with the
+frames-per-token quality-retry loop (``:158-179``), per-chunk vocoding and
+audio concatenation with generation-rate telemetry (``:203-209``),
+teacher-forcing data preparation (``:254-259``), length filtering, inference
+callbacks (mel/audio savers + ``map.json`` + playback, ``:276-352``), and
+``precompile_for_stream`` XLA warm-up (``:354-356``).
+
+TPU-native: `compiled_infer` pads token batches to a ×`padding_multiple`
+bucket and buckets `max_length`, so `jax.jit` compiles one executable per
+bucket and replays it for every chunk; the decode loop itself lives on
+device (see ``models/tacotron2_arch.py``).
+"""
+
+import os
+import time
+import logging
+import functools
+
+import numpy as np
+
+from .. import saving as saving_utils
+from ..interfaces.base_model import BaseModel
+from ..interfaces.base_text_model import BaseTextModel
+from ..interfaces.base_audio_model import BaseAudioModel
+from ...utils import load_json, pad_to_multiple, pad_batch
+from ...utils.callbacks import (
+    AudioSaver, SpectrogramSaver, JSONSaver, AudioPlayer, FunctionCallback,
+    QueueCallback, apply_callbacks,
+)
+from ...utils.generic_utils import time_to_string
+from ...text import split_text, split_sentences
+from ...loggers import timer, Timer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_MAX_TEXT_LENGTH = 150
+DEFAULT_MAX_MEL_LENGTH = 1024
+
+
+class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
+    _default_loss = 'TacotronLoss'
+
+    def __init__(self,
+                 lang = None,
+                 *,
+                 name = None,
+                 mel_fn = 'TacotronSTFT',
+                 audio_format = 'mel',
+                 max_input_length = DEFAULT_MAX_TEXT_LENGTH,
+                 max_output_length = DEFAULT_MAX_MEL_LENGTH,
+                 ** kwargs
+                ):
+        if getattr(self, '_initialized', False): return
+        self.name = name or 'tacotron2'
+
+        # merge persisted constructor config (disk values fill unset args)
+        if saving_utils.is_model_name(self.name):
+            disk = saving_utils.get_model_config(self.name).get('config', {})
+            lang = lang or disk.get('lang')
+            mel_fn = disk.get('mel_fn', mel_fn) if 'mel_fn' in disk else mel_fn
+            max_input_length = disk.get('max_input_length', max_input_length)
+            max_output_length = disk.get('max_output_length', max_output_length)
+            for k, v in disk.items():
+                if k not in ('lang', 'name', 'class_name', 'max_input_length',
+                             'max_output_length', 'audio_format', 'pad_mel_value'):
+                    kwargs.setdefault(k, v)
+
+        self._init_text(lang = lang or 'en', ** kwargs)
+        self._init_audio(audio_format = audio_format, mel_fn = mel_fn, ** kwargs)
+
+        self.max_input_length = max_input_length
+        self.max_output_length = max_output_length
+
+        BaseModel.__init__(self, name = self.name, ** kwargs)
+
+    # -- build -----------------------------------------------------------------
+
+    def build(self, *, model = None, tts_model = None, ** kwargs):
+        if tts_model is not None: model = tts_model
+        if model is None:
+            model = {
+                'architecture': kwargs.pop('architecture', 'tacotron2'),
+                'pad_token': self.blank_token_idx,
+                'vocab_size': self.vocab_size,
+                'n_mel_channels': self.n_mel_channels,
+                ** kwargs,
+            }
+        return super().build(model = model)
+
+    # -- compiled inference ----------------------------------------------------
+
+    def compiled_infer(self,
+                       inputs,
+                       *,
+                       max_length = None,
+                       padding_multiple = 64,
+                       attn_mask_win_len = None,
+                       attn_mask_offset = 0.5,
+                       early_stopping = True,
+                       deterministic = False,
+                       rng = None,
+                       ** _):
+        """Shape-bucketed jitted AR inference on one (batched) token array."""
+        import jax
+
+        if isinstance(inputs, tuple):
+            tokens, speaker_embedding = inputs
+        else:
+            tokens, speaker_embedding = inputs, None
+
+        tokens = np.asarray(tokens)
+        if tokens.ndim == 1: tokens = tokens[None]
+        tokens = pad_to_multiple(
+            tokens, padding_multiple, axis = 1, constant_values = self.blank_token_idx
+        )
+
+        if max_length is None:
+            max_length = self.arch.hp.max_decoder_steps
+        elif isinstance(max_length, float):
+            max_length = int(tokens.shape[1] * max_length)
+        max_length = int(min(max_length, self.max_output_length))
+        # bucket the decode-buffer length too
+        max_length = -(-max_length // padding_multiple) * padding_multiple
+
+        if rng is None:
+            rng = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+
+        static = dict(
+            max_length = max_length,
+            early_stopping = bool(early_stopping),
+            attn_mask_win_len = attn_mask_win_len,
+            attn_mask_offset = attn_mask_offset,
+            deterministic = bool(deterministic),
+        )
+        key = ('infer', tuple(sorted(static.items())), speaker_embedding is not None)
+
+        def builder():
+            def fn(params, state, tokens, rng, spk):
+                return self.arch.infer(
+                    params, state, tokens, rng = rng,
+                    speaker_embedding = spk, ** static,
+                )
+            return fn
+
+        fn = self.get_compiled(key, builder)
+        return fn(self.params, self.state, tokens, rng,
+                  None if speaker_embedding is None else np.asarray(speaker_embedding))
+
+    def precompile_for_stream(self, ** kwargs):
+        """Warm the XLA executable cache at the stream padding buckets."""
+        for multiple in (64, 128):
+            self.infer('precompile warmup', max_trial = 1,
+                       padding_multiple = multiple, ** kwargs)
+
+    # -- inference -------------------------------------------------------------
+
+    @timer(name = 'inference')
+    def infer(self,
+              text,
+              *,
+              embeddings = None,
+              callbacks = None,
+              predicted = None,
+              overwrite = False,
+              return_output = True,
+              max_length = 10.,
+              max_text_length = -1,
+              max_trial = 5,
+              min_fpt_ratio = 2.,
+              max_fpt_ratio = 10.,
+              vocoder = None,
+              silence_time = 0.15,
+              vocoder_config = {},
+              ** kwargs
+             ):
+        """Synthesize one text (possibly split into chunks).
+
+        The frames-per-token ratio gates (`min/max_fpt_ratio`) detect
+        degenerate attention (too short / runaway generation) and retry up to
+        `max_trial` times with fresh prenet-dropout noise.
+        """
+        if isinstance(text, dict):
+            text = text.get('text', text.get('content'))
+
+        predicted = predicted if predicted is not None else {}
+        if predicted and not overwrite and text in predicted:
+            if callbacks:
+                apply_callbacks(callbacks, predicted[text], {}, save = False)
+            return predicted[text]
+
+        with Timer('processing'):
+            if max_text_length == -1:
+                splitted = [text]
+            elif max_text_length == -2:
+                splitted = split_sentences(text)
+            else:
+                splitted = split_text(text, max_text_length)
+
+            splitted = [self.clean_text(s) for s in splitted]
+            splitted = [s for s in splitted if any(c.isalnum() for c in s)]
+            cleaned = '\n\n'.join(splitted) if len(splitted) > 1 else (
+                splitted[0] if splitted else ''
+            )
+            encoded = [self.encode_text(s, cleaned = True) for s in splitted]
+            keep = [i for i, e in enumerate(encoded) if len(e) > 0]
+            splitted = [splitted[i] for i in keep]
+            encoded = [encoded[i] for i in keep]
+
+        synth_time, vocoder_time = 0., 0.
+        mels, attn_weights, audios = [], [], []
+
+        for inp in encoded:
+            start = time.time()
+            length = len(inp)
+            inputs = inp[None] if embeddings is None else (inp[None], np.asarray(embeddings)[None])
+
+            success, outputs = False, None
+            for trial in range(max(1, max_trial)):
+                with Timer('compiled_infer'):
+                    outputs = self.compiled_infer(
+                        inputs, max_length = max_length, ** kwargs
+                    )
+                ratio = float(outputs.lengths[0]) / max(length, 1)
+                if min_fpt_ratio < ratio < max_fpt_ratio:
+                    success = True
+                    break
+                logger.info('inference attempt %d rejected (frames/token ratio %.2f)',
+                            trial + 1, ratio)
+            if not success:
+                logger.warning('inference failed %d times; keeping last output', max_trial)
+
+            # keep at least one frame so downstream vocoding stays shape-valid
+            out_len = max(1, int(outputs.lengths[0]))
+            mel = np.asarray(outputs.mel[0, :out_len])
+            mels.append(mel)
+            attn_weights.append(np.asarray(outputs.attention_weights[0, :out_len]))
+            synth_time += time.time() - start
+
+            if vocoder is not None:
+                start = time.time()
+                audio = vocoder(mel, ** {** kwargs, ** vocoder_config})
+                audio = np.asarray(audio)
+                if audio.ndim == 2: audio = audio[0]
+                audios.append(audio)
+                vocoder_time += time.time() - start
+
+        audio_infos = {}
+        if vocoder is not None:
+            if audios:
+                audio = audios[0] if len(audios) == 1 else np.concatenate(audios, axis = 0)
+                audio_infos = {
+                    'audio': audio, 'rate': self.rate,
+                    'time': len(audio) / self.rate,
+                }
+                total = synth_time + vocoder_time
+                logger.info(
+                    '%s of audio generated in %s (%.2fx real-time): %s synthesizer + %s vocoder',
+                    time_to_string(audio_infos['time']), time_to_string(total),
+                    audio_infos['time'] / max(total, 1e-9),
+                    time_to_string(synth_time), time_to_string(vocoder_time),
+                )
+            else:
+                audio_infos = {
+                    'audio': np.zeros((int(silence_time * self.rate),), np.float32),
+                    'rate': self.rate, 'time': silence_time,
+                }
+
+        output = {
+            'text': text, 'cleaned': cleaned, 'splitted': splitted,
+            'mel': mels, 'attention': attn_weights, ** audio_infos,
+        }
+
+        if callbacks:
+            if text not in predicted:
+                predicted[text] = {
+                    k: v for k, v in output.items()
+                    if k not in ('mel', 'attention', 'audio')
+                }
+            apply_callbacks(callbacks, predicted[text], output, save = True)
+
+        if return_output:
+            return output
+        return predicted.get(text, {k: v for k, v in output.items()
+                                    if k not in ('mel', 'attention')})
+
+    # -- data processing (training) --------------------------------------------
+
+    def prepare_output(self, data):
+        """mel (T, n_mel) → (shifted mel with leading zero frame, gate)."""
+        mel = np.asarray(self.get_audio(data))
+        mel = np.pad(mel, [(1, 0), (0, 0)])
+        gate = np.zeros((mel.shape[0],), np.float32)
+        gate[-1] = 1.
+        return mel, gate
+
+    def prepare_data(self, data):
+        """Teacher-forcing pair: ((tokens, mel[:-1], len), (mel[1:], gate[1:]))."""
+        tokens = self.prepare_input(data)
+        mel, gate = self.prepare_output(data)
+        return (tokens, mel[:-1], len(mel) - 1), (mel[1:], gate[1:])
+
+    def filter_data(self, inputs, outputs):
+        return (len(inputs[0]) <= self.max_input_length
+                and inputs[-1] <= self.max_output_length)
+
+    def get_padding_values(self):
+        return ((self.blank_token_idx, self.pad_mel_value, 0),
+                (self.pad_mel_value, 1.))
+
+    def collate(self, batch):
+        """List of prepare_data outputs → padded numpy batch."""
+        inputs, outputs = zip(* batch)
+        (pad_in, pad_out) = self.get_padding_values()
+        tokens = pad_batch([i[0] for i in inputs], pad_value = pad_in[0])
+        mel_in = pad_batch([i[1] for i in inputs], pad_value = pad_in[1])
+        lengths = np.asarray([i[2] for i in inputs], np.int32)
+        mel_out = pad_batch([o[0] for o in outputs], pad_value = pad_out[0])
+        gate = pad_batch([o[1] for o in outputs], pad_value = pad_out[1])
+        return (tokens, mel_in, lengths), (mel_out, gate)
+
+    # -- callbacks -------------------------------------------------------------
+
+    def get_inference_callbacks(self,
+                                *,
+                                vocoder = None,
+                                save = None,
+                                save_mel = None,
+                                save_audio = None,
+                                directory = None,
+                                mel_dir = None,
+                                audio_dir = None,
+                                mel_filename = 'mel-{}.npy',
+                                audio_filename = 'audio-{}.mp3',
+                                play = False,
+                                display = None,
+                                post_processing = None,
+                                save_in_parallel = False,
+                                ** _):
+        if vocoder is None:
+            play, display, save_audio = False, False, False
+        elif save_audio is None:
+            save_audio = save is not False
+        if save is None: save = bool(directory) or vocoder is None
+        if save_mel is None: save_mel = save and vocoder is None
+
+        save = save_mel or save_audio
+        if vocoder is not None:
+            if save:
+                save_audio = True
+            elif display is None:
+                display = not play
+
+        predicted, callbacks = {}, []
+        if save:
+            if directory is None: directory = self.pred_dir
+            map_file = os.path.join(directory, 'map.json')
+            predicted = load_json(map_file, default = {})
+
+            if save_mel:
+                if mel_dir is None: mel_dir = os.path.join(directory, 'mels')
+                callbacks.append(SpectrogramSaver(
+                    file_format = os.path.join(mel_dir, mel_filename),
+                    save_in_parallel = save_in_parallel,
+                ))
+            if save_audio:
+                if audio_dir is None: audio_dir = os.path.join(directory, 'audios')
+                callbacks.append(AudioSaver(
+                    file_format = os.path.join(audio_dir, audio_filename),
+                    save_in_parallel = save_in_parallel,
+                ))
+            callbacks.append(JSONSaver(
+                data = predicted, filename = map_file, primary_key = 'text',
+                save_in_parallel = save_in_parallel,
+            ))
+
+        if display or play:
+            callbacks.append(AudioPlayer(display = bool(display), play = bool(play)))
+
+        if post_processing is not None:
+            if not isinstance(post_processing, list):
+                post_processing = [post_processing]
+            for fn in post_processing:
+                if callable(fn):
+                    callbacks.append(FunctionCallback(fn))
+                elif hasattr(fn, 'put'):
+                    callbacks.append(QueueCallback(fn))
+        return predicted, callbacks
+
+    # -- predict / stream -------------------------------------------------------
+
+    @timer
+    def predict(self, inputs, ** kwargs):
+        if isinstance(inputs, (str, dict)): inputs = [inputs]
+        return super().predict(inputs, ** kwargs)
+
+    def stream(self, stream, *, vocoder, ** kwargs):
+        self.precompile_for_stream(vocoder = vocoder, ** kwargs)
+        return super().stream(stream, vocoder = vocoder, ** kwargs)
+
+    # -- config ----------------------------------------------------------------
+
+    def get_config(self):
+        return {
+            ** super().get_config(),
+            ** self.get_config_text(),
+            ** self.get_config_audio(),
+            'max_input_length': self.max_input_length,
+            'max_output_length': self.max_output_length,
+        }
+
+    def get_saving_objects(self):
+        return {
+            ** super().get_saving_objects(),
+            ** self.get_saving_objects_text(),
+            ** self.get_saving_objects_audio(),
+        }

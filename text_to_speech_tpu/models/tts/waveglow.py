@@ -1,0 +1,175 @@
+"""WaveGlow task model: mel → waveform vocoder with windowed synthesis.
+
+Capability parity with ``/root/reference/models/tts/waveglow.py:23``:
+sliding-window vocoding with 50%-overlap-trim stitching (``:118-142``),
+stacked-batch window mode, pad-to-multiple XLA shape bucketing (``:52-58``),
+``__call__ = infer``.
+
+TPU-native: each window size is one jit bucket; `batch=True` stacks all
+windows into a single batched device call (the MXU-saturating mode).
+"""
+
+import math
+import logging
+
+import numpy as np
+
+from .. import saving as saving_utils
+from ..interfaces.base_model import BaseModel
+from ..interfaces.base_audio_model import BaseAudioModel
+from ...utils import pad_to_multiple
+from ...loggers import timer
+
+logger = logging.getLogger(__name__)
+
+
+class WaveGlow(BaseAudioModel, BaseModel):
+    _default_loss = 'WaveGlowLoss'
+
+    def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
+                 pad_mel_value = -11., ** kwargs):
+        if getattr(self, '_initialized', False): return
+        self.name = name or 'waveglow'
+
+        if saving_utils.is_model_name(self.name):
+            disk = saving_utils.get_model_config(self.name).get('config', {})
+            pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
+            for k, v in disk.items():
+                if k not in ('name', 'pad_mel_value', 'audio_format'):
+                    kwargs.setdefault(k, v)
+
+        self._init_audio(mel_fn = mel_fn, audio_format = 'mel',
+                         pad_mel_value = pad_mel_value, ** kwargs)
+        BaseModel.__init__(self, name = self.name, ** kwargs)
+
+    def build(self, *, model = None, vocoder = None, ** kwargs):
+        if vocoder is not None: model = vocoder
+        if model is None:
+            model = {
+                'architecture': kwargs.pop('architecture', 'waveglow'),
+                'n_mel_channels': self.n_mel_channels,
+                ** kwargs,
+            }
+        return super().build(model = model)
+
+    @property
+    def upsample_rate(self):
+        return self.arch.hp.upsample_stride
+
+    # -- compiled inference ----------------------------------------------------
+
+    def compiled_infer(self, mel, *, padding_multiple = None, sigma = None,
+                       rng = None, deterministic = False, ** _):
+        import jax
+
+        mel = np.asarray(mel)
+        if mel.ndim == 2: mel = mel[None]
+        if padding_multiple:
+            mel = pad_to_multiple(mel, padding_multiple, axis = 1,
+                                  constant_values = self.pad_mel_value)
+        if rng is None:
+            import time as _time
+            rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))
+
+        static = (float(sigma) if sigma is not None else None, bool(deterministic))
+        key = ('infer', static)
+
+        def builder():
+            def fn(params, mel, rng):
+                return self.arch.infer(
+                    params, mel, rng = rng, sigma = static[0],
+                    deterministic = static[1],
+                )
+            return fn
+
+        return self.get_compiled(key, builder)(self.params, mel, rng)
+
+    # -- inference -------------------------------------------------------------
+
+    @timer(name = 'inference WaveGlow')
+    def infer(self,
+              mel,
+              *,
+              win_len = None,
+              hop_len = -64,
+              batch = False,
+              max_win_len = None,
+              ** kwargs
+             ):
+        """Vocode a mel.  Without `win_len`: one device call.  With it: run
+        overlapping windows (one jit bucket) and stitch with half-overlap
+        trimming — bounds peak memory for arbitrarily long audio."""
+        if isinstance(mel, str): mel = np.load(mel)
+        mel = np.asarray(mel)
+        if mel.ndim == 2: mel = mel[None]
+
+        seq_len = mel.shape[1]
+        audio_len = seq_len * self.upsample_rate
+
+        if win_len is None:
+            return np.asarray(self.compiled_infer(mel, ** kwargs))[:, :audio_len]
+
+        if isinstance(win_len, float):
+            win_len = int(math.ceil(seq_len / win_len) * win_len)
+        if max_win_len is not None:
+            win_len = min(win_len, max_win_len)
+
+        kwargs['padding_multiple'] = win_len
+
+        if seq_len <= win_len:
+            return np.asarray(self.compiled_infer(mel, ** kwargs))[:, :audio_len]
+        if mel.shape[0] > 1:
+            logger.info('batched mel input: direct inference')
+            return np.asarray(self.compiled_infer(mel, ** kwargs))[:, :audio_len]
+
+        if isinstance(hop_len, float): hop_len = int(win_len * hop_len)
+        if hop_len < 0: hop_len = win_len + hop_len
+
+        starts = _get_steps(seq_len, win_len, hop_len)
+        parts = [mel[:, s: s + win_len] for s in starts]
+        overlaps = ((starts[:-1] + win_len) - starts[1:]) * self.upsample_rate
+
+        if batch:
+            stacked = np.concatenate(parts, axis = 0)
+            audio_parts = np.asarray(self.compiled_infer(stacked, ** kwargs))
+        else:
+            audio_parts = [
+                np.asarray(self.compiled_infer(p, ** kwargs))[0] for p in parts
+            ]
+
+        pieces = []
+        for i, part in enumerate(audio_parts):
+            lo = 0 if i == 0 else int(overlaps[i - 1]) // 2
+            hi = None if i == len(audio_parts) - 1 else -(int(overlaps[i]) // 2)
+            pieces.append(part[lo:hi])
+        return np.concatenate(pieces, axis = -1)[None][:, :audio_len] \
+            if np.ndim(pieces[0]) == 1 else np.concatenate(pieces, axis = -1)[:, :audio_len]
+
+    __call__ = infer
+
+    # -- data processing (training) --------------------------------------------
+
+    def prepare_data(self, data):
+        """(mel, audio) pair for flow-NLL training."""
+        from ...ops import load_audio
+        audio = load_audio(data, self.rate)
+        mel = np.asarray(self.mel_fn(audio))[0]
+        return mel, audio
+
+    def get_padding_values(self):
+        return (self.pad_mel_value, 0.)
+
+    def get_config(self):
+        return {** super().get_config(), ** self.get_config_audio()}
+
+    def get_saving_objects(self):
+        return {** super().get_saving_objects(), ** self.get_saving_objects_audio()}
+
+
+def _get_steps(length, win_len, hop_len):
+    """Evenly-spread window starts covering [0, length-win_len]."""
+    num_steps = int(math.ceil((length - win_len) / hop_len)) + 1
+    if num_steps == 1: return np.array([0])
+    max_start = length - win_len
+    actual = max_start / (num_steps - 1)
+    return np.round(np.arange(num_steps) * actual).astype(np.int64)

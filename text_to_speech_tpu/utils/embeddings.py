@@ -1,0 +1,132 @@
+"""Speaker-embedding storage and selection.
+
+Capability parity with ``/root/reference/utils/embeddings.py``
+(`save_embeddings:119`/`load_embeddings:77` over npy/csv/pkl dataframes,
+`select_embedding:249` with random/mean/label modes, `compute_centroids:289`).
+Embeddings are stored as a table: ``{'embedding': (N, D) array, ...metadata
+columns (e.g. 'id'/'speaker': (N,) lists)}``.
+"""
+
+import os
+import logging
+
+import numpy as np
+
+from .distances import distance
+
+logger = logging.getLogger(__name__)
+
+
+def save_embeddings(filename, embeddings, ** metadata):
+    """Save an (N, D) array (+ aligned metadata columns) to .npz/.npy/.csv/.pkl."""
+    embeddings = np.asarray(embeddings)
+    ext = os.path.splitext(filename)[1].lower()
+    d = os.path.dirname(filename)
+    if d: os.makedirs(d, exist_ok = True)
+
+    if ext == '.npy' and not metadata:
+        np.save(filename, embeddings)
+    elif ext in ('.npz', '.npy'):
+        if ext == '.npy': filename = filename[:-4] + '.npz'
+        np.savez(filename, embedding = embeddings,
+                 ** {k: np.asarray(v) for k, v in metadata.items()})
+    elif ext == '.csv':
+        import pandas as pd
+        df = pd.DataFrame({
+            'embedding': [' '.join(map(str, e)) for e in embeddings], ** metadata
+        })
+        df.to_csv(filename, index = False)
+    elif ext in ('.pkl', '.pickle'):
+        import pickle
+        with open(filename, 'wb') as f:
+            pickle.dump({'embedding': embeddings, ** metadata}, f)
+    else:
+        raise ValueError('Unsupported embeddings format: {}'.format(ext))
+    return filename
+
+
+def load_embeddings(filename):
+    """Load embeddings saved by `save_embeddings`; returns
+    {'embedding': (N, D), ...metadata}."""
+    ext = os.path.splitext(filename)[1].lower()
+    if not os.path.exists(filename) and ext == '.npy' and os.path.exists(filename[:-4] + '.npz'):
+        filename, ext = filename[:-4] + '.npz', '.npz'
+
+    if ext == '.npy':
+        return {'embedding': np.load(filename)}
+    if ext == '.npz':
+        with np.load(filename, allow_pickle = True) as data:
+            return {k: data[k] for k in data.files}
+    if ext == '.csv':
+        import pandas as pd
+        df = pd.read_csv(filename)
+        out = {
+            'embedding': np.stack([
+                np.fromstring(e, sep = ' ') for e in df['embedding']
+            ]).astype(np.float32)
+        }
+        for col in df.columns:
+            if col != 'embedding': out[col] = df[col].to_numpy()
+        return out
+    if ext in ('.pkl', '.pickle'):
+        import pickle
+        with open(filename, 'rb') as f:
+            return pickle.load(f)
+    raise ValueError('Unsupported embeddings format: {}'.format(ext))
+
+
+def select_embedding(embeddings, mode = 'random', *, label = None,
+                     label_column = None, seed = None, ** kwargs):
+    """Pick one (D,) embedding from a table/array.
+
+    mode: 'random' | 'mean' | int (row index) | callable(table) → (D,);
+    `label` filters rows first (matching any metadata column, or
+    `label_column` when given).
+    """
+    if isinstance(embeddings, str):
+        embeddings = load_embeddings(embeddings)
+    if isinstance(embeddings, np.ndarray):
+        embeddings = {'embedding': embeddings if embeddings.ndim == 2 else embeddings[None]}
+
+    table = dict(embeddings)
+    vectors = np.asarray(table['embedding'])
+
+    if label is not None:
+        columns = [label_column] if label_column else [
+            c for c in table if c != 'embedding'
+        ]
+        mask = np.zeros(len(vectors), dtype = bool)
+        for col in columns:
+            if col in table:
+                mask |= np.asarray(table[col]) == label
+        if not mask.any():
+            raise ValueError('No embedding with label {!r}'.format(label))
+        vectors = vectors[mask]
+
+    if callable(mode):
+        return mode(vectors)
+    if mode == 'mean':
+        return vectors.mean(axis = 0)
+    if mode == 'random':
+        rng = np.random.RandomState(seed)
+        return vectors[rng.randint(len(vectors))]
+    if isinstance(mode, (int, np.integer)):
+        return vectors[int(mode)]
+    raise ValueError('Unknown selection mode: {!r}'.format(mode))
+
+
+def compute_centroids(embeddings, labels):
+    """Per-label mean embeddings → (unique_labels, centroids (L, D))."""
+    embeddings = np.asarray(embeddings)
+    labels = np.asarray(labels)
+    unique = sorted(set(labels.tolist()))
+    centroids = np.stack([
+        embeddings[labels == u].mean(axis = 0) for u in unique
+    ])
+    return unique, centroids
+
+
+def get_closest_centroid(embedding, centroids, method = 'euclidean'):
+    dists = distance(embedding, centroids, method = method, as_matrix = True)
+    idx = int(np.argmin(np.asarray(dists), axis = -1)[0])
+    return idx
