@@ -156,6 +156,13 @@ class WaveGlow(BaseAudioModel, BaseModel):
         mel = np.asarray(self.mel_fn(audio))[0]
         return mel, audio
 
+    def collate(self, batch):
+        """List of (mel, audio) pairs → ((mel_batch, audio_batch), audio_batch)."""
+        from ...utils import pad_batch
+        mels = pad_batch([b[0] for b in batch], pad_value = self.pad_mel_value)
+        audios = pad_batch([b[1] for b in batch], pad_value = 0.)
+        return (mels, audios), audios
+
     def get_padding_values(self):
         return (self.pad_mel_value, 0.)
 

@@ -1,0 +1,290 @@
+"""Training loop: jitted (optionally mesh-sharded) train step + epoch driver.
+
+Capability parity with the reference training path
+(``/root/reference/models/interfaces/base_model.py:406-481`` loss/optimizer
+wiring with per-component metrics, ``:532-643`` prepare_for_training with
+train/valid split + EarlyStopping/TerminateOnNaN/Checkpoint callbacks,
+``:645-671`` fit with resume + KeyboardInterrupt state save) — re-designed
+TPU-first:
+
+  - the train step is ONE jitted pure function (params, state, opt_state,
+    batch) → (params', state', opt_state', metrics) with donated buffers;
+  - data parallelism comes from a `Mesh`: batches sharded on ``dp``, params
+    replicated (or TP-sharded via spec trees), XLA inserts the psum for
+    gradient reduction — no hand-written collectives;
+  - batches are padded into shape buckets so only a handful of executables
+    compile.
+"""
+
+import time
+import logging
+
+import numpy as np
+
+from .losses import get_loss
+from .optimizers import get_optimizer
+from ..utils.sequence_utils import pad_to_multiple
+from ..parallel import shard_batch, pad_batch_to_devices, replicated
+from ..loggers import Timer
+
+logger = logging.getLogger(__name__)
+
+
+def model_forward(model, params, state, inputs, *, rng, train = True):
+    """Dispatch a padded batch to the model's architecture forward pass.
+
+    Returns (y_pred, new_state)."""
+    from ..models.tts.tacotron2 import Tacotron2 as TacoTask
+    from ..models.tts.waveglow import WaveGlow as WGTask
+
+    arch = model.arch
+    if isinstance(model, WGTask):
+        mel, audio = inputs
+        return arch.forward(params, mel, audio), state
+    if isinstance(model, TacoTask):
+        if len(inputs) == 4:
+            tokens, embeddings, mel_in, lengths = inputs
+        else:
+            tokens, mel_in, lengths = inputs
+            embeddings = None
+        preds, new_state = arch(
+            params, state, tokens, mel_in, mel_lengths = lengths,
+            speaker_embedding = embeddings, train = train, rng = rng,
+        )
+        return preds, new_state
+    raise ValueError('No forward dispatch for {}'.format(type(model).__name__))
+
+
+def make_train_step(model, loss_fn, optimizer, *, mesh = None):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def train_step(params, state, opt_state, rng, inputs, targets):
+        def loss_of(p):
+            preds, new_state = model_forward(model, p, state, inputs,
+                                             rng = rng, train = True)
+            losses = loss_fn(targets, preds)
+            return jnp.mean(losses['loss']), (losses, new_state)
+
+        (_, (losses, new_state)), grads = jax.value_and_grad(
+            loss_of, has_aux = True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {k: jnp.mean(v) for k, v in losses.items()}
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return params, new_state, opt_state, metrics
+
+    # sharding comes from the *arguments*: the caller device_puts params
+    # (replicated or TP-spec'd) and dp-shards the batch; XLA propagates and
+    # inserts the collectives (grad psum, TP all-reduces).
+    return jax.jit(train_step, donate_argnums = (0, 2))
+
+
+def make_eval_step(model, loss_fn, *, mesh = None):
+    import jax
+    import jax.numpy as jnp
+
+    def eval_step(params, state, rng, inputs, targets):
+        preds, _ = model_forward(model, params, state, inputs,
+                                 rng = rng, train = False)
+        losses = loss_fn(targets, preds)
+        return {k: jnp.mean(v) for k, v in losses.items()}
+
+    return jax.jit(eval_step)
+
+
+def bucket_pad(batch, model, *, token_multiple = 32, frame_multiple = 64):
+    """Pad a collated batch into shape buckets to bound jit variants."""
+    from ..models.tts.waveglow import WaveGlow as WGTask
+    inputs, targets = batch
+
+    if isinstance(model, WGTask):
+        mel, audio = inputs if isinstance(inputs, tuple) else (inputs, targets)
+        mel = pad_to_multiple(np.asarray(mel), frame_multiple, axis = 1,
+                              constant_values = model.pad_mel_value)
+        samples = mel.shape[1] * model.upsample_rate
+        audio = np.asarray(audio)
+        if audio.shape[1] < samples:
+            audio = np.pad(audio, [(0, 0), (0, samples - audio.shape[1])])
+        return (mel, audio[:, :samples]), targets
+
+    pad_in, pad_out = model.get_padding_values()
+    parts = list(inputs)
+    parts[0] = pad_to_multiple(np.asarray(parts[0]), token_multiple, axis = 1,
+                               constant_values = pad_in[0])
+    mel_idx = len(parts) - 2
+    parts[mel_idx] = pad_to_multiple(np.asarray(parts[mel_idx]), frame_multiple,
+                                     axis = 1, constant_values = pad_in[1])
+    mel_out = pad_to_multiple(np.asarray(targets[0]), frame_multiple, axis = 1,
+                              constant_values = pad_out[0])
+    gate = pad_to_multiple(np.asarray(targets[1]), frame_multiple, axis = 1,
+                           constant_values = pad_out[1])
+    return tuple(parts), (mel_out, gate)
+
+
+def fit(model,
+        data,
+        *,
+        valid_data = None,
+        valid_size = 0.1,
+        epochs = 1,
+        batch_size = 8,
+        loss = None,
+        optimizer = 'adam',
+        lr = 1e-3,
+        mesh = None,
+        shuffle = True,
+        early_stopping_patience = None,
+        monitor = 'loss',
+        terminate_on_nan = True,
+        token_multiple = 32,
+        frame_multiple = 64,
+        seed = 0,
+        verbose = True,
+        ** kwargs
+       ):
+    """Train `model` on `data` (rows consumable by `model.prepare_data`).
+
+    Resumes from `model.epochs`; saves a rotating checkpoint per epoch; the
+    best (by `monitor` on valid, else train) is tracked by the manager.
+    """
+    import jax
+    from .datasets import prepare_dataset, train_test_split
+
+    loss_fn = get_loss(loss or model._default_loss)
+    tx = get_optimizer(optimizer, lr = lr, ** {
+        k: v for k, v in kwargs.items()
+        if k in ('clip_norm', 'weight_decay', 'lr_scheduler')
+    })
+
+    if valid_data is None and valid_size:
+        data, valid_data = train_test_split(data, valid_size = valid_size,
+                                            random_state = seed)
+
+    train_ds = prepare_dataset(
+        data, prepare_fn = model.prepare_data,
+        filter_fn = getattr(model, 'filter_data', None),
+        collate_fn = getattr(model, 'collate', None),
+        batch_size = batch_size, shuffle = shuffle,
+        length_bucket_fn = lambda item: _item_length(item),
+    )
+    valid_ds = prepare_dataset(
+        valid_data, prepare_fn = model.prepare_data,
+        filter_fn = getattr(model, 'filter_data', None),
+        collate_fn = getattr(model, 'collate', None),
+        batch_size = batch_size, shuffle = False,
+    ) if valid_data else None
+
+    train_step = make_train_step(model, loss_fn, tx, mesh = mesh)
+    eval_step = make_eval_step(model, loss_fn, mesh = mesh)
+
+    params, state = model.params, model.state
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(seed + model.epochs)
+
+    if mesh is not None:
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+    history = model.history
+    history.set_config({
+        'epochs': epochs, 'batch_size': batch_size, 'optimizer': str(optimizer),
+        'lr': lr, 'loss': getattr(loss_fn, 'name', str(loss_fn)),
+        'mesh': str(mesh.shape) if mesh is not None else None,
+    })
+
+    initial_epoch = model.epochs
+    best_value, patience_left = None, early_stopping_patience
+    interrupted = False
+
+    try:
+        for epoch in range(initial_epoch, initial_epoch + epochs):
+            history.on_epoch_begin(epoch)
+            epoch_metrics, n_batches = {}, 0
+            start = time.time()
+
+            for batch in train_ds:
+                inputs, targets = bucket_pad(
+                    batch, model, token_multiple = token_multiple,
+                    frame_multiple = frame_multiple,
+                )
+                if mesh is not None:
+                    inputs = pad_batch_to_devices(inputs, mesh)
+                    targets = pad_batch_to_devices(targets, mesh)
+                    inputs = shard_batch(inputs, mesh)
+                    targets = shard_batch(targets, mesh)
+                rng, step_rng = jax.random.split(rng)
+                params, state, opt_state, metrics = train_step(
+                    params, state, opt_state, step_rng, inputs, targets
+                )
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if terminate_on_nan and not np.isfinite(metrics['loss']):
+                    logger.error('NaN loss at epoch %d; stopping', epoch)
+                    raise FloatingPointError('NaN loss')
+                history.on_batch_end(metrics)
+                for k, v in metrics.items():
+                    epoch_metrics[k] = epoch_metrics.get(k, 0.) + v
+                n_batches += 1
+
+            epoch_metrics = {k: v / max(n_batches, 1) for k, v in epoch_metrics.items()}
+
+            if valid_ds is not None:
+                val_metrics, n_val = {}, 0
+                for batch in valid_ds:
+                    inputs, targets = bucket_pad(
+                        batch, model, token_multiple = token_multiple,
+                        frame_multiple = frame_multiple,
+                    )
+                    if mesh is not None:
+                        inputs = shard_batch(pad_batch_to_devices(inputs, mesh), mesh)
+                        targets = shard_batch(pad_batch_to_devices(targets, mesh), mesh)
+                    rng, step_rng = jax.random.split(rng)
+                    m = eval_step(params, state, step_rng, inputs, targets)
+                    for k, v in m.items():
+                        val_metrics['val_' + k] = val_metrics.get('val_' + k, 0.) + float(v)
+                    n_val += 1
+                epoch_metrics.update({k: v / max(n_val, 1) for k, v in val_metrics.items()})
+
+            history.on_epoch_end(epoch_metrics, epoch = epoch)
+            if verbose:
+                logger.info('epoch %d: %s (%.1fs)', epoch,
+                            {k: round(v, 4) for k, v in epoch_metrics.items()},
+                            time.time() - start)
+
+            # checkpoint + early stopping on the monitored metric
+            monitor_key = 'val_' + monitor if valid_ds is not None else monitor
+            value = epoch_metrics.get(monitor_key, epoch_metrics.get(monitor))
+            model.set_weights(params, state)
+            model.save(epoch = epoch + 1, metric = value)
+
+            if early_stopping_patience:
+                if best_value is None or (value is not None and value < best_value):
+                    best_value, patience_left = value, early_stopping_patience
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        logger.info('early stopping at epoch %d', epoch)
+                        break
+    except KeyboardInterrupt:
+        interrupted = True
+        logger.warning('training interrupted; saving current state')
+    except FloatingPointError:
+        interrupted = True
+
+    model.set_weights(params, state)
+    if interrupted:
+        model.save(epoch = model.epochs, metric = None)
+    return history
+
+
+def _item_length(item):
+    try:
+        inputs = item[0] if isinstance(item, tuple) else item
+        first = inputs[0] if isinstance(inputs, tuple) else inputs
+        return len(first)
+    except Exception:
+        return 0
