@@ -19,8 +19,9 @@ import json
 import subprocess
 
 BATCH = int(os.environ.get('BENCH_BATCH', 8))
-FRAMES = int(os.environ.get('BENCH_FRAMES', 512))
-ITERS = int(os.environ.get('BENCH_ITERS', 5))
+FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
+ITERS = int(os.environ.get('BENCH_ITERS', 10))
+DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
 BASELINE_RTF = 10.0
 
 
@@ -28,6 +29,7 @@ def worker():
     import time
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
@@ -37,8 +39,9 @@ def worker():
 
     mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
     rng = jax.random.PRNGKey(2)
+    dtype = getattr(jnp, DTYPE)
 
-    infer = jax.jit(lambda p, m, r: arch.infer(p, m, rng = r))
+    infer = jax.jit(lambda p, m, r: arch.infer(p, m, rng = r, dtype = dtype))
 
     out = infer(params, mel, rng)
     out.block_until_ready()  # compile + warm-up

@@ -1,0 +1,170 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from text_to_speech_tpu.models.transformers import (
+    Transformer, generate, from_hf_pretrained, gpt2_config, bert_config,
+    build_padding_mask, build_look_ahead_mask,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+TINY = dict(vocab_size = 50, dim = 32, n_layers = 2, n_heads = 2,
+            ffn_dim = 64, max_position = 64)
+
+
+@pytest.fixture(scope = 'module')
+def decoder():
+    model = Transformer(** TINY, norm_first = True, positional = 'learned')
+    params = model.init(jax.random.PRNGKey(1))
+    return model, params
+
+
+class TestTransformerStack:
+    def test_encode_shapes(self):
+        model = Transformer(** TINY, norm_first = False, use_token_type = True)
+        params = model.init(KEY)
+        tokens = jnp.ones((2, 7), jnp.int32)
+        hidden, mask = model.encode(params, tokens)
+        assert hidden.shape == (2, 7, 32)
+        assert mask.shape == (2, 1, 1, 7)
+
+    def test_decode_causal(self, decoder):
+        """Causality: token t's logits must not depend on tokens > t."""
+        model, params = decoder
+        tokens = jnp.asarray([[1, 2, 3, 4]])
+        logits1, _ = model.decode(params, tokens)
+        tokens2 = tokens.at[0, 3].set(9)
+        logits2, _ = model.decode(params, tokens2)
+        np.testing.assert_allclose(np.asarray(logits1[0, :3]),
+                                   np.asarray(logits2[0, :3]), atol = 1e-5)
+        assert np.abs(np.asarray(logits1[0, 3] - logits2[0, 3])).max() > 1e-4
+
+    def test_kv_cache_matches_full(self, decoder):
+        """Incremental decode with cache == full forward."""
+        model, params = decoder
+        tokens = jnp.asarray([[1, 2, 3, 4, 5]])
+        full_logits, _ = model.decode(params, tokens)
+
+        caches = model.init_caches(1, 8)
+        logits, caches = model.decode(params, tokens[:, :2], caches = caches)
+        step_logits = [logits[:, -1]]
+        for t in range(2, 5):
+            logits, caches = model.decode(params, tokens[:, t: t + 1],
+                                          caches = caches)
+            step_logits.append(logits[:, -1])
+        np.testing.assert_allclose(
+            np.asarray(jnp.stack(step_logits, axis = 1)),
+            np.asarray(full_logits[:, 1:]), atol = 1e-4,
+        )
+
+    def test_rope_variant(self):
+        model = Transformer(** TINY, positional = 'rope', norm = 'rms',
+                            gated_ffn = True, use_bias = False)
+        params = model.init(KEY)
+        logits, _ = model.decode(params, jnp.ones((1, 5), jnp.int32))
+        assert logits.shape == (1, 5, 50)
+
+    def test_masks(self):
+        m = build_look_ahead_mask(4)
+        assert not bool(m[0, 0, 0, 3])
+        assert bool(m[0, 0, 3, 0])
+        pm = build_padding_mask(lengths = jnp.asarray([2]), max_length = 4)
+        assert pm[0, 0, 0].tolist() == [True, True, False, False]
+
+
+class TestGeneration:
+    def test_greedy_deterministic(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1, 2]])
+        out1 = generate(model, params, prompt, max_new_tokens = 6)
+        out2 = generate(model, params, prompt, max_new_tokens = 6)
+        np.testing.assert_array_equal(np.asarray(out1.tokens), np.asarray(out2.tokens))
+        assert out1.tokens.shape == (1, 8)
+
+    def test_greedy_matches_stepwise_argmax(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1, 2, 3]])
+        out = generate(model, params, prompt, max_new_tokens = 3)
+        # manual: feed growing context without cache
+        ctx = prompt
+        for _ in range(3):
+            logits, _ = model.decode(params, ctx)
+            nxt = jnp.argmax(logits[:, -1], axis = -1)
+            ctx = jnp.concatenate([ctx, nxt[:, None]], axis = 1)
+        np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ctx))
+
+    def test_sampling_with_rng(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1, 2]])
+        out1 = generate(model, params, prompt, max_new_tokens = 6,
+                        method = 'sample', temperature = 2.0,
+                        rng = jax.random.PRNGKey(1))
+        out2 = generate(model, params, prompt, max_new_tokens = 6,
+                        method = 'sample', temperature = 2.0,
+                        rng = jax.random.PRNGKey(2))
+        assert not np.array_equal(np.asarray(out1.tokens), np.asarray(out2.tokens))
+
+    def test_eos_stops(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1]])
+        greedy = generate(model, params, prompt, max_new_tokens = 8)
+        first = int(greedy.tokens[0, 1])
+        out = generate(model, params, prompt, max_new_tokens = 8, eos_token = first)
+        assert int(out.lengths[0]) <= 2 + 1
+
+    def test_beam_search_runs(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1, 2], [3, 4]])
+        out = generate(model, params, prompt, max_new_tokens = 4,
+                       method = 'beam', num_beams = 3)
+        assert out.tokens.shape == (2, 6)
+        assert np.isfinite(np.asarray(out.scores)).all()
+
+    def test_beam_score_not_worse_than_greedy(self, decoder):
+        model, params = decoder
+        prompt = jnp.asarray([[1, 2]])
+        greedy = generate(model, params, prompt, max_new_tokens = 4)
+        beam = generate(model, params, prompt, max_new_tokens = 4,
+                        method = 'beam', num_beams = 4)
+        assert float(beam.scores[0]) >= float(greedy.scores[0]) - 1e-4
+
+
+class TestHFParity:
+    """Numeric parity of the weight importers against transformers models
+    (random-init from config — no network needed)."""
+
+    def test_gpt2_logits_parity(self):
+        import torch
+        from transformers import GPT2Config, GPT2LMHeadModel
+
+        cfg = GPT2Config(vocab_size = 64, n_positions = 32, n_embd = 32,
+                         n_layer = 2, n_head = 2)
+        hf = GPT2LMHeadModel(cfg).eval()
+        model, params = from_hf_pretrained(hf, family = 'gpt2')
+
+        tokens = np.array([[5, 9, 13, 2, 7]], dtype = np.int64)
+        with torch.no_grad():
+            ref = hf(torch.tensor(tokens)).logits.numpy()
+        mine, _ = model.decode(params, jnp.asarray(tokens, jnp.int32))
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 2e-4)
+
+    def test_bert_hidden_parity(self):
+        import torch
+        from transformers import BertConfig, BertModel
+
+        cfg = BertConfig(vocab_size = 64, hidden_size = 32, num_hidden_layers = 2,
+                         num_attention_heads = 2, intermediate_size = 64,
+                         max_position_embeddings = 32)
+        hf = BertModel(cfg).eval()
+        model = Transformer(** bert_config(cfg))
+        from text_to_speech_tpu.models.transformers import convert_bert_state_dict
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = jax.tree_util.tree_map(jnp.asarray, convert_bert_state_dict(sd))
+
+        tokens = np.array([[5, 9, 13, 2]], dtype = np.int64)
+        with torch.no_grad():
+            ref = hf(torch.tensor(tokens)).last_hidden_state.numpy()
+        mine, _ = model.encode(params, jnp.asarray(tokens, jnp.int32))
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 2e-4)

@@ -1,0 +1,245 @@
+"""Generic transformer stack.
+
+Capability parity with
+``/root/reference/architectures/transformers/transformer_arch.py``
+(`TransformerLayer:272`, `TransformerBlock:540`, `TransformerEncoder/
+Decoder:857,861`, full `Transformer:865`, mask builders :154,187) —
+pure-functional over pytree params; decoder layers carry KV caches for
+jittable autoregressive generation.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ...hparams import HParams
+from ...nn import layers as nn
+from ...nn.activations import get_activation
+from .attention import (
+    init_mha, mha, init_kv_cache, build_padding_mask, build_look_ahead_mask,
+    combine_masks,
+)
+
+HParamsTransformer = HParams(
+    vocab_size = 32000,
+    dim = 512,
+    n_layers = 6,
+    n_heads = 8,
+    n_kv_heads = None,
+    ffn_dim = 2048,
+    ffn_activation = 'gelu',
+    gated_ffn = False,                 # SwiGLU-style (mistral/llama)
+    norm = 'layer',                    # 'layer' | 'rms'
+    norm_first = True,                 # pre-norm (GPT-2 style) vs post-norm (BERT)
+    epsilon = 1e-5,
+    max_position = 2048,
+    positional = 'learned',            # 'learned' | 'sinusoidal' | 'rope' | 'none'
+    pad_token = 0,
+    use_bias = True,
+    scale_embedding = False,
+    use_final_norm = True,
+    tie_embeddings = True,
+    use_cross_attention = False,
+    use_token_type = False,
+)
+
+
+def sinusoidal_embedding(max_position, dim):
+    pos = jnp.arange(max_position)[:, None].astype(jnp.float32)
+    i = jnp.arange(dim // 2)[None, :].astype(jnp.float32)
+    angle = pos / jnp.power(10000., 2. * i / dim)
+    emb = jnp.zeros((max_position, dim))
+    emb = emb.at[:, 0::2].set(jnp.sin(angle))
+    emb = emb.at[:, 1::2].set(jnp.cos(angle))
+    return emb
+
+
+class Transformer:
+    """Encoder-only / decoder-only / encoder-decoder depending on hparams and
+    which apply methods are used."""
+
+    def __init__(self, ** kwargs):
+        self.hp = HParamsTransformer.extract(kwargs)
+
+    # -- init ------------------------------------------------------------------
+
+    def _init_norm(self, dim):
+        return nn.init_rms_norm(dim) if self.hp.norm == 'rms' else nn.init_layer_norm(dim)
+
+    def _norm(self, params, x):
+        if self.hp.norm == 'rms':
+            return nn.rms_norm(params, x, self.hp.epsilon)
+        return nn.layer_norm(params, x, self.hp.epsilon)
+
+    def _init_block(self, key, cross = False):
+        hp = self.hp
+        keys = iter(jax.random.split(key, 8))
+        block = {
+            'attention': init_mha(next(keys), hp.dim, hp.n_heads,
+                                  n_kv_heads = hp.n_kv_heads, use_bias = hp.use_bias),
+            'attention_norm': self._init_norm(hp.dim),
+            'ffn_norm': self._init_norm(hp.dim),
+        }
+        if hp.gated_ffn:
+            block['ffn'] = {
+                'gate': nn.init_dense(next(keys), hp.dim, hp.ffn_dim, use_bias = False),
+                'up': nn.init_dense(next(keys), hp.dim, hp.ffn_dim, use_bias = False),
+                'down': nn.init_dense(next(keys), hp.ffn_dim, hp.dim, use_bias = False),
+            }
+        else:
+            block['ffn'] = {
+                'up': nn.init_dense(next(keys), hp.dim, hp.ffn_dim, use_bias = hp.use_bias),
+                'down': nn.init_dense(next(keys), hp.ffn_dim, hp.dim, use_bias = hp.use_bias),
+            }
+        if cross:
+            block['cross_attention'] = init_mha(
+                next(keys), hp.dim, hp.n_heads, use_bias = hp.use_bias)
+            block['cross_norm'] = self._init_norm(hp.dim)
+        return block
+
+    def init(self, key, *, decoder = None):
+        """Params for one stack.  `decoder=True` adds cross-attention blocks
+        (when `use_cross_attention`)."""
+        hp = self.hp
+        keys = iter(jax.random.split(key, hp.n_layers + 6))
+        params = {'embedding': nn.init_embedding(next(keys), hp.vocab_size, hp.dim)}
+        if hp.positional == 'learned':
+            params['position_embedding'] = nn.init_embedding(
+                next(keys), hp.max_position, hp.dim)
+        if hp.use_token_type:
+            params['token_type_embedding'] = nn.init_embedding(next(keys), 2, hp.dim)
+        cross = hp.use_cross_attention if decoder is None else decoder
+        for i in range(hp.n_layers):
+            params['layer_{}'.format(i)] = self._init_block(next(keys), cross = cross)
+        if hp.use_final_norm:
+            params['final_norm'] = self._init_norm(hp.dim)
+        if not hp.tie_embeddings:
+            params['lm_head'] = nn.init_dense(next(keys), hp.dim, hp.vocab_size,
+                                              use_bias = False)
+        return params
+
+    # -- blocks ----------------------------------------------------------------
+
+    def _ffn(self, params, x):
+        act = get_activation(self.hp.ffn_activation)
+        if self.hp.gated_ffn:
+            return nn.dense(params['down'],
+                            act(nn.dense(params['gate'], x)) * nn.dense(params['up'], x))
+        return nn.dense(params['down'], act(nn.dense(params['up'], x)))
+
+    def block(self, params, x, *, mask = None, cache = None,
+              encoder_output = None, encoder_mask = None, positions = None):
+        hp = self.hp
+        use_rope = hp.positional == 'rope'
+
+        def attn(x_in):
+            return mha(params['attention'], x_in, n_heads = hp.n_heads,
+                       mask = mask, cache = cache, positions = positions,
+                       use_rope = use_rope)
+
+        if hp.norm_first:
+            h, new_cache = attn(self._norm(params['attention_norm'], x))
+            x = x + h
+        else:
+            h, new_cache = attn(x)
+            x = self._norm(params['attention_norm'], x + h)
+
+        if encoder_output is not None and 'cross_attention' in params:
+            def cross(x_in):
+                return mha(params['cross_attention'], x_in, encoder_output,
+                           n_heads = hp.n_heads, mask = encoder_mask)[0]
+            if hp.norm_first:
+                x = x + cross(self._norm(params['cross_norm'], x))
+            else:
+                x = self._norm(params['cross_norm'], x + cross(x))
+
+        if hp.norm_first:
+            x = x + self._ffn(params['ffn'], self._norm(params['ffn_norm'], x))
+        else:
+            x = self._norm(params['ffn_norm'], x + self._ffn(params['ffn'], x))
+        return x, new_cache
+
+    # -- embeddings ------------------------------------------------------------
+
+    def embed(self, params, tokens, *, offset = 0, token_type = None):
+        hp = self.hp
+        x = nn.embedding(params['embedding'], tokens)
+        if hp.scale_embedding:
+            x = x * (hp.dim ** 0.5)
+        T = tokens.shape[1]
+        if hp.positional == 'learned':
+            pos = offset + jnp.arange(T)
+            x = x + nn.embedding(params['position_embedding'], pos)[None]
+        elif hp.positional == 'sinusoidal':
+            table = sinusoidal_embedding(hp.max_position, hp.dim)
+            x = x + jax.lax.dynamic_slice_in_dim(table, offset, T, 0)[None]
+        if 'token_type_embedding' in params:
+            if token_type is None:
+                token_type = jnp.zeros_like(tokens)
+            x = x + nn.embedding(params['token_type_embedding'], token_type)
+        if 'embedding_norm' in params:
+            x = self._norm(params['embedding_norm'], x)
+        return x
+
+    def logits(self, params, x):
+        if 'lm_head' in params:
+            return nn.dense(params['lm_head'], x)
+        return x @ params['embedding']['embeddings'].T
+
+    # -- full passes -----------------------------------------------------------
+
+    def encode(self, params, tokens, *, lengths = None, token_type = None):
+        """Non-causal encoder pass → (hidden (B, T, D), padding mask)."""
+        mask = build_padding_mask(lengths = lengths, tokens = tokens,
+                                 pad_token = self.hp.pad_token,
+                                 max_length = tokens.shape[1])
+        x = self.embed(params, tokens, token_type = token_type)
+        for i in range(self.hp.n_layers):
+            x, _ = self.block(params['layer_{}'.format(i)], x, mask = mask)
+        if self.hp.use_final_norm:
+            x = self._norm(params['final_norm'], x)
+        return x, mask
+
+    def decode(self, params, tokens, *, caches = None, offset = None,
+               encoder_output = None, encoder_mask = None, positions = None,
+               valid_length = None):
+        """Causal decoder pass.  With `caches` (per-layer KV caches) the pass
+        processes `tokens` (usually one step) against the full cache.
+        Returns (logits, new_caches)."""
+        hp = self.hp
+        B, T = tokens.shape
+
+        if caches is not None:
+            total = caches[0]['k'].shape[1]
+            idx = caches[0]['index']
+            key_pos = jnp.arange(total)[None, None, None, :]
+            mask = key_pos <= (idx + jnp.arange(T))[None, None, :, None]
+            if offset is None:
+                offset = idx            # positions continue past the cache
+        else:
+            mask = build_look_ahead_mask(T)
+            mask = combine_masks(mask, build_padding_mask(
+                tokens = tokens, pad_token = hp.pad_token))
+
+        x = self.embed(params, tokens, offset = offset if offset is not None else 0)
+        new_caches = []
+        for i in range(hp.n_layers):
+            cache_i = caches[i] if caches is not None else None
+            x, new_cache = self.block(
+                params['layer_{}'.format(i)], x, mask = mask, cache = cache_i,
+                encoder_output = encoder_output, encoder_mask = encoder_mask,
+                positions = positions,
+            )
+            new_caches.append(new_cache)
+        if hp.use_final_norm:
+            x = self._norm(params['final_norm'], x)
+        return self.logits(params, x), (new_caches if caches is not None else None)
+
+    def init_caches(self, batch, max_length, dtype = jnp.float32):
+        hp = self.hp
+        head_dim = hp.dim // hp.n_heads
+        n_kv = hp.n_kv_heads or hp.n_heads
+        return [init_kv_cache(batch, max_length, n_kv, head_dim, dtype)
+                for _ in range(hp.n_layers)]
+
+    def get_config(self):
+        return self.hp.get_config()

@@ -127,19 +127,29 @@ class WaveGlow:
     # -- inference (inverse flow) ----------------------------------------------
 
     def infer(self, params, mel, *, rng = None, sigma = None, z = None,
-              deterministic = False):
-        """mel (B, F, n_mel) → waveform (B, F*upsample_stride)."""
+              deterministic = False, dtype = None):
+        """mel (B, F, n_mel) → waveform (B, F*upsample_stride).
+
+        `dtype=jnp.bfloat16` runs the whole flow stack on the MXU's native
+        precision (~3-6x faster on TPU); the 1x1-conv inverses are still
+        computed in f32 then cast.
+        """
         hp = self.hp
         if sigma is None: sigma = hp.sigma
         if rng is None: rng = jax.random.PRNGKey(0)
+        if dtype is not None:
+            params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+            mel = mel.astype(dtype)
 
         spect = self.upsample_mel(params, mel)
         batch, lg = spect.shape[0], spect.shape[1]
 
+        out_dtype = spect.dtype
+
         def noise(key, channels):
             if deterministic:
-                return jnp.zeros((batch, lg, channels))
-            return jax.random.normal(key, (batch, lg, channels))
+                return jnp.zeros((batch, lg, channels), out_dtype)
+            return jax.random.normal(key, (batch, lg, channels), out_dtype)
 
         rngs = jax.random.split(rng, hp.n_flows + 1)
         if z is not None:
@@ -160,7 +170,9 @@ class WaveGlow:
             audio_1 = (audio_1 - b) * jnp.exp(-s)
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
 
-            w_inv = jnp.linalg.inv(flow['convinv']['kernel'])
+            w_inv = jnp.linalg.inv(
+                flow['convinv']['kernel'].astype(jnp.float32)
+            ).astype(audio.dtype)
             audio = audio @ w_inv
 
             if k % hp.n_early_every == 0 and k > 0:

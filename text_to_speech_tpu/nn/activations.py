@@ -41,6 +41,7 @@ _ACTIVATIONS = {
     'silu': jax.nn.silu,
     'swish': jax.nn.silu,
     'gelu': jax.nn.gelu,
+    'gelu_exact': lambda x: jax.nn.gelu(x, approximate = False),
     'gelu_new': gelu_new,
     'quick_gelu': quick_gelu,
     'glu': glu,
