@@ -1,0 +1,75 @@
+import os
+import numpy as np
+import pytest
+
+from text_to_speech_tpu.utils.plot_utils import (
+    plot, plot_multiple, plot_audio, plot_spectrogram, plot_embedding,
+)
+from text_to_speech_tpu.train.audio_datasets import (
+    load_dataset, list_datasets, load_ljspeech, load_libri_speech,
+    load_common_voice,
+)
+
+
+class TestPlotUtils:
+    def test_plot_series(self, tmp_path):
+        path = plot({'a': [1, 2, 3], 'b': [3, 2, 1]},
+                    filename = str(tmp_path / 'p.png'), title = 't')
+        assert os.path.getsize(path) > 0
+
+    def test_plot_multiple(self, tmp_path):
+        path = plot_multiple(np.arange(5), np.random.rand(4, 6), ncols = 2,
+                             filename = str(tmp_path / 'm.png'))
+        assert os.path.exists(path)
+
+    def test_plot_audio_and_mel(self, tmp_path):
+        assert os.path.exists(plot_audio(np.random.randn(1000), 22050,
+                                         filename = str(tmp_path / 'a.png')))
+        assert os.path.exists(plot_spectrogram(np.random.randn(20, 80),
+                                               filename = str(tmp_path / 's.png')))
+
+    def test_plot_embedding(self, tmp_path):
+        path = plot_embedding(np.random.randn(10, 8),
+                              labels = ['a'] * 5 + ['b'] * 5,
+                              filename = str(tmp_path / 'e.png'))
+        assert os.path.exists(path)
+
+
+class TestAudioDatasets:
+    def test_registry(self):
+        assert {'siwis', 'common_voice', 'libri_speech', 'voxforge',
+                'ljspeech'} <= set(list_datasets())
+        with pytest.raises(ValueError):
+            load_dataset('nope', '/tmp')
+
+    def test_ljspeech_layout(self, tmp_path):
+        (tmp_path / 'wavs').mkdir()
+        with open(tmp_path / 'metadata.csv', 'w') as f:
+            f.write('LJ001|raw text|normalized text\n')
+        (tmp_path / 'wavs' / 'LJ001.wav').touch()
+        df = load_ljspeech(str(tmp_path))
+        assert len(df) == 1
+        assert df.iloc[0]['text'] == 'normalized text'
+        assert df.iloc[0]['speaker'] == 'ljspeech'
+
+    def test_librispeech_layout(self, tmp_path):
+        chap = tmp_path / '19' / '198'
+        chap.mkdir(parents = True)
+        with open(chap / '19-198.trans.txt', 'w') as f:
+            f.write('19-198-0000 HELLO WORLD\n19-198-0001 SECOND LINE\n')
+        (chap / '19-198-0000.flac').touch()
+        (chap / '19-198-0001.flac').touch()
+        df = load_libri_speech(str(tmp_path))
+        assert len(df) == 2
+        assert df.iloc[0]['speaker'] == '19'
+        assert df.iloc[0]['text'] == 'hello world'
+
+    def test_common_voice_layout(self, tmp_path):
+        (tmp_path / 'clips').mkdir()
+        with open(tmp_path / 'validated.tsv', 'w') as f:
+            f.write('client_id\tpath\tsentence\n')
+            f.write('spk1\tc1.mp3\tbonjour tout le monde\n')
+        df = load_common_voice(str(tmp_path))
+        assert len(df) == 1
+        assert df.iloc[0]['speaker'] == 'spk1'
+        assert df.iloc[0]['filename'].endswith(os.path.join('clips', 'c1.mp3'))

@@ -1,0 +1,95 @@
+"""Speaker-encoder architecture: mel → fixed speaker embedding.
+
+Capability parity with the reference's speaker-verification encoder design
+(the CNN + GE2E recipe cited at ``/root/reference/README.md:140-142`` —
+"~99% accuracy in 2-3h on 1 GPU" vs the LSTM baseline's 2 weeks; consumed by
+SV2TTS via ``models/tts/sv2tts_tacotron2.py:76-82``).  TPU-first: a strided
+conv pyramid (all MXU matmuls) + statistics pooling + l2-normalized
+projection — no recurrence, so utterances batch perfectly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..hparams import HParams
+from ..nn import layers as nn
+from ..nn.activations import l2_norm
+
+HParamsAudioEncoder = HParams(
+    n_mel_channels = 80,
+    embedding_dim = 256,
+    filters = (128, 128, 256, 256),
+    kernel_size = 5,
+    strides = (2, 2, 2, 2),
+    epsilon = 1e-5,
+    momentum = 0.1,
+    drop_rate = 0.1,
+    normalize = True,
+)
+
+
+class AudioEncoder:
+    def __init__(self, ** kwargs):
+        self.hp = HParamsAudioEncoder.extract(kwargs)
+
+    def init(self, key):
+        hp = self.hp
+        keys = nn.split_keys(key, 2 * len(hp.filters) + 4)
+        params, state = {}, {}
+        ch_in = hp.n_mel_channels
+        for i, ch_out in enumerate(hp.filters):
+            conv = nn.init_conv1d(next(keys), hp.kernel_size, ch_in, ch_out)
+            bn, bn_state = nn.init_batch_norm(ch_out)
+            params['conv_{}'.format(i)] = {'conv': conv, 'bn': bn}
+            state['conv_{}'.format(i)] = {'bn': bn_state}
+            ch_in = ch_out
+        # stats pooling (mean ⊕ std) doubles the channel dim
+        params['projection'] = nn.init_dense(next(keys), 2 * ch_in, hp.embedding_dim)
+        # GE2E scale parameters (w, b) live with the model
+        params['ge2e'] = {'w': jnp.asarray(10.), 'b': jnp.asarray(-5.)}
+        return params, state
+
+    def __call__(self, params, state, mel, *, lengths = None, train = False,
+                 rng = None):
+        """mel (B, T, n_mel) → (embeddings (B, D), new_state)."""
+        hp = self.hp
+        x = mel
+        mask = None
+        if lengths is not None:
+            mask = jnp.arange(mel.shape[1])[None, :] < lengths[:, None]
+            x = jnp.where(mask[..., None], x, 0.)
+
+        new_state = {}
+        for i, stride in enumerate(hp.strides):
+            name = 'conv_{}'.format(i)
+            x = nn.conv1d(params[name]['conv'], x, stride = stride, padding = 'SAME')
+            if mask is not None:
+                mask = mask[:, ::stride][:, :x.shape[1]]
+            x, bn_state = nn.batch_norm(
+                params[name]['bn'], state[name]['bn'], x, train = train,
+                momentum = hp.momentum, epsilon = hp.epsilon,
+                mask = mask if train else None,
+            )
+            x = jax.nn.relu(x)
+            if train and rng is not None and hp.drop_rate > 0:
+                rng, sub = jax.random.split(rng)
+                x = nn.dropout(sub, x, hp.drop_rate, train = True)
+            new_state[name] = {'bn': bn_state}
+
+        if mask is not None:
+            m = mask[..., None].astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m, axis = 1), 1.)
+            mean = jnp.sum(x * m, axis = 1) / count
+            var = jnp.sum(jnp.square(x - mean[:, None]) * m, axis = 1) / count
+        else:
+            mean = jnp.mean(x, axis = 1)
+            var = jnp.var(x, axis = 1)
+        pooled = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis = -1)
+
+        emb = nn.dense(params['projection'], pooled)
+        if hp.normalize:
+            emb = l2_norm(emb)
+        return emb, {** state, ** new_state}
+
+    def get_config(self):
+        return self.hp.get_config()

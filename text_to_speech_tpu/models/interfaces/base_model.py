@@ -100,8 +100,8 @@ class BaseModel:
 
     def _non_build_keys(self):
         return ('lang', 'tokenizer', 'mel_fn', 'audio_format', 'pad_mel_value',
-                'max_input_length', 'max_output_length', 'embedding_dim',
-                'encoder_name', 'audio_rate', 'trim_audio')
+                'max_input_length', 'max_output_length', 'audio_rate',
+                'trim_audio', 'max_audio_time')
 
     @property
     def folder(self):

@@ -36,9 +36,14 @@ def list_architectures():
 def _register_builtins():
     from .tacotron2_arch import Tacotron2
     from .waveglow_arch import WaveGlow
+    from .encoder_arch import AudioEncoder
+    from .transformers.transformer_arch import Transformer
     register_architecture('tacotron2', Tacotron2)
     register_architecture('sv2tts_tacotron2', Tacotron2)
     register_architecture('waveglow', WaveGlow)
+    register_architecture('audio_encoder', AudioEncoder)
+    register_architecture('audioencoder', AudioEncoder)   # lower(class name)
+    register_architecture('transformer', Transformer)
 
 
 _register_builtins()

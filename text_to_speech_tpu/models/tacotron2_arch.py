@@ -113,7 +113,7 @@ class Tacotron2:
 
     def init(self, key):
         hp = self.hp
-        keys = iter(jax.random.split(key, 64))
+        keys = nn.split_keys(key, 64)
         params, state = {}, {}
 
         # encoder

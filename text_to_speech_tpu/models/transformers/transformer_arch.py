@@ -72,7 +72,7 @@ class Transformer:
 
     def _init_block(self, key, cross = False):
         hp = self.hp
-        keys = iter(jax.random.split(key, 8))
+        keys = nn.split_keys(key, 8)
         block = {
             'attention': init_mha(next(keys), hp.dim, hp.n_heads,
                                   n_kv_heads = hp.n_kv_heads, use_bias = hp.use_bias),
@@ -100,7 +100,7 @@ class Transformer:
         """Params for one stack.  `decoder=True` adds cross-attention blocks
         (when `use_cross_attention`)."""
         hp = self.hp
-        keys = iter(jax.random.split(key, hp.n_layers + 6))
+        keys = nn.split_keys(key, hp.n_layers + 6)
         params = {'embedding': nn.init_embedding(next(keys), hp.vocab_size, hp.dim)}
         if hp.positional == 'learned':
             params['position_embedding'] = nn.init_embedding(

@@ -48,6 +48,11 @@ class SV2TTSTacotron2(Tacotron2):
         kwargs.setdefault('speaker_concat_pos', 'end')
         super().__init__(lang = lang, name = resolved_name, ** kwargs)
 
+    def _non_build_keys(self):
+        # `embedding_dim` is remapped to `speaker_embedding_dim`; the encoder
+        # delegate name is task-level config
+        return super()._non_build_keys() + ('embedding_dim', 'encoder_name')
+
     # -- embeddings ------------------------------------------------------------
 
     @property

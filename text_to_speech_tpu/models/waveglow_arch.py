@@ -56,7 +56,7 @@ class WaveGlow:
 
     def init(self, key):
         hp = self.hp
-        keys = iter(jax.random.split(key, 2 + hp.n_flows * (2 + 3 * hp.wn_layers)))
+        keys = nn.split_keys(key, 2 + hp.n_flows * (2 + 3 * hp.wn_layers))
         params = {
             'upsample': nn.init_conv1d_transpose(
                 next(keys), hp.upsample_width, hp.n_mel_channels, hp.n_mel_channels

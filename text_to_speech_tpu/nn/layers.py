@@ -25,6 +25,17 @@ from jax import lax
 # initializers
 # ---------------------------------------------------------------------------
 
+def split_keys(key, n):
+    """Generator over `n` fresh PRNG keys using on-device indexing.
+
+    Iterating a jax array directly (``iter(jax.random.split(...))``) unstacks
+    it through device→host transfers — pathological over remote-device
+    tunnels; indexing stays on device.
+    """
+    keys = jax.random.split(key, n)
+    return (keys[i] for i in range(n))
+
+
 def glorot_uniform(key, shape, in_axis = -2, out_axis = -1, dtype = jnp.float32):
     fan_in = shape[in_axis] * int(np.prod([s for i, s in enumerate(shape)
                                            if i not in (in_axis % len(shape), out_axis % len(shape))]))

@@ -15,10 +15,18 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def resample_audio(audio, rate, target_rate):
-    """FFT-based resampling (scipy.signal.resample), bit-matching the
-    reference's choice so cached datasets are interchangeable."""
+def resample_audio(audio, rate, target_rate, method = 'fft'):
+    """Resample `audio` to `target_rate`.
+
+    - 'fft' (default): scipy FFT resampling, bit-matching the reference so
+      cached datasets are interchangeable;
+    - 'sinc': the native C++ Kaiser-windowed polyphase path (faster for the
+      bulk data pipeline).
+    """
     if rate == target_rate: return audio, rate
+    if method == 'sinc':
+        from .. import native
+        return native.resample(np.asarray(audio, np.float32), rate, target_rate), target_rate
     from scipy.signal import resample
     audio = resample(audio, int(len(audio) / rate * target_rate))
     return audio, target_rate
@@ -86,12 +94,12 @@ def trim_silence(audio,
     elif method == 'rms':
         frame_length = max(1, int(frame_ms * rate / 1000.))
         hop_length = max(1, int(hop_ms * rate / 1000.))
-        rms = _frame_rms(audio, frame_length, hop_length)
-        mask = rms >= threshold * np.max(rms)
-        frames = np.where(mask)[0]
-        if len(frames) == 0: return audio[:0]
-        keep = np.array([frames[0] * hop_length,
-                         min(len(audio) - 1, frames[-1] * hop_length + frame_length)])
+        from .. import native
+        start, end = native.trim_bounds(
+            np.asarray(audio, np.float32), frame_length, hop_length, threshold
+        )
+        if end <= start: return audio[:0]
+        keep = np.array([start, end - 1])
     elif method == 'window':
         win = max(1, int(frame_ms * rate / 1000.))
         envelope = np.convolve(np.abs(audio), np.ones(win) / win, mode = 'same')

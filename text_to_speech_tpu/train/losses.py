@@ -258,8 +258,14 @@ class GE2ELoss:
         sim = jnp.where(eye, own[:, :, None], sim)
         return sim
 
-    def __call__(self, y_true, y_pred, w = 10., b = -5.):
-        # y_pred: (N, M, D) normalized embeddings; y_true unused (labels are implicit)
+    def __call__(self, y_true, y_pred, w = None, b = None):
+        # y_pred: (N, M, D) normalized embeddings, or (emb, w, b) with the
+        # learned scale params; y_true unused (labels are implicit)
+        if isinstance(y_pred, tuple):
+            y_pred, w, b = y_pred
+        if w is None: w = self.init_w
+        if b is None: b = self.init_b
+        w = jnp.maximum(w, 1e-3)  # keep the similarity scale positive
         sim = w * self.similarity_matrix(y_pred) + b
         n, m, _ = sim.shape
         labels = jnp.broadcast_to(jnp.arange(n)[:, None], (n, m))

@@ -36,11 +36,19 @@ def model_forward(model, params, state, inputs, *, rng, train = True):
     Returns (y_pred, new_state)."""
     from ..models.tts.tacotron2 import Tacotron2 as TacoTask
     from ..models.tts.waveglow import WaveGlow as WGTask
+    from ..models.encoder.speaker_encoder import SpeakerEncoder
 
     arch = model.arch
     if isinstance(model, WGTask):
         mel, audio = inputs
         return arch.forward(params, mel, audio), state
+    if isinstance(model, SpeakerEncoder):
+        mels, lengths = inputs
+        n_speakers, n_utt = model.ge2e_shape      # static at trace time
+        emb, new_state = arch(params, state, mels, lengths = lengths,
+                              train = train, rng = rng)
+        emb = emb.reshape(n_speakers, n_utt, -1)
+        return (emb, params['ge2e']['w'], params['ge2e']['b']), new_state
     if isinstance(model, TacoTask):
         if len(inputs) == 4:
             tokens, embeddings, mel_in, lengths = inputs
@@ -100,6 +108,9 @@ def bucket_pad(batch, model, *, token_multiple = 32, frame_multiple = 64):
     from ..models.tts.waveglow import WaveGlow as WGTask
     inputs, targets = batch
 
+    if hasattr(model, 'collate_ge2e'):
+        return inputs, targets            # GE2E batches are pre-bucketed
+
     if isinstance(model, WGTask):
         mel, audio = inputs if isinstance(inputs, tuple) else (inputs, targets)
         mel = pad_to_multiple(np.asarray(mel), frame_multiple, axis = 1,
@@ -153,24 +164,28 @@ def fit(model,
     import jax
     from .datasets import prepare_dataset, train_test_split
 
+    from .datasets import Dataset, GE2EDataset
+
     loss_fn = get_loss(loss or model._default_loss)
     tx = get_optimizer(optimizer, lr = lr, ** {
         k: v for k, v in kwargs.items()
         if k in ('clip_norm', 'weight_decay', 'lr_scheduler')
     })
 
-    if valid_data is None and valid_size:
+    prebuilt = isinstance(data, (Dataset, GE2EDataset))
+    if not prebuilt and valid_data is None and valid_size:
         data, valid_data = train_test_split(data, valid_size = valid_size,
                                             random_state = seed)
 
-    train_ds = prepare_dataset(
+    train_ds = data if prebuilt else prepare_dataset(
         data, prepare_fn = model.prepare_data,
         filter_fn = getattr(model, 'filter_data', None),
         collate_fn = getattr(model, 'collate', None),
         batch_size = batch_size, shuffle = shuffle,
         length_bucket_fn = lambda item: _item_length(item),
     )
-    valid_ds = prepare_dataset(
+    valid_ds = valid_data if isinstance(valid_data, (Dataset, GE2EDataset)) \
+        else prepare_dataset(
         valid_data, prepare_fn = model.prepare_data,
         filter_fn = getattr(model, 'filter_data', None),
         collate_fn = getattr(model, 'collate', None),
