@@ -1,0 +1,238 @@
+import os
+import logging
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from text_to_speech_tpu.train.metrics import get_metric, list_metrics
+from text_to_speech_tpu.train.losses import get_loss
+from text_to_speech_tpu.utils.databases import (
+    JSONDatabase, SQLiteDatabase, VectorDatabase, build_database,
+)
+from text_to_speech_tpu.text.parsers import parse_document, parse_text, list_parsers
+from text_to_speech_tpu.text.web import get_search_engine, SearchEngine
+from text_to_speech_tpu.loggers.handlers import BufferingHandler
+from text_to_speech_tpu.models.describe import (
+    describe_model, count_params, infer_downsampling_factor,
+)
+from text_to_speech_tpu.utils.image import (
+    convert_boxes, box_iou, nms, combine_boxes, box_metrics, BoxFormat,
+    load_image, save_image, resize_image,
+)
+from text_to_speech_tpu.compile import (
+    graph_compile, TensorSpec, EagerExecution, execute_eagerly,
+)
+
+
+class TestMetrics:
+    def test_accuracy(self):
+        assert get_metric('accuracy')([1, 0, 1], [1, 1, 1]) == pytest.approx(2 / 3)
+
+    def test_eer_perfect_separation(self):
+        labels = [1, 1, 0, 0]
+        scores = [0.9, 0.8, 0.2, 0.1]
+        assert get_metric('eer')(labels, scores) == 0.
+
+    def test_text_f1(self):
+        f1 = get_metric('f1')('the cat sat', 'the cat ran')
+        assert 0 < f1 < 1
+
+    def test_wer(self):
+        assert get_metric('wer')('a b c', 'a x c') == pytest.approx(1 / 3)
+
+    def test_listing(self):
+        assert {'accuracy', 'eer', 'f1', 'wer', 'exact_match'} <= set(list_metrics())
+
+
+class TestCTCLoss:
+    def test_runs(self):
+        loss = get_loss('CTCLoss')
+        logits = jnp.zeros((2, 10, 5))
+        labels = jnp.array([[1, 2, 0], [3, 0, 0]])
+        out = loss((labels, jnp.array([2, 1])), (logits, jnp.array([10, 8])))
+        assert out['loss'].shape == (2,)
+        assert np.isfinite(np.asarray(out['loss'])).all()
+
+
+class TestDatabases:
+    def test_json_db(self, tmp_path):
+        db = JSONDatabase(str(tmp_path / 'db.json'))
+        db['a'] = {'x': 1}
+        db.save()
+        db2 = JSONDatabase(str(tmp_path / 'db.json'))
+        assert db2['a'] == {'x': 1}
+        assert 'a' in db2 and len(db2) == 1
+        del db2['a']
+        assert len(db2) == 0
+
+    def test_sqlite_db(self, tmp_path):
+        db = build_database('sqlite', str(tmp_path / 'db.sqlite'))
+        db['k'] = {'v': [1, 2]}
+        assert db['k'] == {'v': [1, 2]}
+        db.update('k', extra = 'y')
+        assert db['k']['extra'] == 'y'
+        with pytest.raises(KeyError):
+            db['missing']
+
+    def test_vector_db(self, tmp_path):
+        db = VectorDatabase(metric = 'cosine')
+        db.add(np.eye(4, dtype = np.float32),
+               [{'name': n} for n in 'abcd'])
+        hits = db.search(np.eye(4)[2], k = 2)
+        assert hits[0]['name'] == 'c'
+        path = str(tmp_path / 'vec.npz')
+        db.save(path)
+        db2 = VectorDatabase(path)
+        assert db2.search(np.eye(4)[1], k = 1)[0]['name'] == 'b'
+
+    def test_vector_db_jax_index(self):
+        db = VectorDatabase(metric = 'cosine', index = 'jax')
+        db.add(np.eye(3, dtype = np.float32), [{'i': i} for i in range(3)])
+        assert db.search(np.eye(3)[0], k = 1)[0]['i'] == 0
+
+
+class TestParsers:
+    def test_txt_md(self, tmp_path):
+        p = tmp_path / 'x.md'
+        p.write_text('# Title\n\nSome **bold** text.\n\nSecond para.')
+        paragraphs = parse_document(str(p))
+        assert paragraphs[0]['text'] == 'Some bold text.'
+        assert paragraphs[0]['section'] == 'Title'
+
+    def test_html(self, tmp_path):
+        p = tmp_path / 'x.html'
+        p.write_text('<html><head><script>no()</script></head>'
+                     '<body><p>Hello there.</p><p>Bye.</p></body></html>')
+        text = parse_text(str(p))
+        assert 'Hello there.' in text and 'no()' not in text
+
+    def test_docx(self, tmp_path):
+        import zipfile
+        p = tmp_path / 'x.docx'
+        doc_xml = ('<?xml version="1.0"?><w:document><w:body>'
+                   '<w:p><w:r><w:t>First paragraph</w:t></w:r></w:p>'
+                   '<w:p><w:r><w:t>Second one</w:t></w:r></w:p>'
+                   '</w:body></w:document>')
+        with zipfile.ZipFile(p, 'w') as z:
+            z.writestr('word/document.xml', doc_xml)
+        paragraphs = parse_document(str(p))
+        assert [x['text'] for x in paragraphs] == ['First paragraph', 'Second one']
+
+    def test_py(self, tmp_path):
+        p = tmp_path / 'x.py'
+        p.write_text('"""Module doc."""\n# a comment\ndef foo():\n    pass\n')
+        text = parse_text(str(p))
+        assert 'Module doc.' in text and 'foo' in text
+
+    def test_listing(self):
+        assert {'txt', 'md', 'html', 'docx', 'pdf', 'py'} <= set(list_parsers())
+
+
+class TestWeb:
+    def test_engine_registry(self):
+        assert isinstance(get_search_engine('google'), SearchEngine)
+        with pytest.raises(ValueError):
+            get_search_engine('nope')
+
+
+class TestHandlers:
+    def test_buffering_handler(self):
+        logger = logging.getLogger('test_buf')
+        handler = BufferingHandler()
+        logger.addHandler(handler)
+        logger.warning('hello %s', 'world')
+        logger.removeHandler(handler)
+        assert any('hello world' in r for r in handler.records)
+
+
+class TestDescribe:
+    def test_counts(self):
+        tree = {'a': {'w': np.zeros((3, 4))}, 'b': np.zeros(5)}
+        assert count_params(tree) == 17
+        text = describe_model(tree)
+        assert '17' in text and 'a' in text
+
+    def test_downsampling(self):
+        assert infer_downsampling_factor([2, 2, (2,)]) == 8
+
+
+class TestImage:
+    def test_roundtrip(self, tmp_path):
+        img = (np.random.RandomState(0).rand(8, 10, 3)).astype(np.float32)
+        path = save_image(str(tmp_path / 'x.png'), img)
+        loaded = load_image(path)
+        assert loaded.shape == (8, 10, 3)
+        assert np.abs(loaded - img).max() < 0.01
+
+    def test_resize(self):
+        img = np.zeros((10, 20, 3), np.float32)
+        assert resize_image(img, (5, 5)).shape == (5, 5, 3)
+        letter = resize_image(img, (10, 10), keep_aspect = True, pad_value = 1.)
+        assert letter.shape == (10, 10, 3)
+        assert letter[0, 0, 0] == 1.          # padded region
+
+    def test_box_convert(self):
+        xywh = np.array([[2., 3., 4., 6.]])
+        xyxy = convert_boxes(xywh, BoxFormat.XYWH, BoxFormat.XYXY)
+        np.testing.assert_allclose(xyxy, [[2., 3., 6., 9.]])
+        back = convert_boxes(xyxy, BoxFormat.XYXY, BoxFormat.CXCYWH)
+        np.testing.assert_allclose(back, [[4., 6., 4., 6.]])
+
+    def test_iou_nms(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
+        iou = box_iou(boxes, boxes)
+        assert iou[0, 0] == 1. and iou[0, 2] == 0.
+        keep = nms(boxes, np.array([0.9, 0.8, 0.7]), iou_threshold = 0.5)
+        assert list(keep) == [0, 2]
+
+    def test_combine_and_metrics(self):
+        boxes = np.array([[0, 0, 10, 10], [2, 2, 12, 12], [50, 50, 60, 60]], np.float32)
+        merged, groups = combine_boxes(boxes, iou_threshold = 0.3)
+        assert len(merged) == 2
+        m = box_metrics(boxes[:1], boxes[:1])
+        assert m['f1'] == 1.
+
+
+class TestGraphCompile:
+    def test_compiles_and_casts(self):
+        @graph_compile
+        def f(x: TensorSpec(dtype = 'float32'), scale: TensorSpec(static = True) = 2):
+            return x * scale
+
+        out = f(np.array([1, 2], np.int64), scale = 3)
+        assert np.asarray(out).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(out), [3., 6.])
+
+    def test_eager_context_bypasses(self):
+        calls = []
+
+        @graph_compile
+        def f(x: TensorSpec()):
+            calls.append(1)
+            return x + 1
+
+        with EagerExecution():
+            out = f(np.ones(2, np.float32))
+        np.testing.assert_allclose(np.asarray(out), [2., 2.])
+
+    def test_prepare_hook_bucketing(self):
+        from text_to_speech_tpu.compile import pad_to_multiple_hook
+
+        @graph_compile(prepare_for_xla = pad_to_multiple_hook('x', 4, axis = 0))
+        def f(x: TensorSpec()):
+            return x.shape[0]
+
+        assert int(f(np.ones(6, np.float32))) == 8
+
+    def test_execute_eagerly_in_jit(self):
+        import jax
+
+        @execute_eagerly(output_shape = (3,), output_dtype = 'float32')
+        def host_fn(x):
+            return np.asarray(x) * 2.
+
+        @jax.jit
+        def g(x):
+            return host_fn(x) + 1.
+
+        np.testing.assert_allclose(np.asarray(g(jnp.ones(3))), [3., 3., 3.])

@@ -191,6 +191,38 @@ class TextLoss:
                 'from_logits': self.from_logits}
 
 
+@register_loss('CTCLoss')
+class CTCLoss:
+    """Connectionist temporal classification (wraps optax.ctc_loss)."""
+
+    def __init__(self, blank_id = 0, name = 'ctc_loss', ** kwargs):
+        self.blank_id = blank_id
+        self.name = name
+
+    @property
+    def output_names(self):
+        return ['loss']
+
+    def __call__(self, y_true, y_pred):
+        """y_true: (labels (B, L), label_lengths); y_pred: (logits (B, T, V),
+        logit_lengths) or plain logits."""
+        import optax
+        if isinstance(y_pred, (list, tuple)):
+            logits, logit_lengths = y_pred
+        else:
+            logits = y_pred
+            logit_lengths = jnp.full((logits.shape[0],), logits.shape[1])
+        labels, label_lengths = y_true
+        logit_pad = (jnp.arange(logits.shape[1])[None] >= logit_lengths[:, None]).astype(jnp.float32)
+        label_pad = (jnp.arange(labels.shape[1])[None] >= label_lengths[:, None]).astype(jnp.float32)
+        loss = optax.ctc_loss(logits, logit_pad, labels, label_pad,
+                              blank_id = self.blank_id)
+        return {'loss': loss}
+
+    def get_config(self):
+        return {'class_name': 'CTCLoss', 'blank_id': self.blank_id}
+
+
 @register_loss('mse')
 class MSELoss:
     def __init__(self, name = 'mse', ** kwargs):

@@ -1,0 +1,141 @@
+"""Metric registry.
+
+Capability parity with ``/root/reference/custom_train_objects/metrics/``
+(name→class registry with dict-config deserialization) and
+``utils/text/metrics.py`` (F1 / exact-match text metrics), plus
+speaker-verification EER used to evaluate the GE2E encoder.
+"""
+
+import re
+
+import numpy as np
+
+_METRICS = {}
+
+
+def register_metric(name):
+    def deco(fn):
+        _METRICS[name.lower()] = fn
+        return fn
+    return deco
+
+
+def get_metric(metric, ** kwargs):
+    if callable(metric) and not isinstance(metric, str):
+        return metric
+    if isinstance(metric, dict):
+        kwargs = {** metric, ** kwargs}
+        metric = kwargs.pop('name', None) or kwargs.pop('class_name')
+    key = metric.lower()
+    if key not in _METRICS:
+        raise ValueError('Unknown metric {!r} (known: {})'.format(
+            metric, sorted(_METRICS)))
+    fn = _METRICS[key]
+    if kwargs:
+        import functools
+        return functools.partial(fn, ** kwargs)
+    return fn
+
+
+def list_metrics():
+    return sorted(_METRICS)
+
+
+@register_metric('accuracy')
+def accuracy(y_true, y_pred, ** kwargs):
+    y_true, y_pred = np.asarray(y_true), np.asarray(y_pred)
+    if y_pred.ndim > y_true.ndim:
+        y_pred = np.argmax(y_pred, axis = -1)
+    return float(np.mean(y_true == y_pred))
+
+
+@register_metric('binary_accuracy')
+def binary_accuracy(y_true, y_pred, threshold = 0.5, ** kwargs):
+    return float(np.mean(np.asarray(y_true) == (np.asarray(y_pred) > threshold)))
+
+
+@register_metric('eer')
+def equal_error_rate(labels, scores, ** kwargs):
+    """EER for verification: labels 1=same-speaker, scores=similarity."""
+    labels = np.asarray(labels).astype(bool)
+    scores = np.asarray(scores, np.float64)
+    order = np.argsort(-scores)
+    labels = labels[order]
+    n_pos = labels.sum()
+    n_neg = len(labels) - n_pos
+    tp = np.cumsum(labels)
+    fp = np.cumsum(~labels)
+    frr = 1. - tp / max(n_pos, 1)         # false reject at each threshold
+    far = fp / max(n_neg, 1)              # false accept
+    idx = np.argmin(np.abs(far - frr))
+    return float((far[idx] + frr[idx]) / 2.)
+
+
+# -- text metrics --------------------------------------------------------------
+
+def _normalize_text(text):
+    text = re.sub(r'[^\w\s]', '', text.lower())
+    return re.sub(r'\s+', ' ', text).strip()
+
+
+@register_metric('exact_match')
+def exact_match(y_true, y_pred, normalize = True, ** kwargs):
+    if isinstance(y_true, str): y_true, y_pred = [y_true], [y_pred]
+    hits = 0
+    for t, p in zip(y_true, y_pred):
+        if normalize: t, p = _normalize_text(t), _normalize_text(p)
+        hits += int(t == p)
+    return hits / max(len(y_true), 1)
+
+
+@register_metric('f1')
+def text_f1(y_true, y_pred, normalize = True, ** kwargs):
+    """Token-overlap F1 (SQuAD-style)."""
+    if isinstance(y_true, str): y_true, y_pred = [y_true], [y_pred]
+    scores = []
+    for t, p in zip(y_true, y_pred):
+        if normalize: t, p = _normalize_text(t), _normalize_text(p)
+        t_toks, p_toks = t.split(), p.split()
+        if not t_toks or not p_toks:
+            scores.append(float(t_toks == p_toks))
+            continue
+        common = {}
+        for tok in t_toks: common[tok] = common.get(tok, 0) + 1
+        overlap = 0
+        for tok in p_toks:
+            if common.get(tok, 0) > 0:
+                overlap += 1
+                common[tok] -= 1
+        if overlap == 0:
+            scores.append(0.)
+            continue
+        precision = overlap / len(p_toks)
+        recall = overlap / len(t_toks)
+        scores.append(2 * precision * recall / (precision + recall))
+    return float(np.mean(scores))
+
+
+@register_metric('wer')
+def word_error_rate(y_true, y_pred, ** kwargs):
+    """Levenshtein word error rate."""
+    if isinstance(y_true, str): y_true, y_pred = [y_true], [y_pred]
+    total_err, total_words = 0, 0
+    for t, p in zip(y_true, y_pred):
+        ref, hyp = t.split(), p.split()
+        d = np.zeros((len(ref) + 1, len(hyp) + 1), np.int32)
+        d[:, 0] = np.arange(len(ref) + 1)
+        d[0, :] = np.arange(len(hyp) + 1)
+        for i in range(1, len(ref) + 1):
+            for j in range(1, len(hyp) + 1):
+                sub = d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1])
+                d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+        total_err += int(d[-1, -1])
+        total_words += len(ref)
+    return total_err / max(total_words, 1)
+
+
+@register_metric('cer')
+def character_error_rate(y_true, y_pred, ** kwargs):
+    if isinstance(y_true, str): y_true, y_pred = [y_true], [y_pred]
+    return word_error_rate([' '.join(t) for t in y_true],
+                           [' '.join(p) for p in y_pred])

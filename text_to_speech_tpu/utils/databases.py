@@ -1,0 +1,291 @@
+"""Keyed databases + vector databases.
+
+Capability parity with ``/root/reference/utils/databases/``
+(`Database` ABC with loader ``database.py:21,48``, JSON/SQLite wrappers,
+`VectorDatabase` with pluggable similarity indexes ``vectors/*.py``) —
+vector search runs as a jit-able matmul (numpy or JAX backend).
+"""
+
+import os
+import json
+import logging
+import sqlite3
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DATABASES = {}
+
+
+def register_database(name):
+    def deco(cls):
+        _DATABASES[name] = cls
+        return cls
+    return deco
+
+
+def build_database(db_type, path, ** kwargs):
+    if db_type not in _DATABASES:
+        raise ValueError('Unknown database type {!r} (known: {})'.format(
+            db_type, sorted(_DATABASES)))
+    return _DATABASES[db_type](path, ** kwargs)
+
+
+class Database:
+    """Keyed store: mapping protocol + persistence."""
+
+    def __init__(self, path, primary_key = 'id', ** kwargs):
+        self.path = path
+        self.primary_key = primary_key
+        self._lock = threading.RLock()
+        self.load()
+
+    def load(self):
+        raise NotImplementedError()
+
+    def save(self):
+        raise NotImplementedError()
+
+    def __getitem__(self, key):
+        raise NotImplementedError()
+
+    def __setitem__(self, key, value):
+        raise NotImplementedError()
+
+    def __delitem__(self, key):
+        raise NotImplementedError()
+
+    def __contains__(self, key):
+        raise NotImplementedError()
+
+    def __len__(self):
+        raise NotImplementedError()
+
+    def get(self, key, default = None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def insert(self, row):
+        self[row[self.primary_key]] = {
+            k: v for k, v in row.items() if k != self.primary_key
+        }
+
+    def update(self, key, ** fields):
+        entry = self[key]
+        entry.update(fields)
+        self[key] = entry
+
+
+@register_database('json')
+class JSONDatabase(Database):
+    def load(self):
+        with self._lock:
+            self._data = {}
+            if os.path.exists(self.path):
+                with open(self.path, 'r', encoding = 'utf-8') as f:
+                    self._data = json.load(f)
+
+    def save(self):
+        with self._lock:
+            d = os.path.dirname(self.path)
+            if d: os.makedirs(d, exist_ok = True)
+            with open(self.path, 'w', encoding = 'utf-8') as f:
+                json.dump(self._data, f, indent = 2, ensure_ascii = False)
+
+    def __getitem__(self, key):
+        return self._data[str(key)]
+
+    def __setitem__(self, key, value):
+        with self._lock:
+            self._data[str(key)] = value
+
+    def __delitem__(self, key):
+        with self._lock:
+            del self._data[str(key)]
+
+    def __contains__(self, key):
+        return str(key) in self._data
+
+    def __len__(self):
+        return len(self._data)
+
+    def keys(self):
+        return list(self._data.keys())
+
+    def items(self):
+        return list(self._data.items())
+
+
+@register_database('sqlite')
+class SQLiteDatabase(Database):
+    """Single-table key/value store (value JSON-encoded)."""
+
+    def load(self):
+        d = os.path.dirname(self.path)
+        if d: os.makedirs(d, exist_ok = True)
+        self._conn = sqlite3.connect(self.path, check_same_thread = False)
+        with self._lock:
+            self._conn.execute(
+                'CREATE TABLE IF NOT EXISTS entries (key TEXT PRIMARY KEY, value TEXT)'
+            )
+            self._conn.commit()
+
+    def save(self):
+        with self._lock:
+            self._conn.commit()
+
+    def __getitem__(self, key):
+        cur = self._conn.execute('SELECT value FROM entries WHERE key = ?', (str(key),))
+        row = cur.fetchone()
+        if row is None: raise KeyError(key)
+        return json.loads(row[0])
+
+    def __setitem__(self, key, value):
+        with self._lock:
+            self._conn.execute(
+                'INSERT OR REPLACE INTO entries (key, value) VALUES (?, ?)',
+                (str(key), json.dumps(value)),
+            )
+            self._conn.commit()
+
+    def __delitem__(self, key):
+        with self._lock:
+            cur = self._conn.execute('DELETE FROM entries WHERE key = ?', (str(key),))
+            self._conn.commit()
+            if cur.rowcount == 0: raise KeyError(key)
+
+    def __contains__(self, key):
+        cur = self._conn.execute('SELECT 1 FROM entries WHERE key = ?', (str(key),))
+        return cur.fetchone() is not None
+
+    def __len__(self):
+        return self._conn.execute('SELECT COUNT(*) FROM entries').fetchone()[0]
+
+    def keys(self):
+        return [r[0] for r in self._conn.execute('SELECT key FROM entries')]
+
+
+# -- vector database -----------------------------------------------------------
+
+class VectorIndex:
+    """Pluggable brute-force similarity index."""
+
+    def __init__(self, dim, metric = 'cosine'):
+        self.dim = dim
+        self.metric = metric
+        self._vectors = np.zeros((0, dim), np.float32)
+
+    def add(self, vectors):
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        self._vectors = np.concatenate([self._vectors, vectors], axis = 0)
+
+    def __len__(self):
+        return len(self._vectors)
+
+    @property
+    def vectors(self):
+        return self._vectors
+
+    def search(self, query, k = 5):
+        """→ (indices (Q, k), scores (Q, k)); higher score = closer."""
+        from .distances import distance
+        query = np.atleast_2d(np.asarray(query, np.float32))
+        if len(self._vectors) == 0:
+            return np.zeros((len(query), 0), np.int64), np.zeros((len(query), 0))
+        scores = np.asarray(distance(query, self._vectors, method = self.metric,
+                                     as_matrix = True))
+        if self.metric not in ('cosine', 'dot'):
+            scores = -scores
+        k = min(k, scores.shape[1])
+        idx = np.argsort(-scores, axis = 1)[:, :k]
+        return idx, np.take_along_axis(scores, idx, axis = 1)
+
+
+class JaxVectorIndex(VectorIndex):
+    """Same brute-force search executed as a jitted device matmul — for large
+    stores on TPU."""
+
+    def search(self, query, k = 5):
+        import jax
+        import jax.numpy as jnp
+
+        query = np.atleast_2d(np.asarray(query, np.float32))
+        if len(self._vectors) == 0:
+            return np.zeros((len(query), 0), np.int64), np.zeros((len(query), 0))
+
+        @jax.jit
+        def _search(q, v):
+            if self.metric == 'cosine':
+                q = q / (jnp.linalg.norm(q, axis = 1, keepdims = True) + 1e-9)
+                v = v / (jnp.linalg.norm(v, axis = 1, keepdims = True) + 1e-9)
+                scores = q @ v.T
+            elif self.metric == 'dot':
+                scores = q @ v.T
+            else:
+                scores = -jnp.sum((q[:, None] - v[None]) ** 2, axis = -1)
+            top = jax.lax.top_k(scores, min(k, v.shape[0]))
+            return top[1], top[0]
+
+        idx, scores = _search(query, self._vectors)
+        return np.asarray(idx), np.asarray(scores)
+
+
+class VectorDatabase:
+    """Vectors + metadata with nearest-neighbor queries and persistence."""
+
+    def __init__(self, path = None, dim = None, metric = 'cosine',
+                 index = 'numpy'):
+        self.path = path
+        self.metric = metric
+        index_cls = {'numpy': VectorIndex, 'jax': JaxVectorIndex}[index]
+        self._index_cls = index_cls
+        self.index = index_cls(dim or 1, metric) if dim else None
+        self.metadata = []
+        if path and os.path.exists(path):
+            self.load()
+
+    def add(self, vectors, metadata = None):
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        if self.index is None:
+            self.index = self._index_cls(vectors.shape[1], self.metric)
+        self.index.add(vectors)
+        if metadata is None:
+            metadata = [{}] * len(vectors)
+        elif isinstance(metadata, dict):
+            metadata = [metadata]
+        self.metadata.extend(metadata)
+
+    def __len__(self):
+        return len(self.metadata)
+
+    def search(self, query, k = 5):
+        """→ list (per query row) of {'score', 'index', **metadata}."""
+        idx, scores = self.index.search(query, k)
+        out = []
+        for row_idx, row_scores in zip(idx, scores):
+            out.append([
+                {'index': int(i), 'score': float(s), ** self.metadata[int(i)]}
+                for i, s in zip(row_idx, row_scores)
+            ])
+        return out if len(out) > 1 else out[0]
+
+    def save(self, path = None):
+        path = path or self.path
+        np.savez(path, vectors = self.index.vectors,
+                 metadata = np.asarray(json.dumps(self.metadata)),
+                 metric = np.asarray(self.metric))
+        return path
+
+    def load(self, path = None):
+        path = path or self.path
+        with np.load(path, allow_pickle = False) as data:
+            vectors = data['vectors']
+            self.metadata = json.loads(str(data['metadata']))
+            self.metric = str(data['metric'])
+        self.index = self._index_cls(vectors.shape[1], self.metric)
+        self.index.add(vectors)
+        return self
