@@ -41,21 +41,34 @@ def worker():
     rng = jax.random.PRNGKey(2)
     dtype = getattr(jnp, DTYPE)
 
-    infer = jax.jit(lambda p, m, r: arch.infer(p, m, rng = r, dtype = dtype))
+    # reduce on device so the sync transfer is one scalar
+    infer = jax.jit(lambda p, m, r: jnp.sum(arch.infer(p, m, rng = r, dtype = dtype)))
 
-    out = infer(params, mel, rng)
-    out.block_until_ready()  # compile + warm-up
+    def sync(x):
+        # block_until_ready() silently no-ops on some axon sessions; a scalar
+        # device->host transfer is the only reliable barrier
+        return float(x)
+
+    sync(infer(params, mel, rng))  # compile + warm-up
 
     start = time.perf_counter()
     for i in range(ITERS):
         out = infer(params, mel, jax.random.fold_in(rng, i))
-    out.block_until_ready()
+    sync(out)
     elapsed = time.perf_counter() - start
 
     audio_seconds = ITERS * BATCH * FRAMES * 256 / 22050.
     rtf = audio_seconds / elapsed
+
+    # plausibility guard: WaveGlow costs ~1.45 TFLOP per audio second; reject
+    # timings that would exceed 2x the chip's peak (non-blocking contamination)
+    implied_tflops = audio_seconds * 1.45 / max(elapsed, 1e-9)
+    if implied_tflops > 2 * 400.:
+        raise RuntimeError('implausible timing: {:.0f} TFLOP/s'.format(implied_tflops))
+
     print(json.dumps({'rtf': rtf, 'elapsed_s': elapsed,
-                      'audio_s': audio_seconds}), flush = True)
+                      'audio_s': audio_seconds,
+                      'implied_tflops': implied_tflops}), flush = True)
 
 
 def main():
@@ -82,7 +95,7 @@ def main():
                 'vs_baseline': round(rtf / BASELINE_RTF, 2),
             }))
             return
-        except (subprocess.TimeoutExpired, RuntimeError) as e:
+        except (subprocess.TimeoutExpired, RuntimeError, KeyError) as e:
             sys.stderr.write('bench attempt {} failed: {}\n'.format(attempt + 1, e))
     print(json.dumps({'metric': 'waveglow_rtf_per_chip', 'value': 0.0,
                       'unit': 'x_realtime', 'vs_baseline': 0.0}))

@@ -268,8 +268,11 @@ class Tacotron2:
         ``layers/location_sensitive_attention.py:44``): content score +
         convolutional features over [previous, cumulative] alignments."""
         att = params['attention']
+        compute_dtype = memory.dtype
         processed_query = nn.dense(att['query'], query)[:, None, :]
-        attn_cat = jnp.stack([prev_attn, cum_attn], axis = -1)          # (B, S, 2)
+        # alignment maps stay f32 (cumulative sums degrade in bf16); cast at
+        # the matmul boundary only
+        attn_cat = jnp.stack([prev_attn, cum_attn], axis = -1).astype(compute_dtype)
         loc = nn.dense(att['location_dense'],
                        nn.conv1d(att['location_conv'], attn_cat, padding = 'SAME'))
         energies = nn.dense(
@@ -277,9 +280,9 @@ class Tacotron2:
         )[..., 0]                                                        # (B, S)
         # large-negative (not -inf) so a fully-masked row softmaxes to uniform
         # instead of NaN (all-pad rows appear in ragged batches)
-        energies = jnp.where(mask, energies, -1e9)
-        weights = jax.nn.softmax(energies, axis = -1)
-        context = jnp.einsum('bs,bsd->bd', weights, memory)
+        energies = jnp.where(mask, energies.astype(jnp.float32), -1e9)
+        weights = jax.nn.softmax(energies, axis = -1)                    # f32
+        context = jnp.einsum('bs,bsd->bd', weights.astype(compute_dtype), memory)
         return context, weights
 
     # -- decoder cell ----------------------------------------------------------
@@ -316,7 +319,9 @@ class Tacotron2:
             tuple(nn.lstm_init_carry(batch, hp.decoder_rnn_dim, dtype)
                   for _ in range(hp.decoder_n_lstm)),
             jnp.zeros((batch, self.encoder_output_dim), dtype),
-            (jnp.zeros((batch, seq_len), dtype), jnp.zeros((batch, seq_len), dtype)),
+            # alignment maps are always f32 (see attention_step)
+            (jnp.zeros((batch, seq_len), jnp.float32),
+             jnp.zeros((batch, seq_len), jnp.float32)),
         )
 
     def _project(self, params, cell_out):
@@ -415,19 +420,30 @@ class Tacotron2:
               early_stopping = True,
               attn_mask_win_len = None,
               attn_mask_offset = 0.5,
-              deterministic = None):
+              deterministic = None,
+              dtype = None):
         """Generate mel frames autoregressively.
 
         One ``lax.while_loop``; all buffers preallocated at ``max_length``
         (static).  With ``attn_mask_win_len`` set, attention is restricted to
         a window centered on the previous argmax alignment (the long-input
         stabilizer, reference ``tacotron2_arch.py:629-640``).
+        ``dtype=jnp.bfloat16`` runs the matmul path at MXU-native precision
+        (alignments and the stop gate stay f32); outputs are cast back to f32.
         Returns ``Tacotron2InferenceOutput``.
         """
         hp = self.hp
         if rng is None: rng = jax.random.PRNGKey(0)
         if max_length is None: max_length = hp.max_decoder_steps
         max_length = int(max_length)
+
+        compute_dtype = dtype or jnp.float32
+        if dtype is not None:
+            cast = lambda leaf: leaf.astype(dtype) if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            params = jax.tree_util.tree_map(cast, params)
+            state = jax.tree_util.tree_map(cast, state)
+            if speaker_embedding is not None:
+                speaker_embedding = speaker_embedding.astype(dtype)
 
         batch, seq_len = tokens.shape
         encoder_output, enc_mask, _ = self.encode(
@@ -447,14 +463,14 @@ class Tacotron2:
 
         init = dict(
             t = jnp.zeros((), jnp.int32),
-            frame = jnp.zeros((batch, n_mel)),
-            outputs = jnp.zeros((batch, max_length, n_mel)),
+            frame = jnp.zeros((batch, n_mel), compute_dtype),
+            outputs = jnp.zeros((batch, max_length, n_mel), compute_dtype),
             stop_tokens = jnp.zeros((batch, max_length, hp.n_frames_per_step)),
             attention_weights = jnp.zeros((batch, max_length, seq_len)),
             lengths = jnp.zeros((batch,), jnp.int32),
             finished = jnp.zeros((batch,), bool),
             main_attention = jnp.zeros((batch,), jnp.int32),
-            cell_state = self.init_cell_state(batch, seq_len),
+            cell_state = self.init_cell_state(batch, seq_len, compute_dtype),
             rng = rng,
         )
 
@@ -495,7 +511,7 @@ class Tacotron2:
                 frame = frame,
                 outputs = lax.dynamic_update_slice(s['outputs'], frame[:, None, :], (0, t, 0)),
                 stop_tokens = lax.dynamic_update_slice(
-                    s['stop_tokens'], gate[:, None, :], (0, t, 0)),
+                    s['stop_tokens'], gate[:, None, :].astype(jnp.float32), (0, t, 0)),
                 attention_weights = lax.dynamic_update_slice(
                     s['attention_weights'], attn_weights[:, None, :], (0, t, 0)),
                 lengths = lengths,
@@ -516,7 +532,8 @@ class Tacotron2:
             stop_tokens = stop_tokens[..., 0]
 
         postnet_out, _ = self.postnet(params, state, outputs, train = False)
-        mel = outputs + postnet_out
+        mel = (outputs + postnet_out).astype(jnp.float32)
+        outputs = outputs.astype(jnp.float32)
 
         return Tacotron2InferenceOutput(
             mel = mel,
