@@ -18,9 +18,9 @@ import sys
 import json
 import subprocess
 
-BATCH = int(os.environ.get('BENCH_BATCH', 8))
+BATCH = int(os.environ.get('BENCH_BATCH', 32))
 FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
-ITERS = int(os.environ.get('BENCH_ITERS', 10))
+ITERS = int(os.environ.get('BENCH_ITERS', 6))
 DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
 BASELINE_RTF = 10.0
 
@@ -35,7 +35,7 @@ def worker():
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
 
     arch = WaveGlow()  # full-size: 12 flows x 8 layers x 512 channels
-    params = arch.init(jax.random.PRNGKey(0))
+    params = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
 
     mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
     rng = jax.random.PRNGKey(2)

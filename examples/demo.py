@@ -1,0 +1,113 @@
+"""End-to-end demo of the TPU-native TTS framework.
+
+The analog of the reference's ``text_to_speech.ipynb``: create (or load)
+models, synthesize, clone a voice, train, stream.  Runs with random weights
+out of the box; point ``TTS_PRETRAINED_DIR`` at a directory with trained
+checkpoints for real speech.
+
+Usage:  python examples/demo.py [quick|train|stream|clone]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+import numpy as np
+
+
+def get_models():
+    from text_to_speech_tpu import Tacotron2, WaveGlow
+    synthesizer = Tacotron2(lang = 'en', name = 'demo_tacotron2')
+    vocoder = WaveGlow(name = 'demo_waveglow')
+    return synthesizer, vocoder
+
+
+def demo_quick():
+    """text → waveform with the `tts` facade (mirrors reference notebook cell 2)."""
+    from text_to_speech_tpu import tts
+
+    synthesizer, vocoder = get_models()
+    results = tts(
+        'Hello world! This framework runs text to speech natively on TPU.',
+        model = synthesizer, vocoder = vocoder,
+        max_trial = 1, save = True, audio_filename = 'audio-{}.wav',
+    )
+    out = results[0]
+    print('generated {:.2f}s of audio at {} Hz'.format(
+        out.get('time', 0.), out.get('rate')))
+    print('artifacts under:', synthesizer.pred_dir)
+
+
+def demo_long_text():
+    """Long-document synthesis: recursive chunking + sliding attention window
+    + windowed vocoding (reference notebook cells 4-5)."""
+    from text_to_speech_tpu import tts
+
+    synthesizer, vocoder = get_models()
+    long_text = ('This is a long document. ' * 30)
+    results = tts(
+        long_text, model = synthesizer, vocoder = vocoder,
+        max_text_length = 120,              # chunk to <=120 tokens
+        attn_mask_win_len = 32,             # sliding attention window
+        vocoder_config = {'win_len': 256, 'hop_len': -64},  # windowed vocoding
+        max_trial = 1, save = False,
+    )
+    print('chunks synthesized:', len(results[0]['splitted']))
+
+
+def demo_stream():
+    """Interactive-style streaming over a queue (reference `stream()`)."""
+    import queue
+    import threading
+    from text_to_speech_tpu import stream
+
+    synthesizer, vocoder = get_models()
+    q = queue.Queue()
+
+    def feed():
+        for text in ('First sentence.', 'Second sentence.', None):
+            q.put(text)
+
+    threading.Thread(target = feed).start()
+    stream(q, model = synthesizer, vocoder = vocoder,
+           play = False, save = True, max_trial = 1)
+
+
+def demo_train():
+    """Train on a toy synthetic dataset (swap rows for an LJSpeech DataFrame
+    from `train.audio_datasets.load_ljspeech`)."""
+    synthesizer, _ = get_models()
+    rng = np.random.RandomState(0)
+    rows = [
+        {'text': t, 'audio': rng.randn(6000).astype(np.float32) * 0.1,
+         'rate': 22050}
+        for t in ('hello world', 'a second sample', 'training data') * 2
+    ]
+    history = synthesizer.fit(rows, epochs = 1, batch_size = 2, valid_size = 2)
+    print('trained; last loss:', history.get_metric('loss')[-1])
+
+
+def demo_clone():
+    """Zero-shot voice cloning (SV2TTS): embedding-conditioned synthesis."""
+    from text_to_speech_tpu import SV2TTSTacotron2, WaveGlow
+
+    model = SV2TTSTacotron2.from_pretrained(
+        'demo_sv2tts', 'demo_tacotron2', lang = 'en', embedding_dim = 256,
+    )
+    vocoder = WaveGlow(name = 'demo_waveglow')
+    embedding = np.random.randn(256).astype(np.float32)   # or model.embed_audio(ref_wav)
+    out = model.infer('cloning a voice', embeddings = embedding,
+                      vocoder = vocoder, max_trial = 1)
+    print('cloned-voice mel frames:', out['mel'][0].shape)
+
+
+if __name__ == '__main__':
+    mode = sys.argv[1] if len(sys.argv) > 1 else 'quick'
+    {
+        'quick': demo_quick,
+        'long': demo_long_text,
+        'stream': demo_stream,
+        'train': demo_train,
+        'clone': demo_clone,
+    }[mode]()

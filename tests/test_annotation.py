@@ -1,0 +1,164 @@
+import os
+import numpy as np
+import pytest
+
+from text_to_speech_tpu.ops.audio_annotation import (
+    AudioAnnotation, parse_subtitles, segment_audio, cluster_embeddings,
+)
+from text_to_speech_tpu.utils.wrappers import copy_methods, partial, dispatch_wrapper
+from text_to_speech_tpu.utils.generic_utils import filter_df, sample_df, aggregate_df
+from text_to_speech_tpu.models.interfaces.base_classification_model import (
+    BaseClassificationModel,
+)
+
+
+def tone(freq, seconds, rate = 16000, amp = 0.5):
+    t = np.arange(int(rate * seconds)) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+class TestSubtitles:
+    def test_srt(self, tmp_path):
+        p = tmp_path / 'x.srt'
+        p.write_text('1\n00:00:01,000 --> 00:00:02,500\nHello there\n\n'
+                     '2\n00:00:03,000 --> 00:00:04,000\n<i>Styled</i> text\n')
+        segments = parse_subtitles(str(p))
+        assert len(segments) == 2
+        assert segments[0] == {'start': 1.0, 'end': 2.5, 'text': 'Hello there'}
+        assert segments[1]['text'] == 'Styled text'
+
+    def test_vtt(self, tmp_path):
+        p = tmp_path / 'x.vtt'
+        p.write_text('WEBVTT\n\n00:00:00.500 --> 00:00:01.000\nHi\n')
+        segments = parse_subtitles(str(p))
+        assert segments[0]['start'] == 0.5
+
+
+class TestSegmentation:
+    def test_segments_on_silence(self):
+        rate = 16000
+        audio = np.concatenate([
+            tone(220, 1.0), np.zeros(rate), tone(440, 1.0),
+        ])
+        segments = segment_audio(audio, rate)
+        assert len(segments) == 2
+        assert segments[0]['start'] < 0.2
+        assert 1.8 < segments[1]['start'] < 2.3
+
+    def test_max_segment_split(self):
+        segments = segment_audio(tone(220, 5.), 16000, max_segment = 2.)
+        assert len(segments) >= 2
+        assert all(s['end'] - s['start'] <= 2.01 for s in segments)
+
+
+class TestClustering:
+    def test_two_clusters(self):
+        a = np.tile([1., 0., 0.], (3, 1)) + np.random.RandomState(0).randn(3, 3) * 0.01
+        b = np.tile([0., 1., 0.], (4, 1)) + np.random.RandomState(1).randn(4, 3) * 0.01
+        labels = cluster_embeddings(np.concatenate([a, b]), threshold = 0.3)
+        assert len(set(labels[:3])) == 1
+        assert len(set(labels[3:])) == 1
+        assert labels[0] != labels[3]
+
+
+class TestAnnotationWorkspace:
+    def test_full_flow(self, tmp_path):
+        rate = 16000
+        audio = np.concatenate([tone(220, 0.8), np.zeros(rate // 2), tone(880, 0.8)])
+        ann = AudioAnnotation(audio, rate)
+        segments = ann.segment()
+        assert len(segments) == 2
+        ann.set_text(0, 'first part')
+        ann.alignment[0]['speaker'] = 'a'
+        ann.alignment[1]['speaker'] = 'b'
+        assert ann.speakers() == ['a', 'b']
+        clip = ann.extract_speaker('a')
+        assert 0 < len(clip) <= len(tone(220, 0.9))
+        df = ann.save_as_dataset(str(tmp_path / 'ds'))
+        assert len(df) == 2
+        assert os.path.exists(df.iloc[0]['filename'])
+        assert df.iloc[0]['text'] == 'first part'
+
+
+class TestWrappers:
+    def test_copy_methods(self):
+        class Inner:
+            def greet(self, name):
+                return 'hi ' + name
+            value = 42
+
+        @copy_methods('inner', hello = 'greet', v = 'value')
+        class Outer:
+            def __init__(self):
+                self.inner = Inner()
+
+        o = Outer()
+        assert o.hello('x') == 'hi x'
+        assert o.v == 42
+
+    def test_partial_signature(self):
+        def f(a, b = 1, c = 2):
+            return a + b + c
+        g = partial(f, c = 10)
+        assert g(1) == 12
+        import inspect
+        assert inspect.signature(g).parameters['c'].default == 10
+
+    def test_dispatch_wrapper(self):
+        registry = {}
+
+        @dispatch_wrapper(registry, 'ext')
+        def load(path):
+            return registry[path.split('.')[-1]](path)
+
+        @load.dispatch
+        def read_wav(path):
+            return 'wav:' + path
+
+        @load.dispatch('mp3', 'ogg')
+        def read_compressed(path):
+            return 'comp:' + path
+
+        assert load('a.wav') == 'wav:a.wav'
+        assert load('a.ogg') == 'comp:a.ogg'
+
+
+class TestDataFrameUtils:
+    def _df(self):
+        import pandas as pd
+        return pd.DataFrame({
+            'speaker': ['a', 'a', 'b', 'b', 'b'],
+            'duration': [1., 2., 3., 4., 5.],
+        })
+
+    def test_filter(self):
+        df = filter_df(self._df(), speaker = 'b')
+        assert len(df) == 3
+        df2 = filter_df(self._df(), duration = lambda d: d > 2.)
+        assert len(df2) == 3
+
+    def test_sample_balanced(self):
+        out = sample_df(self._df(), on = 'speaker', n_sample = 1)
+        assert len(out) == 2
+
+    def test_aggregate(self):
+        out = aggregate_df(self._df(), 'speaker', total = ('duration', 'sum'))
+        assert sorted(out['total']) == [3., 12.]
+
+
+class TestClassificationMixin:
+    def test_labels(self):
+        m = BaseClassificationModel()
+        m._init_labels(labels = ['cat', 'dog'])
+        assert m.nb_class == 2
+        assert m.encode_label('dog') == 1
+        assert m.decode_label([0.2, 0.8]) == 'dog'
+        label, score = m.decode_label([0.9, 0.1], return_scores = True)
+        assert label == 'cat' and score == pytest.approx(0.9)
+
+    def test_multi_label(self):
+        m = BaseClassificationModel()
+        m._init_labels(labels = ['a', 'b', 'c'], multi_label = True)
+        enc = m.encode_label(['a', 'c'])
+        assert enc.tolist() == [1., 0., 1.]
+        assert m.decode_label([0.9, 0.2, 0.8]) == ['a', 'c']

@@ -196,6 +196,17 @@ class TestWaveGlow:
         loss = model.loss(params, mel, audio)
         assert np.isfinite(float(loss))
 
+    def test_fused_cond_equivalence(self, wg):
+        """fuse_params concatenates cond convs; outputs must be identical."""
+        model, params = wg
+        fused = model.fuse_params(params)
+        assert 'cond_layer' in fused['flow_0']['block']
+        assert 'cond_conv_0' not in fused['flow_0']['block']
+        mel = jax.random.normal(KEY, (1, 8, 6))
+        a1 = model.infer(params, mel, deterministic = True)
+        a2 = model.infer(fused, mel, deterministic = True)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol = 1e-5)
+
     def test_loss_differentiable(self, wg):
         model, params = wg
         mel = jax.random.normal(KEY, (1, 8, 6))

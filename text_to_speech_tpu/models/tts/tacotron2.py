@@ -101,6 +101,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                        attn_mask_offset = 0.5,
                        early_stopping = True,
                        deterministic = False,
+                       dtype = None,
                        rng = None,
                        ** _):
         """Shape-bucketed jitted AR inference on one (batched) token array."""
@@ -134,6 +135,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             attn_mask_win_len = attn_mask_win_len,
             attn_mask_offset = attn_mask_offset,
             deterministic = bool(deterministic),
+            dtype = dtype,
         )
         key = ('infer', tuple(sorted(static.items())), speaker_embedding is not None)
 

@@ -59,7 +59,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
     # -- compiled inference ----------------------------------------------------
 
     def compiled_infer(self, mel, *, padding_multiple = None, sigma = None,
-                       rng = None, deterministic = False, ** _):
+                       rng = None, deterministic = False, dtype = None, ** _):
         import jax
 
         mel = np.asarray(mel)
@@ -71,15 +71,18 @@ class WaveGlow(BaseAudioModel, BaseModel):
             import time as _time
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))
 
-        static = (float(sigma) if sigma is not None else None, bool(deterministic))
+        static = (float(sigma) if sigma is not None else None,
+                  bool(deterministic), dtype)
         key = ('infer', static)
 
         def builder():
             def fn(params, mel, rng):
-                return self.arch.infer(
+                out = self.arch.infer(
                     params, mel, rng = rng, sigma = static[0],
-                    deterministic = static[1],
+                    deterministic = static[1], dtype = static[2],
                 )
+                import jax.numpy as jnp
+                return out.astype(jnp.float32)
             return fn
 
         return self.get_compiled(key, builder)(self.params, mel, rng)

@@ -30,6 +30,7 @@ HParamsWaveGlow = HParams(
     wn_layers = 8,
     wn_channels = 512,
     wn_kernel_size = 3,
+    wn_fused = False,      # one (cond_ch, n_layers*2*wn_ch) cond matmul per block
     upsample_width = 1024,
     upsample_stride = 256,
     sigma = 1.0,
@@ -72,19 +73,48 @@ class WaveGlow:
                 'end': {'kernel': jnp.zeros((1, hp.wn_channels, 2 * n_half)),
                         'bias': jnp.zeros((2 * n_half,))},
             }
+            if hp.wn_fused:
+                block['cond_layer'] = nn.init_conv1d(
+                    next(keys), 1, self.cond_channels,
+                    hp.wn_layers * 2 * hp.wn_channels,
+                )
             for i in range(hp.wn_layers):
                 block['in_conv_{}'.format(i)] = nn.init_conv1d(
                     next(keys), hp.wn_kernel_size, hp.wn_channels, 2 * hp.wn_channels
                 )
-                block['cond_conv_{}'.format(i)] = nn.init_conv1d(
-                    next(keys), 1, self.cond_channels, 2 * hp.wn_channels
-                )
+                if not hp.wn_fused:
+                    block['cond_conv_{}'.format(i)] = nn.init_conv1d(
+                        next(keys), 1, self.cond_channels, 2 * hp.wn_channels
+                    )
                 out_ch = 2 * hp.wn_channels if i < hp.wn_layers - 1 else hp.wn_channels
                 block['res_skip_conv_{}'.format(i)] = nn.init_conv1d(
                     next(keys), 1, hp.wn_channels, out_ch
                 )
             params['flow_{}'.format(k)] = {'convinv': {'kernel': w}, 'block': block}
         return params
+
+    def fuse_params(self, params):
+        """Concatenate each block's per-layer cond convs into one wide
+        ``cond_layer`` (numerically identical; one MXU matmul per block)."""
+        import numpy as np
+        fused = {}
+        for name, value in params.items():
+            if not name.startswith('flow_'):
+                fused[name] = value
+                continue
+            block = dict(value['block'])
+            if 'cond_layer' not in block and 'cond_conv_0' in block:
+                kernels, biases = [], []
+                for i in range(self.hp.wn_layers):
+                    conv = block.pop('cond_conv_{}'.format(i))
+                    kernels.append(conv['kernel'])
+                    biases.append(conv['bias'])
+                block['cond_layer'] = {
+                    'kernel': jnp.concatenate(kernels, axis = 2),
+                    'bias': jnp.concatenate(biases, axis = 0),
+                }
+            fused[name] = {'convinv': value['convinv'], 'block': block}
+        return fused
 
     # -- WN coupling block -----------------------------------------------------
 
@@ -94,11 +124,19 @@ class WaveGlow:
         hp = self.hp
         n_ch = hp.wn_channels
         x = nn.conv1d(block['start'], audio_half)
+        cond_all = None
+        if 'cond_layer' in block:
+            # single wide matmul for every layer's conditioning projection
+            cond_all = nn.conv1d(block['cond_layer'], spect)
         output = None
         for i in range(hp.wn_layers):
+            if cond_all is not None:
+                cond = cond_all[..., i * 2 * n_ch: (i + 1) * 2 * n_ch]
+            else:
+                cond = nn.conv1d(block['cond_conv_{}'.format(i)], spect)
             acts = (
                 nn.conv1d(block['in_conv_{}'.format(i)], x, dilation = 2 ** i, padding = 'SAME')
-                + nn.conv1d(block['cond_conv_{}'.format(i)], spect)
+                + cond
             )
             gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
             res_skip = nn.conv1d(block['res_skip_conv_{}'.format(i)], gated)

@@ -1,0 +1,208 @@
+"""Audio annotation workspace: segmentation, diarization, dataset export.
+
+Capability parity with ``/root/reference/utils/audio/audio_annotation.py:48,788``
+(`AudioAnnotation` workspace: subtitle import, speaker clustering, alignment
+building, per-speaker extraction, save-as-dataset) — compact re-design:
+
+  - silence-based segmentation (native RMS scan) or subtitle-driven
+    alignments (srt/vtt parsers included);
+  - speaker diarization by clustering segment embeddings from a
+    `SpeakerEncoder` (agglomerative over cosine distance);
+  - per-speaker audio extraction and export as a training DataFrame + wavs.
+"""
+
+import os
+import re
+import logging
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+# -- subtitle parsing ----------------------------------------------------------
+
+_TIME_RE = re.compile(r'(\d+):(\d{2}):(\d{2})[.,](\d{1,3})')
+
+
+def _parse_time(text):
+    h, m, s, ms = _TIME_RE.match(text.strip()).groups()
+    return int(h) * 3600 + int(m) * 60 + int(s) + int(ms.ljust(3, '0')) / 1000.
+
+
+def parse_subtitles(filename):
+    """Parse .srt / .vtt → [{'start', 'end', 'text'}]."""
+    with open(filename, 'r', encoding = 'utf-8', errors = 'replace') as f:
+        content = f.read()
+    segments = []
+    for block in re.split(r'\n\s*\n', content):
+        lines = [l for l in block.strip().split('\n') if l.strip()]
+        if not lines: continue
+        time_line = next((l for l in lines if '-->' in l), None)
+        if time_line is None: continue
+        start_s, end_s = [p.strip() for p in time_line.split('-->')]
+        text_lines = lines[lines.index(time_line) + 1:]
+        text = ' '.join(text_lines).strip()
+        text = re.sub(r'<[^>]+>', '', text)
+        if text:
+            segments.append({
+                'start': _parse_time(start_s), 'end': _parse_time(end_s),
+                'text': text,
+            })
+    return segments
+
+
+# -- segmentation --------------------------------------------------------------
+
+def segment_audio(audio, rate, *, min_segment = 0.5, max_segment = 12.,
+                  silence_threshold = 0.08, frame_ms = 25., hop_ms = 10.):
+    """Split on silences → [{'start', 'end'}] (seconds)."""
+    from .. import native
+    frame = max(1, int(frame_ms * rate / 1000.))
+    hop = max(1, int(hop_ms * rate / 1000.))
+    rms = native.frame_rms(np.asarray(audio, np.float32), frame, hop)
+    voiced = rms >= silence_threshold * max(rms.max(), 1e-9)
+
+    segments, start = [], None
+    for i, v in enumerate(voiced.tolist() + [False]):
+        t = i * hop / rate
+        if v and start is None:
+            start = t
+        elif not v and start is not None:
+            if t - start >= min_segment:
+                while t - start > max_segment:
+                    segments.append({'start': start, 'end': start + max_segment})
+                    start += max_segment
+                segments.append({'start': start, 'end': t})
+            start = None
+    return segments
+
+
+# -- clustering ----------------------------------------------------------------
+
+def cluster_embeddings(embeddings, *, threshold = 0.25, metric = 'cosine'):
+    """Agglomerative (average-linkage) clustering by distance threshold →
+    labels (N,).  Cosine distance default matches speaker-embedding geometry."""
+    from ..utils.distances import distance
+
+    embeddings = np.asarray(embeddings)
+    n = len(embeddings)
+    if n == 0: return np.zeros((0,), np.int64)
+
+    if metric == 'cosine':
+        dist = 1. - np.asarray(distance(embeddings, embeddings, 'cosine',
+                                        as_matrix = True))
+    else:
+        dist = np.asarray(distance(embeddings, embeddings, metric,
+                                   as_matrix = True))
+    clusters = [[i] for i in range(n)]
+    while len(clusters) > 1:
+        best, best_d = None, threshold
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                d = np.mean([dist[i, j] for i in clusters[a] for j in clusters[b]])
+                if d < best_d:
+                    best, best_d = (a, b), d
+        if best is None: break
+        a, b = best
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+
+    labels = np.zeros((n,), np.int64)
+    for idx, members in enumerate(clusters):
+        for m in members:
+            labels[m] = idx
+    return labels
+
+
+# -- workspace -----------------------------------------------------------------
+
+class AudioAnnotation:
+    """Annotation session over one recording."""
+
+    def __init__(self, audio, rate = None, *, directory = None,
+                 speaker_encoder = None):
+        from .audio_io import load_audio
+        if isinstance(audio, str):
+            if rate is None: rate = 16000
+            self.filename = audio
+            audio = load_audio(audio, rate)
+        else:
+            self.filename = None
+            assert rate is not None
+        self.audio = np.asarray(audio, np.float32)
+        self.rate = rate
+        self.directory = directory
+        self.speaker_encoder = speaker_encoder
+        self.alignment = []      # [{'start','end','text'?,'speaker'?}]
+
+    # -- building the alignment ----------------------------------------------
+
+    def segment(self, ** kwargs):
+        self.alignment = segment_audio(self.audio, self.rate, ** kwargs)
+        return self.alignment
+
+    def import_subtitles(self, filename):
+        self.alignment = parse_subtitles(filename)
+        return self.alignment
+
+    def annotate_speakers(self, *, threshold = 0.25, ** kwargs):
+        """Embed every segment and cluster into speaker labels."""
+        if not self.alignment:
+            self.segment()
+        if self.speaker_encoder is None:
+            raise ValueError('a speaker_encoder is required for diarization')
+        clips = [self.extract(seg) for seg in self.alignment]
+        embeddings = self.speaker_encoder.embed(
+            [{'audio': c, 'rate': self.rate} for c in clips]
+        )
+        labels = cluster_embeddings(embeddings, threshold = threshold, ** kwargs)
+        for seg, label, emb in zip(self.alignment, labels, embeddings):
+            seg['speaker'] = 'speaker_{}'.format(int(label))
+            seg['embedding'] = emb
+        return self.alignment
+
+    def set_text(self, index, text):
+        self.alignment[index]['text'] = text
+
+    # -- extraction -----------------------------------------------------------
+
+    def extract(self, segment):
+        lo = int(segment['start'] * self.rate)
+        hi = int(segment['end'] * self.rate)
+        return self.audio[lo:hi]
+
+    def speakers(self):
+        return sorted({s.get('speaker') for s in self.alignment if 'speaker' in s})
+
+    def extract_speaker(self, speaker):
+        """Concatenated audio of one speaker."""
+        clips = [self.extract(s) for s in self.alignment
+                 if s.get('speaker') == speaker]
+        return np.concatenate(clips) if clips else np.zeros((0,), np.float32)
+
+    # -- export ---------------------------------------------------------------
+
+    def save_as_dataset(self, directory = None):
+        """Write per-segment wavs + a metadata DataFrame usable by `fit`."""
+        import pandas as pd
+        from .audio_io import write_audio
+
+        directory = directory or self.directory or 'annotation_dataset'
+        os.makedirs(os.path.join(directory, 'wavs'), exist_ok = True)
+        rows = []
+        for i, seg in enumerate(self.alignment):
+            clip = self.extract(seg)
+            if len(clip) == 0: continue
+            path = os.path.join(directory, 'wavs', 'seg-{:05d}.wav'.format(i))
+            write_audio(path, (clip * 32767).astype(np.int16), self.rate)
+            rows.append({
+                'id': 'seg-{:05d}'.format(i),
+                'filename': path,
+                'text': seg.get('text', ''),
+                'speaker': seg.get('speaker', 'unknown'),
+                'start': seg['start'], 'end': seg['end'],
+            })
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(directory, 'metadata.csv'), index = False)
+        return df

@@ -78,6 +78,49 @@ def filter_kwargs(fn, kwargs):
     return {k: v for k, v in kwargs.items() if k in accepted}
 
 
+def filter_df(df, ** conditions):
+    """Filter a DataFrame by column conditions: value, list of values, or
+    callable predicate (``utils/generic_utils.py:231-335`` analog)."""
+    mask = None
+    for column, cond in conditions.items():
+        if callable(cond):
+            col_mask = df[column].map(cond)
+        elif isinstance(cond, (list, tuple, set)):
+            col_mask = df[column].isin(list(cond))
+        else:
+            col_mask = df[column] == cond
+        mask = col_mask if mask is None else (mask & col_mask)
+    return df[mask] if mask is not None else df
+
+
+def sample_df(df, n = None, n_sample = None, on = None, random_state = 0):
+    """Sample rows; with `on` (a column), sample up to `n_sample` rows per
+    unique value (balanced sampling)."""
+    if on is not None:
+        parts = [
+            group.sample(n = min(n_sample or len(group), len(group)),
+                         random_state = random_state)
+            for _, group in df.groupby(on)
+        ]
+        import pandas as pd
+        out = pd.concat(parts)
+        return out if n is None else out.sample(n = min(n, len(out)),
+                                                random_state = random_state)
+    return df.sample(n = min(n or len(df), len(df)), random_state = random_state)
+
+
+def aggregate_df(df, group_by, ** aggregations):
+    """Group + aggregate: ``aggregate_df(df, 'speaker', time=('duration','sum'))``."""
+    grouped = df.groupby(group_by)
+    if not aggregations:
+        return grouped.size().reset_index(name = 'count')
+    out = grouped.agg(** {
+        name: spec if isinstance(spec, tuple) else (spec, 'sum')
+        for name, spec in aggregations.items()
+    })
+    return out.reset_index()
+
+
 def to_json_serializable(data):
     """Recursively convert numpy scalars/arrays to plain python."""
     import numpy as np
