@@ -31,6 +31,35 @@ class TokenizerLevel:
         raise ValueError('Unknown tokenizer level: {}'.format(level))
 
 
+DEFAULT_CHAT_TEMPLATE = '<|{role}|>\n{content}\n'
+
+
+def render_chat_template(messages, template = None, *,
+                         add_generation_prompt = True,
+                         generation_role = 'assistant'):
+    """Render chat messages to a single prompt string."""
+    if callable(template):
+        return template(messages, add_generation_prompt)
+    fmt = template or DEFAULT_CHAT_TEMPLATE
+    if isinstance(messages, str):
+        messages = [{'role': 'user', 'content': messages}]
+    text = ''.join(
+        fmt.format(role = m.get('role', 'user'), content = m.get('content', ''))
+        for m in messages
+    )
+    if add_generation_prompt:
+        text += fmt.split('{content}')[0].format(role = generation_role)
+    return text
+
+
+def pretty_print_template(template = None):
+    print(render_chat_template(
+        [{'role': 'system', 'content': '<system prompt>'},
+         {'role': 'user', 'content': '<user message>'}],
+        template,
+    ))
+
+
 class Tokenizer:
     def __init__(self,
                  vocab,
@@ -176,6 +205,20 @@ class Tokenizer:
         return np.asarray(ids, dtype = np.int32)
 
     __call__ = encode
+
+    def encode_chat(self, messages, *, template = None,
+                    add_generation_prompt = True, ** kwargs):
+        """Encode a chat as [{'role', 'content'}] messages.
+
+        `template` may be: None (a simple role-tagged default), a format
+        string with ``{role}``/``{content}``, or a callable
+        ``(messages, add_generation_prompt) -> str``.  (The reference's
+        Jinja chat-template capability, ``tokenizer.py:463``.)
+        """
+        text = render_chat_template(
+            messages, template, add_generation_prompt = add_generation_prompt
+        )
+        return self.encode(text, ** kwargs)
 
     def decode(self, ids, *, skip_special = True, attach_words = True):
         """Map ids back to text."""
