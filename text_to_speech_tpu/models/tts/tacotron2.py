@@ -153,6 +153,9 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
 
     def precompile_for_stream(self, ** kwargs):
         """Warm the XLA executable cache at the stream padding buckets."""
+        for key in ('max_trial', 'padding_multiple', 'play', 'display',
+                    'save', 'save_mel', 'save_audio'):
+            kwargs.pop(key, None)
         for multiple in (64, 128):
             self.infer('precompile warmup', max_trial = 1,
                        padding_multiple = multiple, ** kwargs)
@@ -369,6 +372,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 ))
             if save_audio:
                 if audio_dir is None: audio_dir = os.path.join(directory, 'audios')
+                ext = audio_filename.rsplit('.', 1)[-1].lower()
+                if ext != 'wav':
+                    import shutil
+                    if shutil.which('ffmpeg') is None:
+                        logger.info('ffmpeg unavailable: saving audio as .wav '
+                                    'instead of .%s', ext)
+                        audio_filename = audio_filename.rsplit('.', 1)[0] + '.wav'
                 callbacks.append(AudioSaver(
                     file_format = os.path.join(audio_dir, audio_filename),
                     save_in_parallel = save_in_parallel,

@@ -58,8 +58,11 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
     # -- compiled inference ----------------------------------------------------
 
-    def compiled_infer(self, mel, *, padding_multiple = None, sigma = None,
+    def compiled_infer(self, mel, *, padding_multiple = 256, sigma = None,
                        rng = None, deterministic = False, dtype = None, ** _):
+        """padding_multiple defaults to 256 (the reference's
+        ``prepare_for_xla_inference`` bucket) so arbitrary mel lengths hit a
+        bounded number of compiled executables."""
         import jax
 
         mel = np.asarray(mel)
