@@ -31,6 +31,7 @@ HParamsWaveGlow = HParams(
     wn_channels = 512,
     wn_kernel_size = 3,
     wn_fused = False,      # one (cond_ch, n_layers*2*wn_ch) cond matmul per block
+    use_pallas = False,    # fused double-buffered Pallas WN-layer kernel
     upsample_width = 1024,
     upsample_stride = 256,
     sigma = 1.0,
@@ -128,23 +129,55 @@ class WaveGlow:
         if 'cond_layer' in block:
             # single wide matmul for every layer's conditioning projection
             cond_all = nn.conv1d(block['cond_layer'], spect)
+
+        # the fused Pallas kernel needs lane-aligned channels and whole tiles
+        pallas_ok = (
+            hp.use_pallas
+            and n_ch % 128 == 0
+            and x.shape[1] % 512 == 0
+            and hp.wn_kernel_size == 3
+        )
+
         output = None
         for i in range(hp.wn_layers):
             if cond_all is not None:
                 cond = cond_all[..., i * 2 * n_ch: (i + 1) * 2 * n_ch]
             else:
                 cond = nn.conv1d(block['cond_conv_{}'.format(i)], spect)
-            acts = (
-                nn.conv1d(block['in_conv_{}'.format(i)], x, dilation = 2 ** i, padding = 'SAME')
-                + cond
-            )
-            gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
-            res_skip = nn.conv1d(block['res_skip_conv_{}'.format(i)], gated)
-            if i < hp.wn_layers - 1:
-                x = x + res_skip[..., :n_ch]
-                skip = res_skip[..., n_ch:]
+
+            in_conv = block['in_conv_{}'.format(i)]
+            rs_conv = block['res_skip_conv_{}'.format(i)]
+            last = i == hp.wn_layers - 1
+
+            if pallas_ok:
+                from ..ops.pallas_kernels import fused_wn_layer
+                dilation = 2 ** i
+                # halo rounded up to the sublane tiling (Mosaic requires
+                # 8/16-aligned slice sizes in VMEM)
+                pad = -(-dilation // 16) * 16
+                x_pad = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+                b_rs = rs_conv.get('bias')
+                if b_rs is None:
+                    b_rs = jnp.zeros((rs_conv['kernel'].shape[2],), x.dtype)
+                # fold the in-conv bias into the conditioning add
+                x, skip = fused_wn_layer(
+                    x_pad, cond + in_conv.get('bias', 0.),
+                    in_conv['kernel'], jnp.zeros((2 * n_ch,), x.dtype),
+                    rs_conv['kernel'], b_rs,
+                    dilation = dilation, pad = pad, residual = not last,
+                )
             else:
-                skip = res_skip
+                acts = (
+                    nn.conv1d(in_conv, x, dilation = 2 ** i, padding = 'SAME')
+                    + cond
+                )
+                gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
+                res_skip = nn.conv1d(rs_conv, gated)
+                if not last:
+                    x = x + res_skip[..., :n_ch]
+                    skip = res_skip[..., n_ch:]
+                else:
+                    skip = res_skip
             output = skip if output is None else output + skip
         return nn.conv1d(block['end'], output)
 
