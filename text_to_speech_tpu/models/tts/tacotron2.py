@@ -76,6 +76,30 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
 
         BaseModel.__init__(self, name = self.name, ** kwargs)
 
+    @classmethod
+    def from_nvidia_pretrained(cls, checkpoint, *, name = 'pretrained_tacotron2',
+                               lang = 'en', ** kwargs):
+        """Create a model from a published NVIDIA Tacotron-2 torch checkpoint
+        (LJSpeech, vocab 148 with ARPAbet)."""
+        import jax
+        import jax.numpy as jnp
+        from ..tts_checkpoints import load_nvidia_tacotron2
+        from ...text import en_symbols
+
+        model = cls(
+            lang = lang, name = name,
+            tokenizer = {'vocab': en_symbols, 'level': 'char',
+                         'cleaners': ['english_cleaners']},
+            ** kwargs,
+        )
+        params, state = load_nvidia_tacotron2(checkpoint)
+        model.set_weights(
+            jax.tree_util.tree_map(jnp.asarray, params),
+            jax.tree_util.tree_map(jnp.asarray, state),
+        )
+        model.save()
+        return model
+
     # -- build -----------------------------------------------------------------
 
     def build(self, *, model = None, tts_model = None, ** kwargs):

@@ -42,6 +42,20 @@ class WaveGlow(BaseAudioModel, BaseModel):
                          pad_mel_value = pad_mel_value, ** kwargs)
         BaseModel.__init__(self, name = self.name, ** kwargs)
 
+    @classmethod
+    def from_nvidia_pretrained(cls, checkpoint, *, name = 'waveglow', ** kwargs):
+        """Create a vocoder from the published NVIDIA WaveGlow torch
+        checkpoint (weight-norm folded, fused cond layers)."""
+        import jax
+        import jax.numpy as jnp
+        from ..tts_checkpoints import load_nvidia_waveglow
+
+        model = cls(name = name, wn_fused = True, ** kwargs)
+        params = load_nvidia_waveglow(checkpoint)
+        model.set_weights(jax.tree_util.tree_map(jnp.asarray, params))
+        model.save()
+        return model
+
     def build(self, *, model = None, vocoder = None, ** kwargs):
         if vocoder is not None: model = vocoder
         if model is None:
