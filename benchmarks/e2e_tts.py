@@ -1,0 +1,57 @@
+"""End-to-end text→waveform throughput through the public `tts()` API
+(full-size models, random weights — compute cost is weight-independent).
+
+Usage: python benchmarks/e2e_tts.py [--sentences 4] [--runs 3]
+"""
+
+import os
+import sys
+import time
+import argparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--sentences', type = int, default = 4)
+    parser.add_argument('--runs', type = int, default = 3)
+    parser.add_argument('--dtype', default = None,
+                        help = 'bfloat16 runs both models at MXU precision')
+    args = parser.parse_args()
+
+    os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
+    from text_to_speech_tpu import tts, Tacotron2, WaveGlow
+    extra = {}
+    if args.dtype:
+        import jax.numpy as jnp
+        extra['dtype'] = getattr(jnp, args.dtype)
+
+    model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+    vocoder = WaveGlow(name = 'bench_waveglow')
+
+    texts = [
+        'The quick brown fox jumps over the lazy dog number {}.'.format(i)
+        for i in range(args.sentences)
+    ]
+
+    # warm-up (compiles the padding buckets)
+    tts(texts[0], model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)
+
+    best = float('inf')
+    audio_s = 0.
+    for _ in range(args.runs):
+        start = time.perf_counter()
+        results = tts(texts, model = model, vocoder = vocoder,
+                      max_trial = 1, save = False, display = False, overwrite = True, ** extra)
+        elapsed = time.perf_counter() - start
+        audio_s = sum(r.get('time', 0.) for r in results)
+        best = min(best, elapsed)
+
+    print('{} sentences -> {:.2f}s audio in {:.2f}s wall '
+          '({:.1f}x real-time end-to-end)'.format(
+              args.sentences, audio_s, best, audio_s / best))
+
+
+if __name__ == '__main__':
+    main()

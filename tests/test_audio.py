@@ -83,6 +83,30 @@ class TestMelSTFT:
         assert np.abs(mel - golden).max() < 2e-3
 
 
+class TestReconstruction:
+    def test_inverse_transform_roundtrip(self):
+        """forward STFT -> inverse with true phase must reconstruct."""
+        from text_to_speech_tpu.ops.stft import STFT
+        stft = STFT(filter_length = 256, hop_length = 64, win_length = 256)
+        audio = synthetic_audio(22050, 0.2)[None, :]
+        mag, phase = stft.transform(audio)
+        rec = np.asarray(stft.inverse_transform(mag, phase))[0]
+        n = min(len(rec), audio.shape[1]) - 256
+        # interior reconstruction (edges lose window overlap)
+        assert np.abs(rec[256:n] - audio[0, 256:n]).max() < 1e-2
+
+    def test_griffin_lim_tone(self):
+        stft = TacotronSTFT()
+        rate = 22050
+        t = np.arange(rate // 2) / rate
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mel = stft(audio)
+        rec = np.asarray(stft.inverse(mel, n_iters = 8))[0]
+        spec = np.abs(np.fft.rfft(rec))
+        peak_hz = np.argmax(spec) * rate / len(rec)
+        assert abs(peak_hz - 440) < 30
+
+
 class TestAudioProcessing:
     def test_resample(self):
         audio = synthetic_audio(16000)

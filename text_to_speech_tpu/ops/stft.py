@@ -165,9 +165,7 @@ class STFT:
             magnitude = jnp.stack([real, imag], axis = -1)
         return magnitude, phase
 
-    def inverse_transform(self, magnitude, phase):
-        """Overlap-add reconstruction from magnitude+phase (host/NumPy path
-        complement for Griffin-Lim style use)."""
+    def _raw_inverse(self, magnitude, phase):
         import jax.numpy as jnp
 
         real = magnitude * jnp.cos(phase)
@@ -175,16 +173,27 @@ class STFT:
         spec = jnp.concatenate([real, imag], axis = -1)       # (B, frames, 2*cutoff)
 
         frames = jnp.einsum(
-            'bfc,wc->bfw', spec, jnp.asarray(self.inverse_basis.T),
+            'bfc,wc->bfw', spec, jnp.asarray(self.inverse_basis),
             precision = 'highest',
         )
         batch, n_frames, flen = frames.shape
         out_len = (n_frames - 1) * self.hop_length + flen
         audio = jnp.zeros((batch, out_len))
-        for i in range(n_frames):      # host-side utility; n_frames is static
+        for i in range(n_frames):      # n_frames is static under jit
             audio = audio.at[:, i * self.hop_length: i * self.hop_length + flen].add(frames[:, i])
         pad = self.filter_length // 2
         return audio[:, pad: -pad]
+
+    def inverse_transform(self, magnitude, phase):
+        """Overlap-add reconstruction from magnitude+phase, normalized by the
+        window overlap envelope (= inverse∘transform of ones, which captures
+        both the interior overlap factor and the edge taper; XLA CSEs the
+        envelope across Griffin-Lim iterations)."""
+        import jax.numpy as jnp
+
+        audio = self._raw_inverse(magnitude, phase)
+        env = self._raw_inverse(* self.transform(jnp.ones((1, audio.shape[1]))))
+        return audio / jnp.maximum(jnp.abs(env), 1e-4)
 
     def __call__(self, audio):
         audio = np.asarray(audio)
@@ -203,6 +212,39 @@ class STFT:
 
 
 # -- MelSTFT family -----------------------------------------------------------
+
+def griffin_lim(magnitudes, stft, *, n_iters = 32, rng = None):
+    """Phase reconstruction from STFT magnitudes (Griffin-Lim).
+
+    `magnitudes` (B, frames, cutoff) → waveform (B, T).  A weights-free
+    vocoder fallback and mel-inversion building block; each iteration is one
+    inverse+forward STFT pair on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if rng is None: rng = jax.random.PRNGKey(0)
+    phase = jax.random.uniform(rng, magnitudes.shape, minval = -jnp.pi,
+                               maxval = jnp.pi)
+    audio = stft.inverse_transform(magnitudes, phase)
+    for _ in range(n_iters):
+        _, phase = stft.transform(audio)
+        audio = stft.inverse_transform(magnitudes, phase)
+    return audio
+
+
+def mel_to_linear(mel, mel_basis, *, log_compressed = True, clip_val = 1e-5):
+    """Approximately invert a (log-)mel spectrogram to linear magnitudes via
+    the filterbank pseudo-inverse (pairs with `griffin_lim`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if log_compressed:
+        mel = jnp.exp(mel)
+    pinv = np.linalg.pinv(np.asarray(mel_basis, np.float64)).astype(np.float32)
+    linear = mel @ jnp.asarray(pinv)
+    return jnp.maximum(linear, 0.)
+
 
 class MelSTFT:
     """Base mel-spectrogram extractor with config persistence and a factory
@@ -365,6 +407,15 @@ class TacotronSTFT(MelSTFT):
         )
         mel = self.spectral_normalize(mel)
         return self.normalize(mel)
+
+    def inverse(self, mel, *, n_iters = 32, rng = None):
+        """Approximate waveform from a log-mel (filterbank pseudo-inverse +
+        Griffin-Lim) — the weights-free vocoder fallback."""
+        import jax.numpy as jnp
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2: mel = mel[None]
+        linear = mel_to_linear(mel, self.mel_basis)
+        return griffin_lim(linear, self.stft_fn, n_iters = n_iters, rng = rng)
 
     def get_config(self):
         config = super().get_config()
