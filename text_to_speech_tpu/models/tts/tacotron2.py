@@ -203,13 +203,16 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
               vocoder = None,
               silence_time = 0.15,
               vocoder_config = {},
+              batch_chunks = True,
               ** kwargs
              ):
         """Synthesize one text (possibly split into chunks).
 
-        The frames-per-token ratio gates (`min/max_fpt_ratio`) detect
-        degenerate attention (too short / runaway generation) and retry up to
-        `max_trial` times with fresh prenet-dropout noise.
+        With `batch_chunks` (default) all chunks decode in ONE padded batch —
+        a long document's N chunks cost ~1 decoder launch instead of N.  The
+        frames-per-token ratio gates (`min/max_fpt_ratio`) detect degenerate
+        attention (too short / runaway generation); only the failing chunks
+        are retried (with fresh prenet-dropout noise), up to `max_trial`.
         """
         if isinstance(text, dict):
             text = text.get('text', text.get('content'))
@@ -241,40 +244,23 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         synth_time, vocoder_time = 0., 0.
         mels, attn_weights, audios = [], [], []
 
-        for inp in encoded:
+        if encoded:
             start = time.time()
-            length = len(inp)
-            inputs = inp[None] if embeddings is None else (inp[None], np.asarray(embeddings)[None])
-
-            success, outputs = False, None
-            for trial in range(max(1, max_trial)):
-                with Timer('compiled_infer'):
-                    outputs = self.compiled_infer(
-                        inputs, max_length = max_length, ** kwargs
-                    )
-                ratio = float(outputs.lengths[0]) / max(length, 1)
-                if min_fpt_ratio < ratio < max_fpt_ratio:
-                    success = True
-                    break
-                logger.info('inference attempt %d rejected (frames/token ratio %.2f)',
-                            trial + 1, ratio)
-            if not success:
-                logger.warning('inference failed %d times; keeping last output', max_trial)
-
-            # keep at least one frame so downstream vocoding stays shape-valid
-            out_len = max(1, int(outputs.lengths[0]))
-            mel = np.asarray(outputs.mel[0, :out_len])
-            mels.append(mel)
-            attn_weights.append(np.asarray(outputs.attention_weights[0, :out_len]))
-            synth_time += time.time() - start
+            mels, attn_weights = self._synthesize_chunks(
+                encoded, embeddings = embeddings, max_length = max_length,
+                max_trial = max_trial, min_fpt_ratio = min_fpt_ratio,
+                max_fpt_ratio = max_fpt_ratio, batch_chunks = batch_chunks,
+                ** kwargs,
+            )
+            synth_time = time.time() - start
 
             if vocoder is not None:
                 start = time.time()
-                audio = vocoder(mel, ** {** kwargs, ** vocoder_config})
-                audio = np.asarray(audio)
-                if audio.ndim == 2: audio = audio[0]
-                audios.append(audio)
-                vocoder_time += time.time() - start
+                audios = self._vocode_chunks(
+                    vocoder, mels, batch_chunks = batch_chunks,
+                    ** {** kwargs, ** vocoder_config},
+                )
+                vocoder_time = time.time() - start
 
         audio_infos = {}
         if vocoder is not None:
@@ -314,6 +300,79 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             return output
         return predicted.get(text, {k: v for k, v in output.items()
                                     if k not in ('mel', 'attention')})
+
+    def _synthesize_chunks(self, encoded, *, embeddings, max_length, max_trial,
+                           min_fpt_ratio, max_fpt_ratio, batch_chunks = True,
+                           ** kwargs):
+        """Decode every chunk, batched, with per-chunk ratio-gated retries.
+        Returns (mels, attention_weights) lists trimmed to each chunk's length."""
+        n = len(encoded)
+        lengths = [len(e) for e in encoded]
+        mels = [None] * n
+        attn = [None] * n
+
+        pending = list(range(n))
+        for trial in range(max(1, max_trial)):
+            if not pending: break
+            if batch_chunks and len(pending) > 1:
+                groups = [pending]
+            else:
+                groups = [[i] for i in pending]
+
+            still_failing = []
+            for group in groups:
+                tokens = pad_batch([encoded[i] for i in group],
+                                   pad_value = self.blank_token_idx)
+                if embeddings is not None:
+                    emb = np.broadcast_to(
+                        np.asarray(embeddings, np.float32),
+                        (len(group), np.asarray(embeddings).shape[-1]),
+                    )
+                    inputs = (tokens, emb)
+                else:
+                    inputs = tokens
+                with Timer('compiled_infer'):
+                    outputs = self.compiled_infer(
+                        inputs, max_length = max_length, ** kwargs
+                    )
+                out_lengths = np.asarray(outputs.lengths)
+                for row, i in enumerate(group):
+                    ratio = float(out_lengths[row]) / max(lengths[i], 1)
+                    ok = min_fpt_ratio < ratio < max_fpt_ratio
+                    is_last = trial == max(1, max_trial) - 1
+                    if ok or is_last or mels[i] is None:
+                        # keep >=1 frame so downstream vocoding stays shape-valid
+                        out_len = max(1, int(out_lengths[row]))
+                        mels[i] = np.asarray(outputs.mel[row, :out_len])
+                        attn[i] = np.asarray(
+                            outputs.attention_weights[row, :out_len])
+                    if not ok:
+                        logger.info(
+                            'chunk %d attempt %d rejected (frames/token %.2f)',
+                            i, trial + 1, ratio)
+                        still_failing.append(i)
+            if still_failing and trial == max(1, max_trial) - 1:
+                logger.warning('%d chunk(s) failed %d retries; keeping last output',
+                               len(still_failing), max_trial)
+            pending = still_failing
+        return mels, attn
+
+    def _vocode_chunks(self, vocoder, mels, *, batch_chunks = True, ** kwargs):
+        """Vocode chunk mels — in one padded batch when lengths are close
+        (padding waste bounded), else per chunk."""
+        if len(mels) > 1 and batch_chunks and hasattr(vocoder, 'compiled_infer'):
+            max_len = max(m.shape[0] for m in mels)
+            min_len = min(m.shape[0] for m in mels)
+            if min_len >= max_len // 2:          # <2x padding waste
+                batch = pad_batch(mels, pad_value = self.pad_mel_value)
+                audio = np.asarray(vocoder.compiled_infer(batch, ** kwargs))
+                rate = getattr(vocoder, 'upsample_rate', 256)
+                return [audio[i, : m.shape[0] * rate] for i, m in enumerate(mels)]
+        audios = []
+        for mel in mels:
+            audio = np.asarray(vocoder(mel, ** kwargs))
+            audios.append(audio[0] if audio.ndim == 2 else audio)
+        return audios
 
     # -- data processing (training) --------------------------------------------
 
