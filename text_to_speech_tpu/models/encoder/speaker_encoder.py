@@ -57,8 +57,6 @@ class SpeakerEncoder(BaseAudioModel, BaseModel):
     # -- inference ---------------------------------------------------------------
 
     def compiled_embed(self, mel, lengths = None, *, padding_multiple = 64):
-        import jax
-
         mel = np.asarray(mel, np.float32)
         if mel.ndim == 2: mel = mel[None]
         if lengths is None:

@@ -8,8 +8,6 @@ conversion): owns the `MelSTFT`, persists it under ``saving/mel_fn.json``.
 
 import os
 
-import numpy as np
-
 from ...ops import MelSTFT, load_audio, load_mel
 
 

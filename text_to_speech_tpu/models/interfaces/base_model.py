@@ -24,10 +24,9 @@ import numpy as np
 from .. import saving as saving_utils
 from ..registry import get_architecture
 from ...utils import Stream, load_json, dump_json, pad_to_multiple
-from ...utils.callbacks import apply_callbacks
 from ...train.history import History
 from ...train.checkpoint import CheckpointManager
-from ...loggers import timer, Timer
+from ...loggers import timer
 
 logger = logging.getLogger(__name__)
 

@@ -17,7 +17,6 @@ device (see ``models/tacotron2_arch.py``).
 import os
 import time
 import logging
-import functools
 
 import numpy as np
 

@@ -97,7 +97,6 @@ class WaveGlow:
     def fuse_params(self, params):
         """Concatenate each block's per-layer cond convs into one wide
         ``cond_layer`` (numerically identical; one MXU matmul per block)."""
-        import numpy as np
         fused = {}
         for name, value in params.items():
             if not name.startswith('flow_'):

@@ -25,7 +25,6 @@ from .losses import get_loss
 from .optimizers import get_optimizer
 from ..utils.sequence_utils import pad_to_multiple
 from ..parallel import shard_batch, pad_batch_to_devices, replicated
-from ..loggers import Timer
 
 logger = logging.getLogger(__name__)
 
