@@ -64,6 +64,25 @@ class TestSpeakerEncoder:
         assert len(losses) == 3
         assert losses[-1] < losses[0]
 
+    def test_sv2tts_clone_from_audio(self):
+        """Full zero-shot flow: reference audio -> encoder embedding ->
+        conditioned synthesis (the encoder_name delegation path)."""
+        from text_to_speech_tpu.models.tts import SV2TTSTacotron2
+        enc = SpeakerEncoder(name = 'clone_enc', ** TINY)
+        model = SV2TTSTacotron2(
+            lang = 'en', name = 'clone_sv', embedding_dim = enc.embedding_dim,
+            encoder_name = 'clone_enc',
+            encoder_embedding_dim = 16, encoder_n_conv = 1,
+            prenet_sizes = (8, 8), lsa_attention_dim = 8,
+            lsa_attention_filters = 4, attention_rnn_dim = 12,
+            decoder_rnn_dim = 12, postnet_n_conv = 2, postnet_filters = 8,
+            max_decoder_steps = 16,
+        )
+        ref_audio = rows(1, 1)[0]
+        out = model.infer('hello there', audio = ref_audio,
+                          max_trial = 1, max_length = 16)
+        assert out['mel'][0].shape[1] == 80
+
     def test_persistence(self):
         enc = SpeakerEncoder(name = 'enc_persist', ** TINY)
         emb = enc.embed(rows(1, 1)[0])

@@ -356,17 +356,27 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             pending = still_failing
         return mels, attn
 
-    def _vocode_chunks(self, vocoder, mels, *, batch_chunks = True, ** kwargs):
-        """Vocode chunk mels — in one padded batch when lengths are close
-        (padding waste bounded), else per chunk."""
-        if len(mels) > 1 and batch_chunks and hasattr(vocoder, 'compiled_infer'):
-            max_len = max(m.shape[0] for m in mels)
-            min_len = min(m.shape[0] for m in mels)
-            if min_len >= max_len // 2:          # <2x padding waste
-                batch = pad_batch(mels, pad_value = self.pad_mel_value)
+    def _vocode_chunks(self, vocoder, mels, *, batch_chunks = True,
+                       vocoder_batch = 8, ** kwargs):
+        """Vocode chunk mels — in padded sub-batches of `vocoder_batch` when
+        lengths are close (padding waste bounded) and no explicit windowing
+        was requested, else per chunk (which honors `win_len`)."""
+        use_batch = (
+            len(mels) > 1 and batch_chunks
+            and hasattr(vocoder, 'compiled_infer')
+            and kwargs.get('win_len') is None
+            and min(m.shape[0] for m in mels) >= max(m.shape[0] for m in mels) // 2
+        )
+        if use_batch:
+            rate = getattr(vocoder, 'upsample_rate', 256)
+            audios = []
+            for start in range(0, len(mels), vocoder_batch):
+                group = mels[start: start + vocoder_batch]
+                batch = pad_batch(group, pad_value = self.pad_mel_value)
                 audio = np.asarray(vocoder.compiled_infer(batch, ** kwargs))
-                rate = getattr(vocoder, 'upsample_rate', 256)
-                return [audio[i, : m.shape[0] * rate] for i, m in enumerate(mels)]
+                audios.extend(audio[i, : m.shape[0] * rate]
+                              for i, m in enumerate(group))
+            return audios
         audios = []
         for mel in mels:
             audio = np.asarray(vocoder(mel, ** kwargs))
