@@ -139,6 +139,20 @@ class TestWaveGlowModel:
         audio = wg(mel, win_len = 8, hop_len = -2)
         assert audio.shape[-1] == 20 * 8
 
+    def test_windowed_batch_matches_sequential(self):
+        """Cross-chunk window batching must bit-match per-chunk vocoding."""
+        wg = make_wg()
+        rng = np.random.RandomState(0)
+        mels = [rng.randn(L, 80).astype(np.float32) for L in (40, 55, 12)]
+        batched = wg.vocode_windowed_batch(
+            mels, win_len = 16, hop_len = -4, deterministic = True,
+            vocoder_batch = 4,
+        )
+        for mel, audio in zip(mels, batched):
+            ref = np.asarray(wg(mel, win_len = 16, hop_len = -4,
+                                deterministic = True)).reshape(-1)
+            np.testing.assert_allclose(audio, ref[:len(audio)], atol = 1e-5)
+
     def test_batched_windows(self):
         wg = make_wg()
         mel = np.random.randn(1, 20, 80).astype(np.float32)

@@ -361,6 +361,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         """Vocode chunk mels — in padded sub-batches of `vocoder_batch` when
         lengths are close (padding waste bounded) and no explicit windowing
         was requested, else per chunk (which honors `win_len`)."""
+        if (len(mels) > 1 and batch_chunks and kwargs.get('win_len')
+                and hasattr(vocoder, 'vocode_windowed_batch')):
+            # long-document fast path: every chunk's windows in shared batches
+            return vocoder.vocode_windowed_batch(
+                mels, pad_value = self.pad_mel_value,
+                vocoder_batch = vocoder_batch, ** kwargs)
+
         use_batch = (
             len(mels) > 1 and batch_chunks
             and hasattr(vocoder, 'compiled_infer')

@@ -167,6 +167,70 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
     __call__ = infer
 
+    def vocode_windowed_batch(self, mels, *, win_len, hop_len = -64,
+                              pad_value = None, vocoder_batch = 8, ** kwargs):
+        """Windowed vocoding of MANY mels with the windows batched together
+        across inputs (the long-document fast path: one chip-saturating call
+        per `vocoder_batch` windows instead of one call per window).
+
+        Returns one stitched waveform per input mel."""
+        if isinstance(win_len, float):
+            win_len = int(win_len)
+        if isinstance(hop_len, float): hop_len = int(win_len * hop_len)
+        if hop_len < 0: hop_len = win_len + hop_len
+        if pad_value is None: pad_value = self.pad_mel_value
+        kwargs.pop('padding_multiple', None)    # windows are already one bucket
+        rate = self.upsample_rate
+
+        # collect (input_idx, start, valid_frames) for every window
+        jobs, windows = [], []
+        for idx, mel in enumerate(mels):
+            mel = np.asarray(mel)
+            if mel.ndim == 3: mel = mel[0]
+            seq_len = mel.shape[0]
+            starts = _get_steps(seq_len, win_len, hop_len) if seq_len > win_len \
+                else np.array([0])
+            for start in starts:
+                part = mel[start: start + win_len]
+                valid = part.shape[0]
+                if valid < win_len:
+                    part = np.pad(part, ((0, win_len - valid), (0, 0)),
+                                  constant_values = pad_value)
+                jobs.append((idx, int(start), valid))
+                windows.append(part)
+
+        # vocode all windows in shared sub-batches
+        audio_parts = []
+        for lo in range(0, len(windows), vocoder_batch):
+            batch = np.stack(windows[lo: lo + vocoder_batch])
+            out = np.asarray(self.compiled_infer(
+                batch, padding_multiple = None, ** kwargs))
+            audio_parts.extend(out[i] for i in range(len(batch)))
+
+        # stitch per input with half-overlap trimming
+        results = []
+        cursor = 0
+        for idx, mel in enumerate(mels):
+            mel = np.asarray(mel)
+            if mel.ndim == 3: mel = mel[0]
+            seq_len = mel.shape[0]
+            my_jobs = []
+            while cursor < len(jobs) and jobs[cursor][0] == idx:
+                my_jobs.append((jobs[cursor], audio_parts[cursor]))
+                cursor += 1
+            starts = np.array([j[0][1] for j in my_jobs])
+            overlaps = ((starts[:-1] + win_len) - starts[1:]) * rate \
+                if len(starts) > 1 else np.array([], np.int64)
+            pieces = []
+            for i, ((_, start, valid), audio) in enumerate(my_jobs):
+                audio = audio[: valid * rate]
+                lo2 = 0 if i == 0 else int(overlaps[i - 1]) // 2
+                trim = 0 if i == len(my_jobs) - 1 else int(overlaps[i]) // 2
+                pieces.append(audio[lo2: len(audio) - trim])
+            stitched = np.concatenate(pieces)[: seq_len * rate]
+            results.append(stitched)
+        return results
+
     # -- data processing (training) --------------------------------------------
 
     def prepare_data(self, data):
