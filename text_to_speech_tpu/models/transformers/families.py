@@ -17,6 +17,44 @@ from .transformer_arch import Transformer
 logger = logging.getLogger(__name__)
 
 
+class EncoderDecoder:
+    """Two-stack wrapper (BART/T5/Whisper): params = {'encoder', 'decoder'};
+    API-compatible with `generation_utils.generate`."""
+
+    def __init__(self, encoder, decoder):
+        self.encoder = encoder
+        self.decoder = decoder
+        self.hp = decoder.hp
+
+    def init(self, key):
+        import jax
+        k1, k2 = jax.random.split(key)
+        return {'encoder': self.encoder.init(k1, decoder = False),
+                'decoder': self.decoder.init(k2, decoder = True)}
+
+    def encode(self, params, tokens, ** kwargs):
+        if self.encoder.hp.audio_stem:
+            return self.encoder.encode_audio(params['encoder'], tokens)
+        return self.encoder.encode(params['encoder'], tokens, ** kwargs)
+
+    def decode(self, params, tokens, *, caches = None, encoder_output = None,
+               encoder_mask = None, ** kwargs):
+        return self.decoder.decode(
+            params['decoder'], tokens, caches = caches,
+            encoder_output = encoder_output, encoder_mask = encoder_mask,
+            ** kwargs)
+
+    def init_caches(self, batch, max_length, ** kwargs):
+        return self.decoder.init_caches(batch, max_length, ** kwargs)
+
+    def __call__(self, params, enc_tokens, dec_tokens, ** kwargs):
+        encoder_output, encoder_mask = self.encode(params, enc_tokens, ** kwargs)
+        logits, _ = self.decode(params, dec_tokens,
+                                encoder_output = encoder_output,
+                                encoder_mask = encoder_mask)
+        return logits
+
+
 def _t(w):
     return np.asarray(w).T.copy()
 
@@ -202,10 +240,10 @@ def convert_mistral_state_dict(sd):
 def bart_config(hf_config = None, ** kwargs):
     cfg = dict(
         vocab_size = 50265, dim = 768, n_layers = 6, n_heads = 12,
-        ffn_dim = 3072, ffn_activation = 'gelu', norm = 'layer',
-        norm_first = False, positional = 'learned', max_position = 1024,
+        ffn_dim = 3072, ffn_activation = 'gelu_exact', norm = 'layer',
+        norm_first = False, positional = 'learned', max_position = 1026,
         use_final_norm = False, use_cross_attention = True,
-        scale_embedding = False,
+        scale_embedding = False, position_offset = 2,
     )
     if hf_config is not None:
         cfg.update(vocab_size = hf_config.vocab_size, dim = hf_config.d_model,
@@ -238,13 +276,142 @@ def t5_config(hf_config = None, ** kwargs):
         ffn_dim = 2048, ffn_activation = 'relu', norm = 'rms',
         norm_first = True, positional = 'none', use_final_norm = True,
         use_cross_attention = True, use_bias = False, epsilon = 1e-6,
+        use_relative_bias = True, attention_scale = 1.0,
     )
     if hf_config is not None:
         cfg.update(vocab_size = hf_config.vocab_size, dim = hf_config.d_model,
                    n_layers = hf_config.num_layers, n_heads = hf_config.num_heads,
-                   ffn_dim = hf_config.d_ff)
+                   ffn_dim = hf_config.d_ff,
+                   rel_buckets = hf_config.relative_attention_num_buckets,
+                   gated_ffn = getattr(hf_config, 'is_gated_act', False),
+                   ffn_activation = 'gelu_new' if getattr(
+                       hf_config, 'is_gated_act', False) else 'relu')
     cfg.update(kwargs)
     return cfg
+
+
+def build_t5(hf_config = None, ** kwargs):
+    cfg = t5_config(hf_config, ** kwargs)
+    return EncoderDecoder(Transformer(** cfg), Transformer(** cfg))
+
+
+def build_bart(hf_config = None, ** kwargs):
+    cfg = bart_config(hf_config, ** kwargs)
+    return EncoderDecoder(Transformer(** cfg), Transformer(** cfg))
+
+
+def build_whisper(hf_config = None, ** kwargs):
+    enc_cfg = whisper_config(hf_config, ** kwargs)
+    dec_cfg = dict(enc_cfg)
+    enc_cfg.update(audio_stem = True, positional = 'none')
+    dec_cfg.update(positional = 'learned', max_position = 448)
+    if hf_config is not None:
+        enc_cfg['n_mels'] = hf_config.num_mel_bins
+        dec_cfg.update(n_layers = hf_config.decoder_layers,
+                       max_position = hf_config.max_target_positions)
+    return EncoderDecoder(Transformer(** enc_cfg), Transformer(** dec_cfg))
+
+
+def _attn_params(sd, prefix, q = 'q_proj', k = 'k_proj', v = 'v_proj',
+                 o = 'out_proj'):
+    def one(name):
+        out = {'kernel': _t(sd['{}.{}.weight'.format(prefix, name)])}
+        bias_key = '{}.{}.bias'.format(prefix, name)
+        if bias_key in sd: out['bias'] = np.asarray(sd[bias_key])
+        return out
+    return {'query': one(q), 'key': one(k), 'value': one(v), 'output': one(o)}
+
+
+def convert_t5_state_dict(sd):
+    """HF T5 → {'encoder', 'decoder'} trees (rms norms, shared rel-bias on
+    layer 0 of each stack, no biases)."""
+    def stack(side, cross):
+        p = {'embedding': {'embeddings': np.asarray(sd['shared.weight'])},
+             'final_norm': _norm_params(side + '.final_layer_norm', sd, 'rms')}
+        bias_key = (side + '.block.0.layer.0.SelfAttention'
+                    '.relative_attention_bias.weight')
+        if bias_key in sd:
+            p['relative_bias'] = {'embeddings': np.asarray(sd[bias_key])}
+        i = 0
+        while '{}.block.{}.layer.0.SelfAttention.q.weight'.format(side, i) in sd:
+            base = '{}.block.{}.layer'.format(side, i)
+            layer = {
+                'attention': _attn_params(sd, base + '.0.SelfAttention',
+                                          'q', 'k', 'v', 'o'),
+                'attention_norm': _norm_params(base + '.0.layer_norm', sd, 'rms'),
+            }
+            ffn_idx = 2 if cross else 1
+            if cross:
+                layer['cross_attention'] = _attn_params(
+                    sd, base + '.1.EncDecAttention', 'q', 'k', 'v', 'o')
+                layer['cross_norm'] = _norm_params(base + '.1.layer_norm', sd, 'rms')
+            dense = base + '.{}.DenseReluDense'.format(ffn_idx)
+            if dense + '.wi.weight' in sd:
+                layer['ffn'] = {'up': {'kernel': _t(sd[dense + '.wi.weight'])},
+                                'down': {'kernel': _t(sd[dense + '.wo.weight'])}}
+            else:  # gated (t5 v1.1)
+                layer['ffn'] = {'gate': {'kernel': _t(sd[dense + '.wi_0.weight'])},
+                                'up': {'kernel': _t(sd[dense + '.wi_1.weight'])},
+                                'down': {'kernel': _t(sd[dense + '.wo.weight'])}}
+            layer['ffn_norm'] = _norm_params(
+                base + '.{}.layer_norm'.format(ffn_idx), sd, 'rms')
+            p['layer_{}'.format(i)] = layer
+            i += 1
+        return p
+
+    return {'encoder': stack('encoder', False), 'decoder': stack('decoder', True)}
+
+
+def _bart_like_stack(sd, side, cross, norm = 'layer'):
+    p = {}
+    emb = sd.get(side + '.embed_tokens.weight', sd.get('shared.weight'))
+    if emb is not None:
+        p['embedding'] = {'embeddings': np.asarray(emb)}
+    if side + '.embed_positions.weight' in sd:
+        p['position_embedding'] = {'embeddings': np.asarray(
+            sd[side + '.embed_positions.weight'])}
+    if side + '.layernorm_embedding.weight' in sd:
+        p['embedding_norm'] = _norm_params(side + '.layernorm_embedding', sd)
+    if side + '.layer_norm.weight' in sd:
+        p['final_norm'] = _norm_params(side + '.layer_norm', sd)
+    i = 0
+    while '{}.layers.{}.self_attn.q_proj.weight'.format(side, i) in sd:
+        base = '{}.layers.{}'.format(side, i)
+        layer = {
+            'attention': _attn_params(sd, base + '.self_attn'),
+            'attention_norm': _norm_params(base + '.self_attn_layer_norm', sd),
+            'ffn': {'up': {'kernel': _t(sd[base + '.fc1.weight']),
+                           'bias': np.asarray(sd[base + '.fc1.bias'])},
+                    'down': {'kernel': _t(sd[base + '.fc2.weight']),
+                             'bias': np.asarray(sd[base + '.fc2.bias'])}},
+            'ffn_norm': _norm_params(base + '.final_layer_norm', sd),
+        }
+        if cross and base + '.encoder_attn.q_proj.weight' in sd:
+            layer['cross_attention'] = _attn_params(sd, base + '.encoder_attn')
+            layer['cross_norm'] = _norm_params(base + '.encoder_attn_layer_norm', sd)
+        p['layer_{}'.format(i)] = layer
+        i += 1
+    return p
+
+
+def convert_bart_state_dict(sd):
+    sd = {k.replace('model.', ''): v for k, v in sd.items()}
+    return {'encoder': _bart_like_stack(sd, 'encoder', False),
+            'decoder': _bart_like_stack(sd, 'decoder', True)}
+
+
+def convert_whisper_state_dict(sd):
+    sd = {k.replace('model.', ''): v for k, v in sd.items()}
+    params = convert_bart_state_dict(sd)
+    enc = params['encoder']
+    enc.pop('embedding', None)
+    enc['stem'] = {
+        'conv1': {'kernel': np.asarray(sd['encoder.conv1.weight']).transpose(2, 1, 0),
+                  'bias': np.asarray(sd['encoder.conv1.bias'])},
+        'conv2': {'kernel': np.asarray(sd['encoder.conv2.weight']).transpose(2, 1, 0),
+                  'bias': np.asarray(sd['encoder.conv2.bias'])},
+    }
+    return params
 
 
 _FAMILIES = {
@@ -252,11 +419,13 @@ _FAMILIES = {
     'bert': (bert_config, convert_bert_state_dict),
     'xlm-roberta': (xlm_roberta_config, convert_bert_state_dict),
     'mistral': (mistral_config, convert_mistral_state_dict),
-    'bart': (bart_config, None),
-    'mbart': (bart_config, None),
-    'whisper': (whisper_config, None),
-    't5': (t5_config, None),
+    'bart': (build_bart, convert_bart_state_dict),
+    'mbart': (build_bart, convert_bart_state_dict),
+    'whisper': (build_whisper, convert_whisper_state_dict),
+    't5': (build_t5, convert_t5_state_dict),
 }
+
+_ENCODER_DECODER = {'bart', 'mbart', 'whisper', 't5'}
 
 
 def get_family(name):
@@ -283,7 +452,10 @@ def from_hf_pretrained(name_or_model, family = None, ** kwargs):
         raise NotImplementedError(
             'weight import for family {!r} is not wired yet'.format(family))
 
-    model = Transformer(** config_fn(hf.config, ** kwargs))
+    if family in _ENCODER_DECODER:
+        model = config_fn(hf.config, ** kwargs)
+    else:
+        model = Transformer(** config_fn(hf.config, ** kwargs))
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
     params = convert_fn(sd)
     import jax.numpy as jnp

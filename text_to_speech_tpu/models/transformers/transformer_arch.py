@@ -40,7 +40,37 @@ HParamsTransformer = HParams(
     tie_embeddings = True,
     use_cross_attention = False,
     use_token_type = False,
+    attention_scale = None,            # None = 1/sqrt(head_dim); T5 uses 1.0
+    use_relative_bias = False,         # T5-style bucketed relative positions
+    rel_buckets = 32,
+    rel_max_distance = 128,
+    position_offset = 0,               # BART stores positions shifted by 2
+    audio_stem = False,                # Whisper conv1/conv2 mel front-end
+    n_mels = 80,
 )
+
+
+def t5_relative_buckets(relative_position, *, bidirectional, num_buckets = 32,
+                        max_distance = 128):
+    """T5's standard log-bucketed relative-position function."""
+    import numpy as _np
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
+        / _np.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
 
 
 def sinusoidal_embedding(max_position, dim):
@@ -108,6 +138,14 @@ class Transformer:
         if hp.use_token_type:
             params['token_type_embedding'] = nn.init_embedding(next(keys), 2, hp.dim)
         cross = hp.use_cross_attention if decoder is None else decoder
+        if hp.audio_stem:
+            params['stem'] = {
+                'conv1': nn.init_conv1d(next(keys), 3, hp.n_mels, hp.dim),
+                'conv2': nn.init_conv1d(next(keys), 3, hp.dim, hp.dim),
+            }
+        if hp.use_relative_bias:
+            params['relative_bias'] = nn.init_embedding(
+                next(keys), hp.rel_buckets, hp.n_heads)
         for i in range(hp.n_layers):
             params['layer_{}'.format(i)] = self._init_block(next(keys), cross = cross)
         if hp.use_final_norm:
@@ -126,15 +164,29 @@ class Transformer:
                             act(nn.dense(params['gate'], x)) * nn.dense(params['up'], x))
         return nn.dense(params['down'], act(nn.dense(params['up'], x)))
 
+    def _relative_bias(self, params, q_len, k_len, *, bidirectional, offset = 0):
+        """(1, H, Tq, Tk) additive attention bias (T5)."""
+        hp = self.hp
+        q_pos = offset + jnp.arange(q_len)[:, None]
+        k_pos = jnp.arange(k_len)[None, :]
+        buckets = t5_relative_buckets(
+            k_pos - q_pos, bidirectional = bidirectional,
+            num_buckets = hp.rel_buckets, max_distance = hp.rel_max_distance,
+        )
+        bias = nn.embedding(params['relative_bias'], buckets)   # (Tq, Tk, H)
+        return jnp.transpose(bias, (2, 0, 1))[None]
+
     def block(self, params, x, *, mask = None, cache = None,
-              encoder_output = None, encoder_mask = None, positions = None):
+              encoder_output = None, encoder_mask = None, positions = None,
+              rel_bias = None):
         hp = self.hp
         use_rope = hp.positional == 'rope'
 
         def attn(x_in):
             return mha(params['attention'], x_in, n_heads = hp.n_heads,
                        mask = mask, cache = cache, positions = positions,
-                       use_rope = use_rope)
+                       use_rope = use_rope, rel_bias = rel_bias,
+                       scale = hp.attention_scale)
 
         if hp.norm_first:
             h, new_cache = attn(self._norm(params['attention_norm'], x))
@@ -146,7 +198,8 @@ class Transformer:
         if encoder_output is not None and 'cross_attention' in params:
             def cross(x_in):
                 return mha(params['cross_attention'], x_in, encoder_output,
-                           n_heads = hp.n_heads, mask = encoder_mask)[0]
+                           n_heads = hp.n_heads, mask = encoder_mask,
+                           scale = hp.attention_scale)[0]
             if hp.norm_first:
                 x = x + cross(self._norm(params['cross_norm'], x))
             else:
@@ -167,7 +220,7 @@ class Transformer:
             x = x * (hp.dim ** 0.5)
         T = tokens.shape[1]
         if hp.positional == 'learned':
-            pos = offset + jnp.arange(T)
+            pos = hp.position_offset + offset + jnp.arange(T)
             x = x + nn.embedding(params['position_embedding'], pos)[None]
         elif hp.positional == 'sinusoidal':
             table = sinusoidal_embedding(hp.max_position, hp.dim)
@@ -193,11 +246,37 @@ class Transformer:
                                  pad_token = self.hp.pad_token,
                                  max_length = tokens.shape[1])
         x = self.embed(params, tokens, token_type = token_type)
+        rel_bias = None
+        if self.hp.use_relative_bias:
+            T = tokens.shape[1]
+            rel_bias = self._relative_bias(params, T, T, bidirectional = True)
         for i in range(self.hp.n_layers):
-            x, _ = self.block(params['layer_{}'.format(i)], x, mask = mask)
+            x, _ = self.block(params['layer_{}'.format(i)], x, mask = mask,
+                              rel_bias = rel_bias)
         if self.hp.use_final_norm:
             x = self._norm(params['final_norm'], x)
         return x, mask
+
+    def encode_audio(self, params, mel):
+        """Whisper-style audio encoder: conv stem (stride-2 downsample) +
+        sinusoidal positions + non-causal layers.  mel (B, T, n_mels) →
+        (hidden (B, T//2, D), mask=None)."""
+        hp = self.hp
+        x = jax.nn.gelu(nn.conv1d(params['stem']['conv1'], mel, padding = 'SAME'))
+        # explicit symmetric padding: torch's stride-2 "padding=1" windows are
+        # shifted one step vs XLA's SAME
+        x = jax.nn.gelu(nn.conv1d(params['stem']['conv2'], x, stride = 2,
+                                  padding = [(1, 1)]))
+        T = x.shape[1]
+        if 'position_embedding' in params:
+            x = x + params['position_embedding']['embeddings'][None, :T]
+        else:
+            x = x + sinusoidal_embedding(hp.max_position, hp.dim)[None, :T]
+        for i in range(hp.n_layers):
+            x, _ = self.block(params['layer_{}'.format(i)], x)
+        if hp.use_final_norm:
+            x = self._norm(params['final_norm'], x)
+        return x, None
 
     def decode(self, params, tokens, *, caches = None, offset = None,
                encoder_output = None, encoder_mask = None, positions = None,
@@ -221,13 +300,20 @@ class Transformer:
                 tokens = tokens, pad_token = hp.pad_token))
 
         x = self.embed(params, tokens, offset = offset if offset is not None else 0)
+        rel_bias = None
+        if hp.use_relative_bias:
+            k_len = caches[0]['k'].shape[1] if caches is not None else T
+            rel_bias = self._relative_bias(
+                params, T, k_len, bidirectional = False,
+                offset = caches[0]['index'] if caches is not None else 0,
+            )
         new_caches = []
         for i in range(hp.n_layers):
             cache_i = caches[i] if caches is not None else None
             x, new_cache = self.block(
                 params['layer_{}'.format(i)], x, mask = mask, cache = cache_i,
                 encoder_output = encoder_output, encoder_mask = encoder_mask,
-                positions = positions,
+                positions = positions, rel_bias = rel_bias,
             )
             new_caches.append(new_cache)
         if hp.use_final_norm:
