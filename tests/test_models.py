@@ -200,6 +200,27 @@ class TestSV2TTS:
         np.testing.assert_allclose(emb, np.array([0.5, 0., 0.5, 0.]))
 
 
+class TestBatchedPredict:
+    def test_batched_matches_structure(self, model_root):
+        model = make_taco()
+        wg = make_wg()
+        texts = ['first one', 'second text', 'third entry']
+        out = model.predict(texts, batch_size = 4, vocoder = wg,
+                            max_trial = 1, max_length = 16, save = True)
+        assert [o['text'] for o in out] == texts
+        assert all('audio' in o for o in out)
+        # cache hit on second call
+        out2 = model.predict(texts, batch_size = 4, vocoder = wg,
+                             max_trial = 1, max_length = 16)
+        assert len(out2) == 3
+
+    def test_batched_without_vocoder(self):
+        model = make_taco('test_taco_b2')
+        out = model.predict(['one', 'two'], batch_size = 2, max_trial = 1,
+                            max_length = 16, save = False)
+        assert all(o['mel'][0].shape[1] == 80 for o in out)
+
+
 class TestTTSFacade:
     def test_tts_with_instances(self):
         model = make_taco()

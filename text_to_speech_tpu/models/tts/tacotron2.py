@@ -503,9 +503,121 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     # -- predict / stream -------------------------------------------------------
 
     @timer
-    def predict(self, inputs, ** kwargs):
+    def predict(self, inputs, *, batch_size = None, ** kwargs):
+        """With ``batch_size > 1`` and a list input, texts are synthesized in
+        cross-text batches (every text's chunks share decoder/vocoder
+        launches) instead of streaming one at a time."""
         if isinstance(inputs, (str, dict)): inputs = [inputs]
+        if batch_size and batch_size > 1 and isinstance(inputs, (list, tuple)):
+            return self.predict_batched(list(inputs), batch_size = batch_size,
+                                        ** kwargs)
         return super().predict(inputs, ** kwargs)
+
+    def predict_batched(self,
+                        texts,
+                        *,
+                        batch_size = 8,
+                        callbacks = None,
+                        overwrite = False,
+                        vocoder = None,
+                        embeddings = None,
+                        max_length = 10.,
+                        max_text_length = -1,
+                        max_trial = 5,
+                        min_fpt_ratio = 2.,
+                        max_fpt_ratio = 10.,
+                        vocoder_config = {},
+                        return_output = True,
+                        ** kwargs
+                       ):
+        """Batched multi-text synthesis: all chunks of up to `batch_size`
+        texts decode together; vocoding is batched the same way."""
+        if callbacks is None:
+            predicted, callbacks = self.get_inference_callbacks(
+                vocoder = vocoder, ** kwargs)
+        else:
+            predicted = {}
+
+        texts = [t.get('text', t.get('content')) if isinstance(t, dict) else t
+                 for t in texts]
+        results = []
+        for group_start in range(0, len(texts), batch_size):
+            group = texts[group_start: group_start + batch_size]
+
+            flat_chunks, owners, metas = [], [], []
+            for text in group:
+                if not overwrite and text in predicted:
+                    metas.append(None)      # served from cache below
+                    continue
+                if max_text_length == -1:
+                    splitted = [text]
+                elif max_text_length == -2:
+                    splitted = split_sentences(text)
+                else:
+                    splitted = split_text(text, max_text_length)
+                splitted = [self.clean_text(s) for s in splitted]
+                splitted = [s for s in splitted if any(c.isalnum() for c in s)]
+                encoded = [self.encode_text(s, cleaned = True) for s in splitted]
+                keep = [i for i, e in enumerate(encoded) if len(e)]
+                splitted = [splitted[i] for i in keep]
+                encoded = [encoded[i] for i in keep]
+                metas.append((text, splitted))
+                for enc in encoded:
+                    owners.append(len(metas) - 1)
+                    flat_chunks.append(enc)
+
+            chunk_mels, chunk_attn = (
+                self._synthesize_chunks(
+                    flat_chunks, embeddings = embeddings,
+                    max_length = max_length, max_trial = max_trial,
+                    min_fpt_ratio = min_fpt_ratio,
+                    max_fpt_ratio = max_fpt_ratio, ** kwargs,
+                ) if flat_chunks else ([], [])
+            )
+            chunk_audios = (
+                self._vocode_chunks(vocoder, chunk_mels,
+                                    ** {** kwargs, ** vocoder_config})
+                if vocoder is not None and chunk_mels else []
+            )
+
+            for meta_idx, meta in enumerate(metas):
+                text = group[meta_idx]
+                if meta is None:            # cache hit
+                    if callbacks:
+                        apply_callbacks(callbacks, predicted[text], {},
+                                        save = False)
+                    results.append(predicted[text])
+                    continue
+                _, splitted = meta
+                idx = [i for i, o in enumerate(owners) if o == meta_idx]
+                mels = [chunk_mels[i] for i in idx]
+                attn = [chunk_attn[i] for i in idx]
+                output = {
+                    'text': text,
+                    'cleaned': '\n\n'.join(splitted) if len(splitted) > 1
+                               else (splitted[0] if splitted else ''),
+                    'splitted': splitted, 'mel': mels, 'attention': attn,
+                }
+                if vocoder is not None:
+                    audios = [chunk_audios[i] for i in idx]
+                    audio = (audios[0] if len(audios) == 1
+                             else np.concatenate(audios)) if audios else \
+                        np.zeros((int(0.15 * self.rate),), np.float32)
+                    output.update(audio = audio, rate = self.rate,
+                                  time = len(audio) / self.rate)
+                if callbacks:
+                    if text not in predicted:
+                        predicted[text] = {
+                            k: v for k, v in output.items()
+                            if k not in ('mel', 'attention', 'audio')
+                        }
+                    apply_callbacks(callbacks, predicted[text], output,
+                                    save = True)
+                results.append(output if return_output else predicted.get(text, {}))
+
+        for cb in callbacks:
+            if hasattr(cb, 'join'): cb.join()
+        return results
 
     def stream(self, stream, *, vocoder, ** kwargs):
         self.precompile_for_stream(vocoder = vocoder, ** kwargs)
