@@ -226,3 +226,14 @@ class TestRegistry:
         assert isinstance(model, WaveGlow)
         with pytest.raises(ValueError):
             get_architecture('unknown_arch')
+
+
+class TestWaveGlowInt8:
+    def test_quantized_inference_runs(self, wg):
+        """int8-quantized params produce finite audio (experimental path)."""
+        model, params = wg
+        pq = model.quantize_params(params)
+        assert pq['flow_0']['block']['in_conv_0']['kernel_q'].dtype == np.int8
+        mel = jax.random.normal(KEY, (1, 8, 6))
+        audio = model.infer(pq, mel, deterministic = True)
+        assert bool(jnp.isfinite(audio).all())

@@ -116,6 +116,64 @@ class WaveGlow:
             fused[name] = {'convinv': value['convinv'], 'block': block}
         return fused
 
+    # -- int8 quantization -------------------------------------------------------
+
+    def quantize_params(self, params):
+        """Quantize the WN convs to int8 (symmetric, per-output-channel
+        weight scales); activations quantize dynamically per tensor.
+
+        EXPERIMENTAL — measured on v5e (random weights): isolated int8 convs
+        run ~2x bf16 (495 vs 255 TOPS), but end-to-end this path is ~5x
+        SLOWER than bf16 (16x vs 81x real-time) because the per-conv
+        quant/dequant elementwise passes dominate, and waveform SNR vs f32
+        is ~15 dB (flow inversions amplify quantization noise).  Making int8
+        pay requires fusing quantization into the conv kernels (Pallas,
+        round-2) plus calibrated static scales.  Start/end/upsample/1x1
+        convs stay full precision.
+        """
+        import numpy as np
+
+        def quantize_conv(conv):
+            w = np.asarray(conv['kernel'], np.float32)
+            scale = np.max(np.abs(w), axis = (0, 1)) / 127.
+            scale = np.maximum(scale, 1e-8)
+            out = {
+                'kernel_q': np.clip(np.round(w / scale), -127, 127).astype(np.int8),
+                'scale': scale.astype(np.float32),
+            }
+            if 'bias' in conv: out['bias'] = np.asarray(conv['bias'])
+            return out
+
+        quantized = {}
+        for name, value in params.items():
+            if not name.startswith('flow_'):
+                quantized[name] = value
+                continue
+            block = {}
+            for key, conv in value['block'].items():
+                if key.startswith(('in_conv', 'cond', 'res_skip')):
+                    block[key] = quantize_conv(conv)
+                else:
+                    block[key] = conv
+            quantized[name] = {'convinv': value['convinv'], 'block': block}
+        return quantized
+
+    @staticmethod
+    def _conv_int8(q, x, *, dilation = 1):
+        """Dynamic-activation int8 conv: y = (x_q ⊛ w_q) · (a_scale · w_scale)."""
+        from jax import lax
+        a_scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32) / 127., 1e-8)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                       -127, 127).astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            x_q, q['kernel_q'], (1,), 'SAME', rhs_dilation = (dilation,),
+            dimension_numbers = ('NWC', 'WIO', 'NWC'),
+            preferred_element_type = jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (a_scale * q['scale'])
+        if 'bias' in q: y = y + q['bias']
+        return y
+
     # -- WN coupling block -----------------------------------------------------
 
     def wn_block(self, block, audio_half, spect):
@@ -123,11 +181,15 @@ class WaveGlow:
         residual + skip accumulation; returns (B, T, 2*n_half) [b | s]."""
         hp = self.hp
         n_ch = hp.wn_channels
+        int8 = 'kernel_q' in block.get('in_conv_0', {})
         x = nn.conv1d(block['start'], audio_half)
         cond_all = None
         if 'cond_layer' in block:
             # single wide matmul for every layer's conditioning projection
-            cond_all = nn.conv1d(block['cond_layer'], spect)
+            if int8:
+                cond_all = self._conv_int8(block['cond_layer'], spect)
+            else:
+                cond_all = nn.conv1d(block['cond_layer'], spect)
 
         # the fused Pallas kernel needs lane-aligned channels and whole tiles
         pallas_ok = (
@@ -141,12 +203,26 @@ class WaveGlow:
         for i in range(hp.wn_layers):
             if cond_all is not None:
                 cond = cond_all[..., i * 2 * n_ch: (i + 1) * 2 * n_ch]
+            elif int8:
+                cond = self._conv_int8(block['cond_conv_{}'.format(i)], spect)
             else:
                 cond = nn.conv1d(block['cond_conv_{}'.format(i)], spect)
 
             in_conv = block['in_conv_{}'.format(i)]
             rs_conv = block['res_skip_conv_{}'.format(i)]
             last = i == hp.wn_layers - 1
+
+            if int8:
+                acts = self._conv_int8(in_conv, x, dilation = 2 ** i) + cond
+                gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
+                res_skip = self._conv_int8(rs_conv, gated)
+                if not last:
+                    x = x + res_skip[..., :n_ch].astype(x.dtype)
+                    skip = res_skip[..., n_ch:]
+                else:
+                    skip = res_skip
+                output = skip if output is None else output + skip
+                continue
 
             if pallas_ok:
                 from ..ops.pallas_kernels import fused_wn_layer
@@ -178,7 +254,8 @@ class WaveGlow:
                 else:
                     skip = res_skip
             output = skip if output is None else output + skip
-        return nn.conv1d(block['end'], output)
+        # int8 layers accumulate skips in f32; match the end kernel's dtype
+        return nn.conv1d(block['end'], output.astype(block['end']['kernel'].dtype))
 
     # -- mel conditioning ------------------------------------------------------
 
@@ -208,7 +285,9 @@ class WaveGlow:
         if sigma is None: sigma = hp.sigma
         if rng is None: rng = jax.random.PRNGKey(0)
         if dtype is not None:
-            params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+            cast = lambda leaf: leaf.astype(dtype) \
+                if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating) else leaf
+            params = jax.tree_util.tree_map(cast, params)
             mel = mel.astype(dtype)
 
         spect = self.upsample_mel(params, mel)
