@@ -173,3 +173,37 @@ class TestTokenizer:
         assert en_symbols[0] == '_'
         # fr: pad + '-' + 10 punct + 52 letters + 6 accents = 70
         assert len(fr_symbols) == 70
+
+
+class TestCTCBeam:
+    def test_beam_matches_greedy_on_clean_logits(self):
+        tok = Tokenizer(list('_abc'), level = 'char', blank_token = '_')
+        # unambiguous logits spelling "ab" with blanks/repeats
+        T, V = 6, 4
+        logits = np.full((T, V), -5., np.float32)
+        for t, c in enumerate([1, 1, 0, 2, 0, 0]):   # a a _ b _ _
+            logits[t, c] = 5.
+        assert tok.ctc_decode(logits) == 'ab'
+        assert tok.ctc_decode(logits, method = 'beam', beam_width = 4) == 'ab'
+
+    def test_beam_merges_paths(self):
+        """Beam should prefer a label whose probability mass is split across
+        two alignments over a single-alignment competitor."""
+        tok = Tokenizer(list('_ab'), level = 'char', blank_token = '_')
+        # t0: a=0.6 b=0.4 ; t1: blank=0.6 b=0.4 -> greedy gives 'a'
+        # P('b') = P(b,b)+P(b,_)+(_,b) = .4*.4+.4*.6+... compare structures
+        logits = np.log(np.array([
+            [0.01, 0.54, 0.45],
+            [0.50, 0.01, 0.49],
+        ], np.float32))
+        greedy = tok.ctc_decode(logits)
+        beam = tok.ctc_decode(logits, method = 'beam', beam_width = 4)
+        assert greedy == 'a'
+        assert beam == 'b'   # mass of 'b' across alignments beats 'a'
+
+    def test_beam_batch(self):
+        tok = Tokenizer(list('_ab'), level = 'char', blank_token = '_')
+        logits = np.full((2, 3, 3), -4., np.float32)
+        logits[:, :, 1] = 3.
+        out = tok.ctc_decode(logits, method = 'beam')
+        assert out == ['a', 'a']

@@ -31,6 +31,58 @@ class TokenizerLevel:
         raise ValueError('Unknown tokenizer level: {}'.format(level))
 
 
+def ctc_beam_search(logits, blank, beam_width = 8):
+    """Prefix beam search for CTC (log domain).
+
+    logits (T, V) → best label sequence (list of ids).  Tracks per-prefix
+    (p_blank, p_non_blank) so repeats/blanks merge correctly
+    (the `utils/text/ctc_decoder.py:36` capability).
+    """
+    logp = logits - _logsumexp(logits, axis = -1, keepdims = True)
+    NEG = -1e30
+    beams = {(): (0.0, NEG)}          # prefix -> (log p ending blank, ending non-blank)
+
+    for t in range(logp.shape[0]):
+        step = logp[t]
+        new_beams = {}
+
+        def add(prefix, pb, pnb):
+            old_pb, old_pnb = new_beams.get(prefix, (NEG, NEG))
+            new_beams[prefix] = (np.logaddexp(old_pb, pb),
+                                 np.logaddexp(old_pnb, pnb))
+
+        top_labels = np.argsort(-step)[: max(beam_width, 4)]
+        for prefix, (pb, pnb) in beams.items():
+            total = np.logaddexp(pb, pnb)
+            # extend with blank: prefix unchanged
+            add(prefix, total + step[blank], NEG)
+            for c in top_labels:
+                c = int(c)
+                if c == blank: continue
+                p_c = step[c]
+                if prefix and prefix[-1] == c:
+                    # repeat: same prefix only via non-blank path...
+                    add(prefix, NEG, pnb + p_c)
+                    # ...new (extended) prefix only after a blank
+                    add(prefix + (c,), NEG, pb + p_c)
+                else:
+                    add(prefix + (c,), NEG, total + p_c)
+
+        beams = dict(sorted(
+            new_beams.items(),
+            key = lambda kv: -np.logaddexp(kv[1][0], kv[1][1]),
+        )[:beam_width])
+
+    best = max(beams.items(), key = lambda kv: np.logaddexp(kv[1][0], kv[1][1]))
+    return list(best[0])
+
+
+def _logsumexp(x, axis = None, keepdims = False):
+    m = np.max(x, axis = axis, keepdims = True)
+    out = m + np.log(np.sum(np.exp(x - m), axis = axis, keepdims = True))
+    return out if keepdims else np.squeeze(out, axis = axis)
+
+
 DEFAULT_CHAT_TEMPLATE = '<|{role}|>\n{content}\n'
 
 
@@ -244,14 +296,30 @@ class Tokenizer:
             ).decode('utf-8', 'replace')
         return ''.join(units)
 
-    def ctc_decode(self, ids_or_logits, blank_index = None):
-        """Greedy CTC decode: argmax (if logits), collapse repeats, drop blanks."""
+    def ctc_decode(self, ids_or_logits, blank_index = None, *,
+                   method = 'greedy', beam_width = 8):
+        """CTC decode.
+
+        - 'greedy': argmax (if logits), collapse repeats, drop blanks;
+        - 'beam': prefix beam search over per-step log-probabilities
+          (requires logits input).
+        """
         arr = np.asarray(ids_or_logits)
+        blank = blank_index if blank_index is not None else self.blank_token_idx
+
+        if method == 'beam':
+            if not (arr.ndim >= 2 and np.issubdtype(arr.dtype, np.floating)):
+                raise ValueError('beam CTC decode requires (T, V) logits')
+            if arr.ndim == 3:
+                return [self.ctc_decode(row, blank, method = 'beam',
+                                        beam_width = beam_width) for row in arr]
+            ids = ctc_beam_search(arr, blank, beam_width)
+            return self.decode(np.asarray(ids, np.int32))
+
         if arr.ndim >= 2 and np.issubdtype(arr.dtype, np.floating):
             arr = np.argmax(arr, axis = -1)
         if arr.ndim > 1:
             return [self.ctc_decode(row, blank_index) for row in arr]
-        blank = blank_index if blank_index is not None else self.blank_token_idx
         collapsed, prev = [], None
         for i in arr.tolist():
             if i != prev and i != blank:
