@@ -48,6 +48,13 @@ class TestNum2Words:
         assert num2words(70, 'be') == 'septante'
         assert num2words(91, 'be') == 'nonante et un'
 
+    @pytest.mark.parametrize('n,expected', [
+        (70, 'septantième'), (71, 'septante et unième'), (75, 'septante-cinquième'),
+        (90, 'nonantième'), (91, 'nonante et unième'), (97, 'nonante-septième'),
+    ])
+    def test_belgian_ordinals(self, n, expected):
+        assert num2words(n, 'be', ordinal = True) == expected
+
     def test_decimal(self):
         assert num2words(3.14, 'en') == 'three point one four'
         assert num2words(3.5, 'fr') == 'trois virgule cinq'
@@ -78,6 +85,32 @@ class TestNormalizeNumbers:
 
     def test_fr_decimal_comma(self):
         assert 'trois virgule un quatre' in normalize_numbers('pi vaut 3,14', 'fr')
+
+    def test_units(self):
+        assert normalize_numbers('a 5km run', 'en') == 'a five kilometers run'
+        assert normalize_numbers('1m wide', 'en') == 'one meter wide'
+        assert normalize_numbers('440Hz tone', 'en') == 'four hundred forty hertz tone'
+        assert normalize_numbers('3kg of flour', 'en') == 'three kilograms of flour'
+
+    def test_units_per_time(self):
+        assert normalize_numbers('at 90km/h', 'en') == 'at ninety kilometers per hour'
+        assert normalize_numbers('à 90km/h', 'fr') == 'à quatre-vingt-dix kilomètres par heure'
+
+    def test_unary_minus(self):
+        assert normalize_numbers('it is -5 degrees', 'en') == 'it is minus five degrees'
+
+    def test_binary_minus(self):
+        out = normalize_numbers('3 - 1 = 2', 'en')
+        assert 'three minus one' in out and 'equal' in out and 'two' in out
+
+    def test_hyphen_not_minus(self):
+        # word hyphens must survive: no digits around them
+        assert normalize_numbers('well-known fact', 'en') == 'well-known fact'
+
+    def test_belgian_full_text(self):
+        # 'be' must survive through normalize_numbers (not collapse to 'fr')
+        assert 'nonante et un' in normalize_numbers('il a 91 ans', 'be')
+        assert 'septante-cinquième' in normalize_numbers('le 75ème jour', 'be')
 
 
 class TestCleaners:
@@ -166,6 +199,15 @@ class TestTokenizer:
         tok = get_tokenizer(lang = 'en')
         assert tok.level == 'char'
         assert tok.vocab == get_symbols('en', arpabet = False)
+
+    def test_get_tokenizer_lang_positional(self):
+        # bare lang code resolves to the default tokenizer, not an HF download
+        tok = get_tokenizer('en')
+        assert tok.level == 'char'
+        out = tok.decode(tok.encode('at -3 degrees'))
+        assert 'minus three' in out
+        tok_be = get_tokenizer('be')
+        assert 'nonante' in tok_be.decode(tok_be.encode('91 ans'))
 
     def test_symbols_match_reference_layout(self):
         # en: pad + '-' + 10 punct + 52 letters + 84 arpabet = 148

@@ -90,6 +90,11 @@ def get_tokenizer(tokenizer = None, lang = None, ** kwargs):
     if isinstance(tokenizer, str):
         if os.path.isfile(tokenizer):
             return Tokenizer.load_from_file(tokenizer)
+        if tokenizer in ('en', 'english'):
+            return default_english_tokenizer(** kwargs)
+        if tokenizer in ('fr', 'french', 'be', 'multi'):
+            cleaners = [_default_cleaners[tokenizer if tokenizer in _default_cleaners else 'fr']]
+            return default_french_tokenizer(cleaners = cleaners, ** kwargs)
         return Tokenizer.from_transformers_pretrained(tokenizer)
     if isinstance(tokenizer, dict):
         tokenizer = dict(tokenizer)

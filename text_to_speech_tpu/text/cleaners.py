@@ -229,7 +229,8 @@ def complete_cleaners(text,
     """Full language-aware pipeline: patterns/replacements → acronyms →
     lowercase → abbreviations → numbers/symbols → transliteration →
     whitespace collapse."""
-    lang = _norm_lang(lang)
+    num_lang = lang             # 'be' keeps septante/nonante in numbers
+    lang = _norm_lang(lang)     # word tables only have 'en' / 'fr' entries
     if patterns: text = replace_patterns(text, patterns)
     if replacements: text = replace_words(text, replacements)
     if to_expand_acronyms: text = expand_acronyms(text, lang = lang)
@@ -237,7 +238,7 @@ def complete_cleaners(text,
     if to_expand:
         text = remove_markdown(text)
         if to_expand_abbrev: text = expand_abbreviations(text, lang = lang)
-        text = expand_numbers(text, lang = lang, expand_symbols = to_expand_symbols)
+        text = expand_numbers(text, lang = num_lang, expand_symbols = to_expand_symbols)
         if to_expand_symbols: text = expand_special_symbols(text, lang = lang)
     if lang == 'fr':
         text = fr_convert_to_ascii(text)

@@ -159,7 +159,32 @@ def num2words(number, lang = 'en', ordinal = False, to_year = False):
 
 
 def _belgianize(text):
-    """Belgian French: septante / nonante."""
+    """Belgian French: septante / nonante (including ordinal stems like
+    'quatre-vingt-onzième' → 'nonante et unième')."""
+    ordinal_stems = [
+        ('soixante et onzième', 'septante et unième'),
+        ('quatre-vingt-onzième', 'nonante et unième'),
+        ('soixante-dixième', 'septantième'),
+        ('quatre-vingt-dixième', 'nonantième'),
+        ('soixante-douzième', 'septante-deuxième'),
+        ('soixante-treizième', 'septante-troisième'),
+        ('soixante-quatorzième', 'septante-quatrième'),
+        ('soixante-quinzième', 'septante-cinquième'),
+        ('soixante-seizième', 'septante-sixième'),
+        ('soixante-dix-septième', 'septante-septième'),
+        ('soixante-dix-huitième', 'septante-huitième'),
+        ('soixante-dix-neuvième', 'septante-neuvième'),
+        ('quatre-vingt-douzième', 'nonante-deuxième'),
+        ('quatre-vingt-treizième', 'nonante-troisième'),
+        ('quatre-vingt-quatorzième', 'nonante-quatrième'),
+        ('quatre-vingt-quinzième', 'nonante-cinquième'),
+        ('quatre-vingt-seizième', 'nonante-sixième'),
+        ('quatre-vingt-dix-septième', 'nonante-septième'),
+        ('quatre-vingt-dix-huitième', 'nonante-huitième'),
+        ('quatre-vingt-dix-neuvième', 'nonante-neuvième'),
+    ]
+    for old, new in ordinal_stems:
+        text = text.replace(old, new)
     replacements = [
         ('soixante et onze', 'septante et un'),
         ('soixante-douze', 'septante-deux'), ('soixante-treize', 'septante-trois'),
@@ -202,10 +227,61 @@ _TIME_SEP = {'en': ' and ', 'fr': ' et '}
 _MATH_WORDS = {
     '=': {'en': 'equal', 'fr': 'égal'},
     '+': {'en': 'plus', 'fr': 'plus'},
+    '-': {'en': 'minus', 'fr': 'moins'},
     '*': {'en': 'times', 'fr': 'fois'},
     '/': {'en': 'divided by', 'fr': 'divisé par'},
     '^': {'en': 'to the power', 'fr': 'exposant'},
 }
+
+# physical units: number + optional SI prefix + unit (+ optional /time)
+_UNITS = {
+    'g': {'en': 'gram', 'fr': 'gramme'},
+    't': {'en': 'ton', 'fr': 'tonne'},
+    'm': {'en': 'meter', 'fr': 'mètre'},
+    'mi': {'en': 'mile', 'fr': 'mile'},
+    'l': {'en': 'liter', 'fr': 'litre'},
+    'o': {'en': 'octet', 'fr': 'octet'},
+    'b': {'en': 'bit', 'fr': 'bit'},
+    'V': {'en': 'volt', 'fr': 'volt'},
+    'W': {'en': 'watt', 'fr': 'watt'},
+    'A': {'en': 'ampere', 'fr': 'ampère'},
+    'Hz': {'en': 'hertz', 'fr': 'hertz'},
+    'N': {'en': 'newton', 'fr': 'newton'},
+    'J': {'en': 'joule', 'fr': 'joule'},
+}
+_SI_PREFIXES = {
+    'n': 'nano', 'c': 'centi', 'd': 'deci', 'k': 'kilo',
+    'M': 'mega', 'G': 'giga', 'T': 'tera',
+}
+_SI_PREFIXES_FR = {** _SI_PREFIXES, 'c': 'centi', 'd': 'déci', 'M': 'méga'}
+_MILLI = {'en': 'mili', 'fr': 'mili'}
+
+_UNITS_RE = re.compile(
+    r'\b(\d+)\s*([ncdkMGT]|m(?=m))?({})(?:/(h|min|s(?:ec)?))?(?![\w])'.format(
+        '|'.join(sorted(_UNITS, key = len, reverse = True))
+    )
+)
+_PER_WORD = {'en': 'per', 'fr': 'par'}
+_UNARY_MINUS_RE = re.compile(r'(^|[\s(])-\s*(?=\d)')
+_SPACED_MINUS_RE = re.compile(r'(?<=[\d\s])- (?=\d)|(?<=\d) - (?=\d)')
+
+
+def _expand_units(m, lang):
+    n, prefix, unit, per_time = m.group(1), m.group(2), m.group(3), m.group(4)
+    value = int(n)
+    prefixes = _SI_PREFIXES_FR if lang == 'fr' else _SI_PREFIXES
+    prefix_word = (_MILLI[lang] if prefix == 'm' else prefixes.get(prefix, '')) \
+        if prefix else ''
+    word = prefix_word + _UNITS[unit][lang]
+    if value != 1 and not word.endswith(('s', 'z')): word += 's'
+    out = '{} {}'.format(n, word)
+    if per_time:
+        time_word = {'h': {'en': 'hour', 'fr': 'heure'},
+                     'min': {'en': 'minute', 'fr': 'minute'},
+                     's': {'en': 'second', 'fr': 'seconde'},
+                     'sec': {'en': 'second', 'fr': 'seconde'}}[per_time][lang]
+        out += ' {} {}'.format(_PER_WORD[lang], time_word)
+    return out
 
 
 def _norm_lang(lang):
@@ -261,13 +337,20 @@ def _expand_decimal(m, lang):
 
 def normalize_numbers(text, lang = 'en', expand_symbols = True, ** kwargs):
     """Expand every numeric pattern of `text` into words."""
-    lang = _norm_lang(lang)
+    num_lang = lang             # 'be' keeps septante/nonante through num2words
+    lang = _norm_lang(lang)     # word tables only have 'en' / 'fr' entries
+
+    if expand_symbols:
+        text = _UNITS_RE.sub(lambda m: _expand_units(m, lang), text)
 
     text = _DURATION_RE.sub(lambda m: _expand_duration(m, lang), text)
     text = _CLOCK_RE.sub(lambda m: _expand_clock(m, lang), text)
 
     if expand_symbols:
         text = _MATH_RE.sub(lambda m: ' ' + _MATH_WORDS[m.group(1)][lang] + ' ', text)
+        minus = ' ' + _MATH_WORDS['-'][lang] + ' '
+        text = _SPACED_MINUS_RE.sub(minus, text)        # '1 - 1' → minus
+        text = _UNARY_MINUS_RE.sub(r'\1' + minus.lstrip(), text)  # '-1' → minus 1
 
     # thousands separators: "3,000,000" -> "3000000" (en) ; "3,14" -> "3.14" (fr)
     def _commas(m):
@@ -285,7 +368,7 @@ def normalize_numbers(text, lang = 'en', expand_symbols = True, ** kwargs):
         text,
     )
 
-    text = _DECIMAL_RE.sub(lambda m: _expand_decimal(m, lang), text)
-    text = _ORDINAL_RE.sub(lambda m: num2words(int(m.group(1)), lang, ordinal = True), text)
-    text = _NUMBER_RE.sub(lambda m: num2words(int(m.group(0)), lang), text)
+    text = _DECIMAL_RE.sub(lambda m: _expand_decimal(m, num_lang), text)
+    text = _ORDINAL_RE.sub(lambda m: num2words(int(m.group(1)), num_lang, ordinal = True), text)
+    text = _NUMBER_RE.sub(lambda m: num2words(int(m.group(0)), num_lang), text)
     return text
