@@ -34,8 +34,11 @@ def worker():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
 
-    arch = WaveGlow()  # full-size: 12 flows x 8 layers x 512 channels
-    params = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+    # full-size: 12 flows x 8 layers x 512 channels; use_pallas routes the
+    # WN coupling blocks through the fused whole-block Pallas kernel
+    arch = WaveGlow(use_pallas = True)
+    params = arch.pack_pallas_params(
+        arch.fuse_params(arch.init(jax.random.PRNGKey(0))))
 
     mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
     rng = jax.random.PRNGKey(2)
@@ -49,7 +52,12 @@ def worker():
         # device->host transfer is the only reliable barrier
         return float(x)
 
-    sync(infer(params, mel, rng))  # compile + warm-up
+    # compile + warm to steady state (the first post-compile iterations run
+    # ~15% slow while the chip ramps)
+    sync(infer(params, mel, rng))
+    for i in range(3):
+        out = infer(params, mel, jax.random.fold_in(rng, 100 + i))
+    sync(out)
 
     start = time.perf_counter()
     for i in range(ITERS):
@@ -61,9 +69,10 @@ def worker():
     rtf = audio_seconds / elapsed
 
     # plausibility guard: WaveGlow costs ~1.45 TFLOP per audio second; reject
-    # timings that would exceed 2x the chip's peak (non-blocking contamination)
+    # timings that would exceed the chip's int8 peak (v5e: 197 TFLOP/s bf16,
+    # 394 TOPS int8) — a sign of non-blocking contamination
     implied_tflops = audio_seconds * 1.45 / max(elapsed, 1e-9)
-    if implied_tflops > 2 * 400.:
+    if implied_tflops > 450.:
         raise RuntimeError('implausible timing: {:.0f} TFLOP/s'.format(implied_tflops))
 
     print(json.dumps({'rtf': rtf, 'elapsed_s': elapsed,

@@ -88,8 +88,14 @@ class WaveGlow(BaseAudioModel, BaseModel):
             import time as _time
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))
 
+        # the fused whole-block Pallas kernel needs a TPU backend; other
+        # backends stay on the XLA chain
+        default_dev = jax.config.jax_default_device
+        platform = default_dev.platform if default_dev is not None \
+            else jax.default_backend()
+        use_pallas = platform == 'tpu'
         static = (float(sigma) if sigma is not None else None,
-                  bool(deterministic), dtype)
+                  bool(deterministic), dtype, use_pallas)
         key = ('infer', static)
 
         def builder():
@@ -97,12 +103,25 @@ class WaveGlow(BaseAudioModel, BaseModel):
                 out = self.arch.infer(
                     params, mel, rng = rng, sigma = static[0],
                     deterministic = static[1], dtype = static[2],
+                    use_pallas = static[3],
                 )
                 import jax.numpy as jnp
                 return out.astype(jnp.float32)
             return fn
 
-        return self.get_compiled(key, builder)(self.params, mel, rng)
+        params = self.params
+        if use_pallas and self.arch.hp.wn_channels % 128 == 0 \
+                and self.arch.hp.wn_layers > 1 \
+                and 'kernel' in params['flow_0']['block'].get('in_conv_0', {}):
+            # pack ONCE outside jit (in-graph packing serializes the packing
+            # concats with the kernels and costs ~3x); cache per params object
+            cached = getattr(self, '_packed_params', None)
+            if cached is None or cached[0] is not params:
+                self._packed_params = (
+                    params, self.arch.pack_pallas_params(params))
+            params = self._packed_params[1]
+
+        return self.get_compiled(key, builder)(params, mel, rng)
 
     # -- inference -------------------------------------------------------------
 

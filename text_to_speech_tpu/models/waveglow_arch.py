@@ -116,6 +116,45 @@ class WaveGlow:
             fused[name] = {'convinv': value['convinv'], 'block': block}
         return fused
 
+    def pack_pallas_params(self, params):
+        """Re-lay each block's WN weights into the stacked tensors the fused
+        whole-block Pallas kernel (`ops.pallas_kernels.fused_wn_block`)
+        consumes.  Numerically identity; call once at load time."""
+        hp = self.hp
+        L = hp.wn_layers
+        packed_params = {}
+        for name, value in params.items():
+            if not name.startswith('flow_'):
+                packed_params[name] = value
+                continue
+            block = dict(value['block'])
+            if 'cond_layer' in block:
+                k = block['cond_layer']['kernel'][0]          # (S, L*2C)
+                S = k.shape[0]
+                w_cond = jnp.transpose(k.reshape(S, L, -1), (1, 0, 2))
+                b_cond = block['cond_layer']['bias'].reshape(L, -1)
+            else:
+                w_cond = jnp.stack(
+                    [block['cond_conv_{}'.format(i)]['kernel'][0] for i in range(L)])
+                b_cond = jnp.stack(
+                    [block['cond_conv_{}'.format(i)]['bias'] for i in range(L)])
+            w_in = jnp.stack(
+                [block['in_conv_{}'.format(i)]['kernel'] for i in range(L)])
+            b_in = jnp.stack(
+                [block['in_conv_{}'.format(i)]['bias'] for i in range(L)])
+            w_rs = jnp.stack(
+                [block['res_skip_conv_{}'.format(i)]['kernel'][0] for i in range(L - 1)])
+            b_rs = jnp.stack(
+                [block['res_skip_conv_{}'.format(i)]['bias'] for i in range(L - 1)])
+            last = block['res_skip_conv_{}'.format(L - 1)]
+            block['packed'] = {
+                'w_cond': w_cond, 'b_cond': b_cond, 'w_in': w_in, 'b_in': b_in,
+                'w_rs': w_rs, 'b_rs': b_rs,
+                'w_rs_last': last['kernel'][0], 'b_rs_last': last['bias'],
+            }
+            packed_params[name] = {'convinv': value['convinv'], 'block': block}
+        return packed_params
+
     # -- int8 quantization -------------------------------------------------------
 
     def quantize_params(self, params):
@@ -176,12 +215,37 @@ class WaveGlow:
 
     # -- WN coupling block -----------------------------------------------------
 
-    def wn_block(self, block, audio_half, spect):
+    def wn_block(self, block, audio_half, spect, spect_padded = None,
+                 fused = True):
         """WaveNet-like stack: gated dilated convs conditioned on the mel,
-        residual + skip accumulation; returns (B, T, 2*n_half) [b | s]."""
+        residual + skip accumulation; returns (B, T, 2*n_half) [b | s].
+
+        With ``fused`` and packed weights present (see `pack_pallas_params`),
+        the whole stack runs as one Pallas kernel; the XLA per-layer chain
+        remains the differentiable / fallback path."""
         hp = self.hp
         n_ch = hp.wn_channels
         int8 = 'kernel_q' in block.get('in_conv_0', {})
+
+        T = audio_half.shape[1]
+        if fused and 'packed' in block and n_ch % 128 == 0 and T % 512 == 0:
+            # whole coupling block in one Pallas kernel: all layers' weights
+            # resident in VMEM, conditioning projected in-kernel, activations
+            # never leave VMEM between layers
+            from ..ops.pallas_kernels import fused_wn_block, wn_block_pad
+            pad = wn_block_pad(hp.wn_layers)
+            tile = next(t for t in (4096, 2048, 1024, 512) if T % t == 0)
+            x = nn.conv1d(block['start'], audio_half)
+            x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            if spect_padded is None:
+                spect_padded = jnp.pad(spect, ((0, 0), (pad, pad), (0, 0)))
+            p = block['packed']
+            skip_sum = fused_wn_block(
+                x, spect_padded, p['w_cond'], p['b_cond'], p['w_in'],
+                p['b_in'], p['w_rs'], p['b_rs'], p['w_rs_last'],
+                p['b_rs_last'], tile = tile, seq_len = T,
+            )
+            return nn.conv1d(block['end'], skip_sum)
         x = nn.conv1d(block['start'], audio_half)
         cond_all = None
         if 'cond_layer' in block:
@@ -260,28 +324,60 @@ class WaveGlow:
     # -- mel conditioning ------------------------------------------------------
 
     def upsample_mel(self, params, mel):
-        """mel (B, F, n_mel) → grouped conditioning (B, Lg, n_mel*n_group)."""
+        """mel (B, F, n_mel) → grouped conditioning (B, Lg, n_mel*n_group).
+
+        Fast path: a stride-s width-w conv-transpose is algebraically a
+        causal (w/s)-tap conv over frames whose output channels enumerate
+        the s within-frame phases — XLA runs that as one dense matmul
+        instead of a 256x-dilated conv (~100x faster on TPU).  The
+        n_group interleave ([mel-major, group-minor]) is folded into the
+        kernel's output-channel layout so no relayout is needed."""
         hp = self.hp
-        spect = nn.conv1d_transpose(params['upsample'], mel, stride = hp.upsample_stride)
-        time_cutoff = hp.upsample_width - hp.upsample_stride
+        w, s, g = hp.upsample_width, hp.upsample_stride, hp.n_group
+        n_mel = hp.n_mel_channels
+        kernel = params['upsample']['kernel']
+        if w % s == 0 and s % g == 0 and kernel.shape[0] == w:
+            taps = w // s
+            # lax.conv_transpose applies the kernel unflipped, so
+            # y[s*f + r] = sum_j mel[f-j] @ W[w-1 - s*j - r]; as a causal
+            # cross-correlation over frames the conv tap k carries phase
+            # weight W[s*k + (s-1-r)] — flip only the within-stride phase.
+            # grouped channel layout: [rr, mel, gg] with r = rr*g + gg
+            wk = kernel.reshape(taps, s // g, g, kernel.shape[1], n_mel)
+            wk = wk[:, ::-1, ::-1]
+            wk = jnp.transpose(wk, (0, 3, 1, 4, 2))       # (j, cin, rr, m, gg)
+            wk = wk.reshape(taps, kernel.shape[1], s * n_mel)
+            spect = jax.lax.conv_general_dilated(
+                mel, wk, (1,), [(taps - 1, 0)],
+                dimension_numbers = ('NWC', 'WIO', 'NWC'),
+            )
+            if 'bias' in params['upsample']:
+                spect = spect + jnp.tile(
+                    jnp.repeat(params['upsample']['bias'], g), s // g)
+            return spect.reshape(mel.shape[0], mel.shape[1] * (s // g),
+                                 n_mel * g)
+        spect = nn.conv1d_transpose(params['upsample'], mel, stride = s)
+        time_cutoff = w - s
         spect = spect[:, :spect.shape[1] - time_cutoff, :]
-        lg = spect.shape[1] // hp.n_group
-        spect = spect[:, : lg * hp.n_group, :]
-        spect = spect.reshape(spect.shape[0], lg, hp.n_group, hp.n_mel_channels)
+        lg = spect.shape[1] // g
+        spect = spect[:, : lg * g, :]
+        spect = spect.reshape(spect.shape[0], lg, g, n_mel)
         spect = jnp.swapaxes(spect, 2, 3).reshape(spect.shape[0], lg, -1)
         return spect
 
     # -- inference (inverse flow) ----------------------------------------------
 
     def infer(self, params, mel, *, rng = None, sigma = None, z = None,
-              deterministic = False, dtype = None):
+              deterministic = False, dtype = None, use_pallas = None):
         """mel (B, F, n_mel) → waveform (B, F*upsample_stride).
 
         `dtype=jnp.bfloat16` runs the whole flow stack on the MXU's native
         precision (~3-6x faster on TPU); the 1x1-conv inverses are still
-        computed in f32 then cast.
+        computed in f32 then cast.  `use_pallas` overrides the hparam per
+        call (the fused whole-block kernel requires a TPU backend).
         """
         hp = self.hp
+        if use_pallas is None: use_pallas = hp.use_pallas
         if sigma is None: sigma = hp.sigma
         if rng is None: rng = jax.random.PRNGKey(0)
         if dtype is not None:
@@ -290,8 +386,19 @@ class WaveGlow:
             params = jax.tree_util.tree_map(cast, params)
             mel = mel.astype(dtype)
 
+        if use_pallas and hp.wn_channels % 128 == 0 and hp.wn_layers > 1 \
+                and 'packed' not in params['flow_0']['block'] \
+                and 'kernel' in params['flow_0']['block']['in_conv_0']:
+            params = self.pack_pallas_params(params)
+
         spect = self.upsample_mel(params, mel)
         batch, lg = spect.shape[0], spect.shape[1]
+
+        spect_padded = None
+        if use_pallas and 'packed' in params['flow_0']['block'] and lg % 512 == 0:
+            from ..ops.pallas_kernels import wn_block_pad
+            p = wn_block_pad(hp.wn_layers)
+            spect_padded = jnp.pad(spect, ((0, 0), (p, p), (0, 0)))
 
         out_dtype = spect.dtype
 
@@ -314,7 +421,9 @@ class WaveGlow:
             n_half = c // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
 
-            wn_out = self.wn_block(flow['block'], audio_0, spect)
+            wn_out = self.wn_block(flow['block'], audio_0, spect,
+                                   spect_padded = spect_padded,
+                                   fused = use_pallas)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
             audio_1 = (audio_1 - b) * jnp.exp(-s)
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
@@ -362,7 +471,9 @@ class WaveGlow:
 
             n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-            wn_out = self.wn_block(flow['block'], audio_0, spect)
+            # training stays on the differentiable XLA chain (the Pallas
+            # kernel defines no VJP)
+            wn_out = self.wn_block(flow['block'], audio_0, spect, fused = False)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
             audio_1 = jnp.exp(s) * audio_1 + b
             log_s_total = log_s_total + jnp.sum(s)

@@ -152,6 +152,256 @@ def fused_wn_layer(x_padded, cond, w_in, b_in, w_rs, b_rs, *,
     )(x_padded, cond, w_in, b_in, w_rs, b_rs)
 
 
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _wn_block_kernel(x_hbm, spect_hbm,
+                     w_cond_ref, b_cond_ref, w_in_ref, b_in_ref,
+                     w_rs_ref, b_rs_ref, w_rs_last_ref, b_rs_last_ref,
+                     skip_out_ref,
+                     xbuf, xalt, spectbuf, skipacc, sems,
+                     *, tile, channels, n_layers, n_tiles, seq_len,
+                     halo, margin, chunk):
+    """One whole WN coupling block (all dilated layers) for one (batch,
+    time-tile) grid step.  See `fused_wn_block` for the contract."""
+    C = channels
+    g = pl.program_id(0)
+    total = pl.num_programs(0)
+    pad = halo + margin            # total pre-padding of x/spect on each side
+    t_b = tile + 2 * pad           # buffer rows
+    ext = tile + 2 * halo          # compute extent (rows [margin, margin+ext))
+    n_chunks = ext // chunk
+
+    def dma(src_hbm, dst, sem_base, step, slot):
+        return pltpu.make_async_copy(
+            src_hbm.at[step // n_tiles,
+                       pl.ds((step % n_tiles) * tile, t_b), :],
+            dst.at[slot], sems.at[sem_base + slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma(x_hbm, xbuf, 0, 0, 0).start()
+        dma(spect_hbm, spectbuf, 2, 0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        dma(x_hbm, xbuf, 0, g + 1, (g + 1) % 2).start()
+        dma(spect_hbm, spectbuf, 2, g + 1, (g + 1) % 2).start()
+
+    slot = g % 2
+    dma(x_hbm, xbuf, 0, g, slot).wait()
+    dma(spect_hbm, spectbuf, 2, g, slot).wait()
+
+    # f32 inputs (parity tests) want true-f32 matmuls (bf16x3 passes); bf16
+    # serving uses the MXU's native precision
+    mxu = jax.lax.Precision.HIGHEST \
+        if xbuf.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    dot = functools.partial(
+        jnp.dot, preferred_element_type = jnp.float32, precision = mxu)
+
+    # the ping-pong buffer's margins are never written by the layer updates;
+    # zero them once so out-of-extent taps read SAME-pad zeros
+    xalt[0: margin, :] = jnp.zeros((margin, C), xalt.dtype)
+    xalt[t_b - margin: t_b, :] = jnp.zeros((margin, C), xalt.dtype)
+    skipacc[:] = jnp.zeros((ext, C), jnp.float32)
+
+    # global position of buffer row `margin` (start of the compute extent);
+    # rows outside [0, seq_len) are zeroed after each update to preserve the
+    # reference's per-layer SAME-pad semantics at utterance edges
+    ext_start = (g % n_tiles) * tile - halo
+
+    src, dst = xbuf.at[slot], xalt
+    for i in range(n_layers):
+        dilation = 2 ** i
+        last = i == n_layers - 1
+
+        def chunk_body(c, _, *, i = i, dilation = dilation, last = last,
+                       src = src, dst = dst):
+            off = pl.multiple_of(c * chunk, chunk) + margin
+            if dilation % 16 == 0:
+                # dynamic offsets stay sublane-aligned
+                xl = src[pl.ds(off - dilation, chunk), :]
+                xc = src[pl.ds(off, chunk), :]
+                xr = src[pl.ds(off + dilation, chunk), :]
+            else:
+                # Mosaic requires aligned dynamic loads: fetch one aligned
+                # window, shift in-register with static slices
+                a = 16
+                win = src[pl.ds(off - a, chunk + 2 * a), :]
+                xl = jax.lax.slice(win, (a - dilation, 0), (a - dilation + chunk, C))
+                xc = jax.lax.slice(win, (a, 0), (a + chunk, C))
+                xr = jax.lax.slice(win, (a + dilation, 0), (a + dilation + chunk, C))
+            sp = spectbuf[slot, pl.ds(off, chunk), :]
+
+            acts = (
+                dot(xl, w_in_ref[i, 0])
+                + dot(xc, w_in_ref[i, 1])
+                + dot(xr, w_in_ref[i, 2])
+                + dot(sp, w_cond_ref[i])
+                + b_in_ref[i].astype(jnp.float32)
+                + b_cond_ref[i].astype(jnp.float32)
+            )
+            gated = (jnp.tanh(acts[:, :C])
+                     * jax.nn.sigmoid(acts[:, C:])).astype(src.dtype)
+
+            acc_rows = pl.ds(off - margin, chunk)
+            if last:
+                skip = dot(gated, w_rs_last_ref[:]) \
+                    + b_rs_last_ref[:].astype(jnp.float32)
+                skipacc[acc_rows, :] = skipacc[acc_rows, :] + skip
+            else:
+                rs = dot(gated, w_rs_ref[i]) \
+                    + b_rs_ref[i].astype(jnp.float32)
+                new_x = xc.astype(jnp.float32) + rs[:, :C]
+                gpos = ext_start + (off - margin) \
+                    + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                valid = (gpos >= 0) & (gpos < seq_len)
+                dst[pl.ds(off, chunk), :] = jnp.where(
+                    valid, new_x, 0.).astype(dst.dtype)
+                skipacc[acc_rows, :] = skipacc[acc_rows, :] + rs[:, C:]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        src, dst = dst, src
+
+    skip_out_ref[0] = skipacc[halo: halo + tile, :].astype(skip_out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret'),
+)
+def fused_wn_block(x_padded, spect_padded, w_cond, b_cond, w_in, b_in,
+                   w_rs, b_rs, w_rs_last, b_rs_last, *, tile, seq_len,
+                   chunk = None, interpret = False):
+    """Whole WN coupling block — all `n_layers` dilated gated layers,
+    conditioning projections included — in ONE Pallas kernel.
+
+    Equivalent computation to the reference's WaveglowBlock
+    (``/root/reference/architectures/waveglow_arch.py:27-156``: per-layer
+    dilated conv + cond add + tanh*sigmoid gate + res/skip conv), minus the
+    surrounding start/end pointwise convs (cheap; left to XLA).
+
+    TPU design: all layer weights (~44 MB bf16 at full size) stay resident
+    in VMEM across the whole grid; the conditioning projections run
+    *inside* the kernel from the raw upsampled-mel tile, so the (B, T,
+    n_layers*2C) conditioning tensor never exists in HBM; x/spect tiles
+    stream in with double-buffered halo DMAs; activations accumulate in
+    f32 and never leave VMEM between layers (ping-pong x buffers).
+
+    Boundary semantics match the per-layer SAME-pad reference exactly:
+    the halo covers the full receptive field (sum of dilations) plus a
+    `margin` of max-dilation zero rows, and positions outside
+    ``[0, seq_len)`` are re-zeroed after every residual update.
+
+    Args:
+      x_padded: (B, T + 2*pad, C) — start-conv output, zero-padded in time
+        by ``pad = round_up(sum(dilations),16) + round_up(max_dilation,16)``
+        (use `wn_block_pad(n_layers)`).
+      spect_padded: (B, T + 2*pad, S) — upsampled grouped mel, same padding.
+      w_cond: (L, S, 2C); b_cond: (L, 2C) — per-layer conditioning weights.
+      w_in: (L, 3, C, 2C); b_in: (L, 2C) — 3-tap dilated conv weights.
+      w_rs: (L-1, C, 2C); b_rs: (L-1, 2C) — res/skip weights (layers 0..L-2).
+      w_rs_last: (C, C); b_rs_last: (C,) — last layer emits skip only.
+      tile: time-tile size (multiple of 512 dividing T).
+      seq_len: T (unpadded), for edge masking.
+
+    Returns skip_sum (B, T, C); apply the block's `end` conv outside.
+    """
+    n_layers = w_in.shape[0]
+    C = w_in.shape[2]
+    S = spect_padded.shape[2]
+    B = x_padded.shape[0]
+    halo = _round_up(2 ** n_layers - 1, 16)
+    margin = _round_up(2 ** (n_layers - 1), 16)
+    pad = halo + margin
+    T = x_padded.shape[1] - 2 * pad
+    assert T == seq_len and T % tile == 0, (T, seq_len, tile)
+    ext = tile + 2 * halo
+    if chunk is None:
+        chunk = next(c for c in (512, 256, 128, 64, 32, 16, 8) if ext % c == 0)
+    assert ext % chunk == 0
+
+    n_tiles = T // tile
+    t_b = tile + 2 * pad
+    kernel = functools.partial(
+        _wn_block_kernel, tile = tile, channels = C, n_layers = n_layers,
+        n_tiles = n_tiles, seq_len = seq_len, halo = halo, margin = margin,
+        chunk = chunk,
+    )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda g: (0,) * len(shape), memory_space = pltpu.VMEM)
+
+    flops_tile = 2 * ext * C * 2 * C * (3 * n_layers + (n_layers - 1) + S / C * n_layers + 0.5)
+    return pl.pallas_call(
+        kernel,
+        grid = (B * n_tiles,),
+        in_specs = [
+            pl.BlockSpec(memory_space = pltpu.ANY),      # x (manual DMA)
+            pl.BlockSpec(memory_space = pltpu.ANY),      # spect (manual DMA)
+            const((n_layers, S, 2 * C)),
+            const((n_layers, 2 * C)),
+            const((n_layers, 3, C, 2 * C)),
+            const((n_layers, 2 * C)),
+            const((max(n_layers - 1, 1), C, 2 * C)),
+            const((max(n_layers - 1, 1), 2 * C)),
+            const((C, C)),
+            const((C,)),
+        ],
+        out_specs = pl.BlockSpec(
+            (1, tile, C), lambda g, n_tiles = n_tiles: (g // n_tiles, g % n_tiles, 0),
+            memory_space = pltpu.VMEM),
+        out_shape = jax.ShapeDtypeStruct((B, T, C), x_padded.dtype),
+        scratch_shapes = [
+            pltpu.VMEM((2, t_b, C), x_padded.dtype),     # DMA'd x (ping)
+            pltpu.VMEM((t_b, C), x_padded.dtype),        # pong
+            pltpu.VMEM((2, t_b, S), spect_padded.dtype),
+            pltpu.VMEM((ext, C), jnp.float32),           # skip accumulator
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes = 127 * 1024 * 1024,
+        ),
+        interpret = interpret,
+        cost_estimate = pl.CostEstimate(
+            flops = int(flops_tile) * B * n_tiles,
+            bytes_accessed = B * n_tiles * t_b * (C + S) * 2,
+            transcendentals = B * n_tiles * ext * 2 * C * n_layers,
+        ),
+    )(x_padded, spect_padded, w_cond, b_cond, w_in, b_in,
+      w_rs, b_rs, w_rs_last, b_rs_last)
+
+
+def wn_block_pad(n_layers):
+    """Time padding `fused_wn_block` expects on each side of x/spect."""
+    return _round_up(2 ** n_layers - 1, 16) + _round_up(2 ** (n_layers - 1), 16)
+
+
+def wn_block_reference(x, spect, w_cond, b_cond, w_in, b_in, w_rs, b_rs,
+                       w_rs_last, b_rs_last):
+    """Pure-XLA reference of `fused_wn_block` (for numeric verification):
+    the per-layer SAME-pad chain with per-layer conditioning projections."""
+    n_layers = w_in.shape[0]
+    C = w_in.shape[2]
+    skip_sum = 0.
+    for i in range(n_layers):
+        cond = spect @ w_cond[i] + b_cond[i]
+        last = i == n_layers - 1
+        if last:
+            w, b = w_rs_last[None], b_rs_last
+        else:
+            w, b = w_rs[i][None], b_rs[i]
+        x, skip = wn_layer_reference(
+            x, cond, w_in[i], b_in[i], w, b,
+            dilation = 2 ** i, residual = not last,
+        )
+        skip_sum = skip_sum + skip
+    return skip_sum
+
+
 def wn_layer_reference(x, cond, w_in, b_in, w_rs, b_rs, *, dilation,
                        residual = True):
     """Pure-XLA reference of the fused layer (for numeric verification)."""
