@@ -8,9 +8,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   an RTX 3090 Ti (text_to_speech.ipynb cell 0); the driver north-star for
   this metric is 200x per TPU v5e chip (BASELINE.json).
 
+Default path: the fused int8 whole-coupling-block Pallas kernel (per-row
+dynamic activation quant, per-channel weight scales — see
+ops/pallas_kernels.fused_wn_block_int8), guarded by an inline quality gate:
+the int8 waveform must reach >= 25 dB SNR vs the f32 XLA chain on the same
+weights/noise, else the bench falls back to the bf16 Pallas path.  bf16 is
+MXU-peak-bound at ~135x RT (1.45 TFLOP per audio-second vs 197 TFLOP/s peak);
+int8 doubles the ceiling.
+
 The measurement runs in a child process with a watchdog because the axon
-tunnel intermittently hangs device-to-host transfers; timing uses
-block_until_ready only (no transfers on the hot path).
+tunnel intermittently hangs device-to-host transfers; timing uses a scalar
+device->host transfer as the barrier (block_until_ready silently no-ops on
+some axon sessions).
 """
 
 import os
@@ -21,7 +30,8 @@ import subprocess
 BATCH = int(os.environ.get('BENCH_BATCH', 32))
 FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
 ITERS = int(os.environ.get('BENCH_ITERS', 6))
-DTYPE = os.environ.get('BENCH_DTYPE', 'bfloat16')
+DTYPE = os.environ.get('BENCH_DTYPE', 'int8')      # int8 | bfloat16 | float32
+SNR_GATE_DB = float(os.environ.get('BENCH_SNR_GATE', 25.))
 BASELINE_RTF = 10.0
 
 
@@ -34,23 +44,52 @@ def worker():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
 
-    # full-size: 12 flows x 8 layers x 512 channels; use_pallas routes the
-    # WN coupling blocks through the fused whole-block Pallas kernel
+    # full-size model: 12 flows x 8 layers x 512 channels.  The zero-init
+    # 'end' convs are randomized so the WN stack actually drives the audio —
+    # otherwise the quality gate would compare flows that ignore the kernels.
+    # end-conv scale 0.02 keeps the random flows in the stable (contractive)
+    # regime trained checkpoints live in; larger scales make the inverse flow
+    # chaotic and ANY precision scores badly (bf16 hits -14 dB there)
     arch = WaveGlow(use_pallas = True)
-    params = arch.pack_pallas_params(
-        arch.fuse_params(arch.init(jax.random.PRNGKey(0))))
+    raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+    key = jax.random.PRNGKey(7)
+    for name, v in raw.items():
+        if name.startswith('flow_'):
+            key, sub = jax.random.split(key)
+            end = v['block']['end']
+            v['block']['end'] = {
+                'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
+                'bias': end['bias']}
 
     mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
     rng = jax.random.PRNGKey(2)
-    dtype = getattr(jnp, DTYPE)
-
-    # reduce on device so the sync transfer is one scalar
-    infer = jax.jit(lambda p, m, r: jnp.sum(arch.infer(p, m, rng = r, dtype = dtype)))
 
     def sync(x):
         # block_until_ready() silently no-ops on some axon sessions; a scalar
         # device->host transfer is the only reliable barrier
         return float(x)
+
+    mode = DTYPE
+    if mode == 'int8':
+        params = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
+        # quality gate: int8 kernels vs the f32 XLA chain, same noise
+        base = WaveGlow(use_pallas = False)
+        small = mel[:2]
+        w_f = jax.jit(lambda p, m: base.infer(p, m, rng = rng))(raw, small)
+        w_q = jax.jit(lambda p, m: arch.infer(p, m, rng = rng))(params, small)
+        noise = float(jnp.mean((w_f - w_q) ** 2))
+        snr = 10 * np.log10(float(jnp.mean(w_f ** 2)) / max(noise, 1e-20))
+        if snr < SNR_GATE_DB:
+            sys.stderr.write('int8 SNR gate failed: %.1f dB < %.1f; '
+                             'falling back to bf16\n' % (snr, SNR_GATE_DB))
+            mode = 'bfloat16'
+        else:
+            sys.stderr.write('int8 SNR gate: %.1f dB\n' % snr)
+    if mode != 'int8':
+        params = arch.pack_pallas_params(raw)
+
+    dtype = jnp.bfloat16 if mode != 'float32' else jnp.float32
+    infer = jax.jit(lambda p, m, r: jnp.sum(arch.infer(p, m, rng = r, dtype = dtype)))
 
     # compile + warm to steady state (the first post-compile iterations run
     # ~15% slow while the chip ramps)
@@ -76,7 +115,7 @@ def worker():
         raise RuntimeError('implausible timing: {:.0f} TFLOP/s'.format(implied_tflops))
 
     print(json.dumps({'rtf': rtf, 'elapsed_s': elapsed,
-                      'audio_s': audio_seconds,
+                      'audio_s': audio_seconds, 'mode': mode,
                       'implied_tflops': implied_tflops}), flush = True)
 
 
@@ -98,7 +137,7 @@ def main():
                                    + proc.stderr[-2000:])
             rtf = result['rtf']
             print(json.dumps({
-                'metric': 'waveglow_rtf_per_chip',
+                'metric': 'waveglow_rtf_per_chip_' + result.get('mode', DTYPE),
                 'value': round(rtf, 2),
                 'unit': 'x_realtime',
                 'vs_baseline': round(rtf / BASELINE_RTF, 2),

@@ -20,6 +20,9 @@ def main():
     parser.add_argument('--steps', type = int, default = 256)
     parser.add_argument('--tokens', type = int, default = 128)
     parser.add_argument('--dtype', default = 'float32')
+    parser.add_argument('--fused', action = 'store_true',
+                        help = 'fused decoder-step Pallas kernel '
+                               '(ops/decoder_kernel.py)')
     args = parser.parse_args()
 
     import numpy as np
@@ -32,9 +35,14 @@ def main():
     tokens = np.ones((args.batch, args.tokens), np.int32)
     dtype = None if args.dtype == 'float32' else getattr(jnp, args.dtype)
 
-    infer = jax.jit(lambda p, s, t, r: jnp.sum(arch.infer(
-        p, s, t, rng = r, max_length = args.steps,
-        early_stopping = False, dtype = dtype).mel))
+    if args.fused:
+        infer = jax.jit(lambda p, s, t, r: jnp.sum(arch.infer_fused(
+            p, s, t, rng = r, max_length = args.steps,
+            early_stopping = False, dtype = dtype).mel))
+    else:
+        infer = jax.jit(lambda p, s, t, r: jnp.sum(arch.infer(
+            p, s, t, rng = r, max_length = args.steps,
+            early_stopping = False, dtype = dtype).mel))
     rng = jax.random.PRNGKey(1)
     float(infer(params, state, tokens, rng))
 

@@ -136,3 +136,114 @@ class TestWaveGlowPallasPath:
         a1 = jax.jit(lambda p, m: base.infer(p, m, deterministic = True))(params, mel)
         a2 = jax.jit(lambda p, m: pall.infer(p, m, deterministic = True))(params, mel)
         assert float(jnp.abs(a1 - a2).max()) < 1e-5
+
+
+def _packed_block(B, T, C, S, L, seed = 0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 10)
+    mk = lambda k, shape, s = 0.05: jax.random.normal(k, shape) * s
+    packed = {
+        'w_cond': mk(ks[2], (L, S, 2 * C)), 'b_cond': mk(ks[3], (L, 2 * C)),
+        'w_in': mk(ks[4], (L, 3, C, 2 * C)), 'b_in': mk(ks[5], (L, 2 * C)),
+        'w_rs': mk(ks[6], (max(L - 1, 1), C, 2 * C)),
+        'b_rs': mk(ks[7], (max(L - 1, 1), 2 * C)),
+        'w_rs_last': mk(ks[8], (C, C)), 'b_rs_last': mk(ks[9], (C,)),
+    }
+    return mk(ks[0], (B, T, C), 0.3), mk(ks[1], (B, T, S), 0.3), packed
+
+
+class TestFusedWNBlockInt8:
+    """int8 whole-block kernel: bit-exact vs its quantization simulation,
+    and close (per-row dynamic quant) to the f32 chain."""
+
+    @pytest.mark.parametrize('L,T,tile', [(3, 512, 512), (4, 1024, 512)])
+    def test_matches_int8_sim(self, L, T, tile):
+        from text_to_speech_tpu.ops.pallas_kernels import (
+            fused_wn_block_int8, wn_block_int8_reference,
+            wn_block_pad_int8, quantize_wn_weights)
+        x, spect, packed = _packed_block(2, T, 128, 128, L)
+        quant = jax.tree_util.tree_map(jnp.asarray, quantize_wn_weights(packed))
+        pad = wn_block_pad_int8(L)
+        out = fused_wn_block_int8(
+            jnp.pad(x, ((0, 0), (pad, pad), (0, 0))),
+            jnp.pad(spect, ((0, 0), (pad, pad), (0, 0))),
+            quant, tile = tile, seq_len = T, interpret = True)
+        ref = wn_block_int8_reference(x, spect, quant)
+        # one-LSB rounding-tie flips are expected between the two evaluation
+        # orders (a 1-ULP difference in a row's amax shifts that row's whole
+        # quantization grid): bounded max error, tiny mean
+        err = jnp.abs(out - ref)
+        assert float(err.max()) < 1e-2
+        assert float(err.mean()) < 1e-5
+
+    def test_quantization_snr_vs_f32(self):
+        from text_to_speech_tpu.ops.pallas_kernels import (
+            wn_block_int8_reference, wn_block_reference, quantize_wn_weights)
+        x, spect, p = _packed_block(2, 512, 128, 128, 3)
+        quant = jax.tree_util.tree_map(jnp.asarray, quantize_wn_weights(p))
+        ref_q = wn_block_int8_reference(x, spect, quant)
+        ref_f = wn_block_reference(
+            x, spect, p['w_cond'], p['b_cond'], p['w_in'], p['b_in'],
+            p['w_rs'], p['b_rs'], p['w_rs_last'], p['b_rs_last'])
+        noise = float(jnp.mean((ref_q - ref_f) ** 2))
+        sig = float(jnp.mean(ref_f ** 2))
+        snr = 10 * np.log10(sig / max(noise, 1e-20))
+        assert snr > 30., 'block SNR too low: %.1f dB' % snr
+
+    def test_quantize_weights_roundtrip(self):
+        from text_to_speech_tpu.ops.pallas_kernels import quantize_wn_weights
+        _, _, packed = _packed_block(1, 64, 128, 128, 3)
+        q = quantize_wn_weights(packed)
+        assert q['w_in'].dtype == np.int8 and q['s_in'].shape == (3, 256)
+        deq = q['w_in'].astype(np.float32) * q['s_in'][:, None, None, :]
+        rel = np.abs(deq - np.asarray(packed['w_in'])).max() / \
+            np.abs(np.asarray(packed['w_in'])).max()
+        assert rel < 1e-2   # 1/254 per-channel rounding bound
+
+
+@pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
+class TestFusedWNBlockInt8TPU:
+    def test_matches_sim_full_size(self):
+        from text_to_speech_tpu.ops.pallas_kernels import (
+            fused_wn_block_int8, wn_block_int8_reference,
+            wn_block_pad_int8, quantize_wn_weights)
+        tpu = jax.devices('tpu')[0]
+        x, spect, packed = _packed_block(2, 2048, 512, 640, 8)
+        quant = jax.tree_util.tree_map(jnp.asarray, quantize_wn_weights(packed))
+        x, spect, quant = jax.device_put((x, spect, quant), tpu)
+        pad = wn_block_pad_int8(8)
+        out = fused_wn_block_int8(
+            jnp.pad(x, ((0, 0), (pad, pad), (0, 0))),
+            jnp.pad(spect, ((0, 0), (pad, pad), (0, 0))),
+            quant, tile = 1024, seq_len = 2048)
+        ref = jax.jit(wn_block_int8_reference)(x, spect, quant)
+        assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    def test_waveglow_int8_end_to_end(self):
+        from text_to_speech_tpu.models.waveglow_arch import WaveGlow
+        tpu = jax.devices('tpu')[0]
+        arch = WaveGlow(use_pallas = True)
+        base = WaveGlow(use_pallas = False)
+        raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+        # randomize the zero-init end convs so the WN stack drives the audio;
+        # scale 0.02 keeps the inverse flow in the stable regime of trained
+        # checkpoints (larger scales are chaotic: even bf16 scores negative
+        # SNR there)
+        key = jax.random.PRNGKey(7)
+        for name, v in raw.items():
+            if name.startswith('flow_'):
+                key, sub = jax.random.split(key)
+                end = v['block']['end']
+                v['block']['end'] = {
+                    'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
+                    'bias': end['bias']}
+        raw = jax.device_put(raw, tpu)
+        quant = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
+        mel = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(1), (2, 64, 80)) * 2. - 6., tpu)
+        rng = jax.random.PRNGKey(2)
+        w_f = jax.jit(lambda p, m: base.infer(p, m, rng = rng))(raw, mel)
+        w_q = jax.jit(lambda p, m: arch.infer(p, m, rng = rng))(quant, mel)
+        noise = float(jnp.mean((w_f - w_q) ** 2))
+        sig = float(jnp.mean(w_f ** 2))
+        snr = 10 * np.log10(sig / max(noise, 1e-20))
+        assert snr > 25., 'end-to-end int8 SNR too low: %.1f dB' % snr

@@ -543,5 +543,158 @@ class Tacotron2:
             decoder_output = outputs,
         )
 
+    # -- fused-kernel autoregressive inference -----------------------------------
+
+    def supports_fused_decoder(self, batch, seq_len):
+        """The fused decoder-step Pallas kernel covers the reference
+        configuration (1 decoder LSTM, 1 frame/step, 2 prenet layers,
+        gate from cell_out) for padded batches of at most 8 rows."""
+        hp = self.hp
+        return (batch <= 8 and seq_len % 8 == 0
+                and hp.decoder_n_lstm == 1
+                and hp.n_frames_per_step == 1
+                and not hp.pred_stop_on_mel
+                and hp.with_logits
+                and len(hp.prenet_sizes) == 2)
+
+    def infer_fused(self, params, state, tokens, *,
+                    speaker_embedding = None,
+                    rng = None,
+                    max_length = None,
+                    early_stopping = True,
+                    attn_mask_win_len = None,
+                    attn_mask_offset = 0.5,
+                    deterministic = None,
+                    dtype = None,
+                    chunk = 64,
+                    interpret = False):
+        """`infer` on the fused decoder-step Pallas kernel
+        (`ops.decoder_kernel`): all decoder weights stay VMEM-resident for
+        `chunk` steps per launch; a `lax.while_loop` chains launches with
+        early stopping on the gate.  Same contract as `infer` (dropout draws
+        from a different PRNG stream; use ``deterministic`` to compare)."""
+        from ..ops.decoder_kernel import (
+            pack_decoder_weights, decoder_steps, init_decoder_state)
+
+        hp = self.hp
+        if rng is None: rng = jax.random.PRNGKey(0)
+        if deterministic is None: deterministic = hp.prenet_deterministic
+        if max_length is None: max_length = hp.max_decoder_steps
+        max_length = int(max_length)
+        n_chunks = -(-max_length // chunk)
+        total = n_chunks * chunk
+
+        batch, seq_len = tokens.shape
+        assert self.supports_fused_decoder(batch, seq_len), \
+            'fused decoder unsupported for this config/shape'
+
+        compute_dtype = dtype or jnp.float32
+        if dtype is not None:
+            cast = lambda leaf: leaf.astype(dtype) \
+                if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+            params = jax.tree_util.tree_map(cast, params)
+            state = jax.tree_util.tree_map(cast, state)
+            if speaker_embedding is not None:
+                speaker_embedding = speaker_embedding.astype(dtype)
+
+        encoder_output, enc_mask, _ = self.encode(
+            params, state, tokens, speaker_embedding = speaker_embedding,
+            train = False,
+        )
+        memory, pm = self.process_memory(params['decoder'], encoder_output, enc_mask)
+        D = memory.shape[-1]
+        U = hp.attention_rnn_dim
+        A = hp.lsa_attention_dim
+
+        pad8 = lambda x: jnp.concatenate(
+            [x, jnp.zeros((8 - batch,) + x.shape[1:], x.dtype)], axis = 0) \
+            if batch < 8 else x
+        mem_t = jnp.transpose(pad8(memory), (1, 0, 2)).astype(compute_dtype)
+        pm_t = jnp.transpose(pad8(pm), (1, 0, 2)) \
+            .reshape(seq_len, 8 * A).astype(compute_dtype)
+        mask8 = pad8(enc_mask)
+        mask_t = jnp.transpose(mask8).astype(jnp.float32)
+        enc_len = jnp.sum(mask8.astype(jnp.int32), axis = 1)[None, :]
+
+        weights = pack_decoder_weights(
+            params['decoder'], n_mel = hp.n_mel_channels, dtype = compute_dtype)
+        # fold the speaker-concat prenet input into a per-row pre-activation
+        # addend: layer0([mel | spk]) = layer0_mel(mel) + in0[n_mel:] · spk
+        P0 = weights['w1'].shape[0]
+        if 'prenet' in self.concat_pos and speaker_embedding is not None:
+            in0 = params['decoder']['prenet']['layer_0']['kernel']
+            extra = pad8(speaker_embedding.astype(jnp.float32)
+                         @ in0[hp.n_mel_channels:].astype(jnp.float32))
+        else:
+            extra = jnp.zeros((8, P0), jnp.float32)
+
+        use_window = attn_mask_win_len is not None
+        win_len = int(attn_mask_win_len) if use_window else 0
+        offset = 0
+        if use_window:
+            offset = int(attn_mask_win_len * attn_mask_offset) \
+                if isinstance(attn_mask_offset, float) else int(attn_mask_offset)
+
+        seed0 = jax.random.randint(
+            rng, (1,), 0, 2 ** 31 - 2 ** 24, dtype = jnp.int32)
+
+        init = dict(
+            c = jnp.zeros((), jnp.int32),
+            st = init_decoder_state(seq_len, D, U, compute_dtype),
+            steps = jnp.zeros((total, 8, 128), jnp.float32),
+            attn = jnp.zeros((total, seq_len, 8), jnp.float32),
+            finished = jnp.arange(8) >= batch,       # pad rows never gate
+            lengths = jnp.zeros((8,), jnp.int32),
+        )
+
+        def cond(s):
+            not_done = s['c'] < n_chunks
+            if early_stopping:
+                return jnp.logical_and(not_done, ~jnp.all(s['finished']))
+            return not_done
+
+        def body(s):
+            steps, attn, st = decoder_steps(
+                weights, mem_t, pm_t, mask_t, enc_len, extra, s['st'],
+                seed0 + s['c'] * chunk,
+                n_steps = chunk, deterministic = bool(deterministic),
+                use_window = use_window, win_len = win_len,
+                win_offset = offset, gate_lane = hp.n_mel_channels,
+                interpret = interpret,
+            )
+            t0 = s['c'] * chunk
+            gates = steps[:, :, hp.n_mel_channels] > hp.gate_threshold
+            fin_k = jnp.logical_or(
+                s['finished'][None, :], jnp.cumsum(gates, axis = 0) > 0)
+            return dict(
+                c = s['c'] + 1,
+                st = st,
+                steps = lax.dynamic_update_slice(s['steps'], steps, (t0, 0, 0)),
+                attn = lax.dynamic_update_slice(s['attn'], attn, (t0, 0, 0)),
+                finished = fin_k[-1],
+                lengths = s['lengths']
+                + jnp.sum(~fin_k, axis = 0).astype(jnp.int32),
+            )
+
+        final = lax.while_loop(cond, body, init)
+
+        steps = jnp.transpose(final['steps'], (1, 0, 2))[:batch, :max_length]
+        outputs = steps[..., :hp.n_mel_channels].astype(jnp.float32)
+        stop_tokens = steps[..., hp.n_mel_channels]
+        attention_weights = jnp.transpose(
+            final['attn'], (2, 0, 1))[:batch, :max_length]
+
+        postnet_out, _ = self.postnet(params, state, outputs.astype(compute_dtype),
+                                      train = False)
+        mel = (outputs + postnet_out.astype(jnp.float32))
+
+        return Tacotron2InferenceOutput(
+            mel = mel,
+            lengths = final['lengths'][:batch],
+            stop_tokens = stop_tokens,
+            attention_weights = attention_weights,
+            decoder_output = outputs,
+        )
+
     def get_config(self):
         return self.hp.get_config()

@@ -126,6 +126,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                        deterministic = False,
                        dtype = None,
                        rng = None,
+                       use_fused_decoder = None,
                        ** _):
         """Shape-bucketed jitted AR inference on one (batched) token array."""
         import jax
@@ -152,6 +153,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         if rng is None:
             rng = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
 
+        # fused decoder-step Pallas kernel for small (latency-bound) batches
+        # on TPU; the XLA while_loop otherwise
+        if use_fused_decoder is None:
+            use_fused_decoder = False
+        fused = bool(use_fused_decoder) and self.arch.supports_fused_decoder(
+            tokens.shape[0], tokens.shape[1])
+
         static = dict(
             max_length = max_length,
             early_stopping = bool(early_stopping),
@@ -160,11 +168,14 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             deterministic = bool(deterministic),
             dtype = dtype,
         )
-        key = ('infer', tuple(sorted(static.items())), speaker_embedding is not None)
+        key = ('infer', tuple(sorted(static.items())),
+               speaker_embedding is not None, fused)
 
         def builder():
+            infer_fn = self.arch.infer_fused if fused else self.arch.infer
+
             def fn(params, state, tokens, rng, spk):
-                return self.arch.infer(
+                return infer_fn(
                     params, state, tokens, rng = rng,
                     speaker_embedding = spk, ** static,
                 )

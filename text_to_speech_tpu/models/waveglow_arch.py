@@ -157,6 +157,27 @@ class WaveGlow:
 
     # -- int8 quantization -------------------------------------------------------
 
+    def quantize_pallas_params(self, params, keep_packed = False):
+        """Quantize each block's packed WN weights to int8 for the fused
+        int8 Pallas kernel (`ops.pallas_kernels.fused_wn_block_int8`):
+        per-output-channel weight scales computed here once; activations
+        quantize per-row dynamically inside the kernel.  Call on the output
+        of `pack_pallas_params`.  `keep_packed` retains the f32 packed
+        weights alongside (for A/B comparison; doubles block HBM)."""
+        from ..ops.pallas_kernels import quantize_wn_weights
+        out = {}
+        for name, value in params.items():
+            if not name.startswith('flow_') or 'packed' not in value['block']:
+                out[name] = value
+                continue
+            block = dict(value['block'])
+            block['packed_q'] = jax.tree_util.tree_map(
+                jnp.asarray, quantize_wn_weights(block['packed']))
+            if not keep_packed:
+                del block['packed']
+            out[name] = {'convinv': value['convinv'], 'block': block}
+        return out
+
     def quantize_params(self, params):
         """Quantize the WN convs to int8 (symmetric, per-output-channel
         weight scales); activations quantize dynamically per tensor.
@@ -164,11 +185,13 @@ class WaveGlow:
         EXPERIMENTAL — measured on v5e (random weights): isolated int8 convs
         run ~2x bf16 (495 vs 255 TOPS), but end-to-end this path is ~5x
         SLOWER than bf16 (16x vs 81x real-time) because the per-conv
-        quant/dequant elementwise passes dominate, and waveform SNR vs f32
-        is ~15 dB (flow inversions amplify quantization noise).  Making int8
-        pay requires fusing quantization into the conv kernels (Pallas,
-        round-2) plus calibrated static scales.  Start/end/upsample/1x1
-        convs stay full precision.
+        quant/dequant elementwise passes dominate.  SUPERSEDED by
+        `quantize_pallas_params` + the fused int8 whole-block kernel
+        (`ops.pallas_kernels.fused_wn_block_int8`): 179x vs 113x real-time,
+        and BETTER fidelity than bf16 serving (42 vs -3 dB waveform SNR vs
+        f32 in the stable-flow regime) because only matmul operands are
+        quantized — accumulation, residuals and everything outside the
+        kernels stay f32.  This method remains as the pure-XLA fallback.
         """
         import numpy as np
 
@@ -228,23 +251,36 @@ class WaveGlow:
         int8 = 'kernel_q' in block.get('in_conv_0', {})
 
         T = audio_half.shape[1]
-        if fused and 'packed' in block and n_ch % 128 == 0 and T % 512 == 0:
+        if fused and ('packed' in block or 'packed_q' in block) \
+                and n_ch % 128 == 0 and T % 512 == 0:
             # whole coupling block in one Pallas kernel: all layers' weights
             # resident in VMEM, conditioning projected in-kernel, activations
-            # never leave VMEM between layers
-            from ..ops.pallas_kernels import fused_wn_block, wn_block_pad
-            pad = wn_block_pad(hp.wn_layers)
+            # never leave VMEM between layers; the int8 variant (packed_q)
+            # runs the matmuls on the MXU's 2x-rate int8 path
+            from ..ops.pallas_kernels import (
+                fused_wn_block, fused_wn_block_int8,
+                wn_block_pad, wn_block_pad_int8,
+            )
+            int8_kernel = 'packed_q' in block
+            pad = wn_block_pad_int8(hp.wn_layers) if int8_kernel \
+                else wn_block_pad(hp.wn_layers)
             tile = next(t for t in (4096, 2048, 1024, 512) if T % t == 0)
             x = nn.conv1d(block['start'], audio_half)
             x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
             if spect_padded is None:
                 spect_padded = jnp.pad(spect, ((0, 0), (pad, pad), (0, 0)))
-            p = block['packed']
-            skip_sum = fused_wn_block(
-                x, spect_padded, p['w_cond'], p['b_cond'], p['w_in'],
-                p['b_in'], p['w_rs'], p['b_rs'], p['w_rs_last'],
-                p['b_rs_last'], tile = tile, seq_len = T,
-            )
+            if int8_kernel:
+                skip_sum = fused_wn_block_int8(
+                    x, spect_padded, block['packed_q'],
+                    tile = tile, seq_len = T,
+                )
+            else:
+                p = block['packed']
+                skip_sum = fused_wn_block(
+                    x, spect_padded, p['w_cond'], p['b_cond'], p['w_in'],
+                    p['b_in'], p['w_rs'], p['b_rs'], p['w_rs_last'],
+                    p['b_rs_last'], tile = tile, seq_len = T,
+                )
             return nn.conv1d(block['end'], skip_sum)
         x = nn.conv1d(block['start'], audio_half)
         cond_all = None
@@ -381,13 +417,20 @@ class WaveGlow:
         if sigma is None: sigma = hp.sigma
         if rng is None: rng = jax.random.PRNGKey(0)
         if dtype is not None:
-            cast = lambda leaf: leaf.astype(dtype) \
-                if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating) else leaf
-            params = jax.tree_util.tree_map(cast, params)
+            def cast(path, leaf):
+                # int8 kernels keep their f32 scales/biases (packed_q); the
+                # kernel's accumulation is f32 regardless of serving dtype
+                if any(getattr(k, 'key', None) == 'packed_q' for k in path):
+                    return leaf
+                if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+                    return leaf.astype(dtype)
+                return leaf
+            params = jax.tree_util.tree_map_with_path(cast, params)
             mel = mel.astype(dtype)
 
         if use_pallas and hp.wn_channels % 128 == 0 and hp.wn_layers > 1 \
                 and 'packed' not in params['flow_0']['block'] \
+                and 'packed_q' not in params['flow_0']['block'] \
                 and 'kernel' in params['flow_0']['block']['in_conv_0']:
             params = self.pack_pallas_params(params)
 
@@ -395,9 +438,12 @@ class WaveGlow:
         batch, lg = spect.shape[0], spect.shape[1]
 
         spect_padded = None
-        if use_pallas and 'packed' in params['flow_0']['block'] and lg % 512 == 0:
-            from ..ops.pallas_kernels import wn_block_pad
-            p = wn_block_pad(hp.wn_layers)
+        block0 = params['flow_0']['block']
+        if use_pallas and ('packed' in block0 or 'packed_q' in block0) \
+                and lg % 512 == 0:
+            from ..ops.pallas_kernels import wn_block_pad, wn_block_pad_int8
+            p = wn_block_pad_int8(hp.wn_layers) if 'packed_q' in block0 \
+                else wn_block_pad(hp.wn_layers)
             spect_padded = jnp.pad(spect, ((0, 0), (p, p), (0, 0)))
 
         out_dtype = spect.dtype

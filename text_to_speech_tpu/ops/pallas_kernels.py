@@ -6,13 +6,14 @@ add — into a single kernel.  XLA runs the convs themselves near peak but
 round-trips the (B, T, 2C) activations through HBM between them (~2 GB per
 layer at serving shapes); the fused kernel keeps them in VMEM.
 
-Status (v5e, B=32 × T=8192 × C=512, bf16): bit-exact vs the XLA reference;
-isolated layer chain 156 vs 139 TFLOP/s (+12%), but end-to-end WaveGlow is
-currently faster on pure XLA (91x vs 69x real-time) because the per-layer
-halo pads and the fusion barrier around the opaque kernel cost more than the
-fusion saves — hence `use_pallas` defaults to False.  Round-2 path: fuse the
-whole coupling block (start/cond/end convs + all 8 layers) into one kernel
-with a persistent padded layout.
+Status (v5e, B=32 × T=8192 × C=512): the whole-block kernels below supersede
+the per-layer one.  bf16 `fused_wn_block`: 113x real-time end-to-end (163
+eff TFLOP/s, 83% of MXU peak — bf16 is peak-bound at ~135x).  int8
+`fused_wn_block_int8` (per-row dynamic activation scales, per-channel weight
+scales, f32 accumulation): 179x real-time (259 bf16-equivalent TFLOP/s), and
+HIGHER fidelity than bf16 serving (42 vs -3 dB waveform SNR vs f32 in the
+stable-flow regime) since only matmul operands quantize — the residual
+stream and all accumulation stay f32.
 
 Layout: grid over (batch, time tiles); weights live whole in VMEM (4 MB);
 the input tile is DMA'd from HBM with a ``dilation``-sized halo (the input
@@ -418,3 +419,361 @@ def wn_layer_reference(x, cond, w_in, b_in, w_rs, b_rs, *, dilation,
     if residual:
         return x + res_skip[..., :C], res_skip[..., C:]
     return x, res_skip
+
+
+# ---------------------------------------------------------------------------
+# int8 whole-block kernel
+#
+# Same structure as `_wn_block_kernel`, but every matmul runs on the MXU's
+# int8 path (v5e: 394 TOPS vs 197 TFLOP/s bf16).  Weights are pre-quantized
+# symmetric int8 with PER-OUTPUT-CHANNEL scales (`quantize_wn_weights`);
+# activations quantize dynamically PER ROW (per time step) inside the kernel
+# — the quant/dequant passes are VPU work fused between the matmuls, so
+# unlike the XLA-level int8 path (see waveglow_arch.quantize_params notes)
+# nothing round-trips through HBM.  The gated tanh·sigmoid tail, scale
+# arithmetic, residual adds and skip accumulation all stay f32 in VMEM.
+# ---------------------------------------------------------------------------
+
+_INT8_EPS = 1e-8
+
+
+def _row_quant(x_f32, eps = _INT8_EPS):
+    """Per-row symmetric int8 quantization: returns (q_int8, scale_f32[r,1])."""
+    amax = jnp.max(jnp.abs(x_f32), axis = -1, keepdims = True)
+    scale = jnp.maximum(amax, eps) * (1. / 127.)
+    q = jnp.clip(jnp.round(x_f32 / scale), -127., 127.).astype(jnp.int8)
+    return q, scale
+
+
+def _wn_block_int8_kernel(x_hbm, spect_hbm,
+                          w_cond_ref, s_cond_ref, b_cond_ref,
+                          w_in_ref, s_in_ref, b_in_ref,
+                          w_rs_ref, s_rs_ref, b_rs_ref,
+                          w_rs_last_ref, s_rs_last_ref, b_rs_last_ref,
+                          skip_out_ref,
+                          xbuf, xalt, spectbuf, spq, sspq, xq, sxq,
+                          skipacc, sems,
+                          *, tile, channels, n_layers, n_tiles, seq_len,
+                          halo, margin, chunk):
+    """int8 whole WN coupling block for one (batch, time-tile) grid step.
+    See `fused_wn_block_int8` for the contract."""
+    C = channels
+    g = pl.program_id(0)
+    total = pl.num_programs(0)
+    pad = halo + margin
+    t_b = tile + 2 * pad
+    ext = tile + 2 * halo
+    n_chunks = ext // chunk
+
+    def dma(src_hbm, dst, sem_base, step, slot):
+        return pltpu.make_async_copy(
+            src_hbm.at[step // n_tiles,
+                       pl.ds((step % n_tiles) * tile, t_b), :],
+            dst.at[slot], sems.at[sem_base + slot],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        dma(x_hbm, xbuf, 0, 0, 0).start()
+        dma(spect_hbm, spectbuf, 2, 0, 0).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        dma(x_hbm, xbuf, 0, g + 1, (g + 1) % 2).start()
+        dma(spect_hbm, spectbuf, 2, g + 1, (g + 1) % 2).start()
+
+    slot = g % 2
+    dma(x_hbm, xbuf, 0, g, slot).wait()
+    dma(spect_hbm, spectbuf, 2, g, slot).wait()
+
+    doti = functools.partial(jnp.dot, preferred_element_type = jnp.int32)
+
+    # quantize the conditioning tile ONCE; it is reused by all layers
+    q, s = _row_quant(spectbuf[slot].astype(jnp.float32))
+    spq[:] = q
+    sspq[:] = s
+
+    xalt[0: margin, :] = jnp.zeros((margin, C), xalt.dtype)
+    xalt[t_b - margin: t_b, :] = jnp.zeros((margin, C), xalt.dtype)
+    skipacc[:] = jnp.zeros((ext, C), jnp.float32)
+
+    # the quantized-x ping-pong margins are never written by the fused
+    # residual updates; zeroed q makes the scale value irrelevant there
+    for qs in (0, 1):
+        xq[qs, 0: margin, :] = jnp.zeros((margin, C), jnp.int8)
+        xq[qs, t_b - margin: t_b, :] = jnp.zeros((margin, C), jnp.int8)
+
+    # layer 0 quantizes the DMA'd input once; later layers requantize
+    # inside the residual-update write (no extra buffer pass)
+    q, s = _row_quant(xbuf[slot].astype(jnp.float32))
+    xq[0] = q
+    sxq[0] = s
+
+    ext_start = (g % n_tiles) * tile - halo
+
+    src, dst = xbuf.at[slot], xalt
+    for i in range(n_layers):
+        dilation = 2 ** i
+        last = i == n_layers - 1
+        qs = i % 2          # quantized-x slot for this layer
+
+        def chunk_body(c, _, *, i = i, dilation = dilation, last = last,
+                       src = src, dst = dst, qs = qs):
+            off = pl.multiple_of(c * chunk, chunk) + margin
+            if dilation % 32 == 0:
+                # int8 sublane tiling is 32: aligned dynamic loads only
+                xl = xq[qs, pl.ds(off - dilation, chunk), :]
+                xc = xq[qs, pl.ds(off, chunk), :]
+                xr = xq[qs, pl.ds(off + dilation, chunk), :]
+                sl = sxq[qs, pl.ds(off - dilation, chunk), :]
+                sc = sxq[qs, pl.ds(off, chunk), :]
+                sr = sxq[qs, pl.ds(off + dilation, chunk), :]
+            else:
+                # fetch one 32-aligned window, shift in-register
+                a = 32
+                win = xq[qs, pl.ds(off - a, chunk + 2 * a), :]
+                swin = sxq[qs, pl.ds(off - a, chunk + 2 * a), :]
+                xl = jax.lax.slice(win, (a - dilation, 0), (a - dilation + chunk, C))
+                xc = jax.lax.slice(win, (a, 0), (a + chunk, C))
+                xr = jax.lax.slice(win, (a + dilation, 0), (a + dilation + chunk, C))
+                sl = jax.lax.slice(swin, (a - dilation, 0), (a - dilation + chunk, 1))
+                sc = jax.lax.slice(swin, (a, 0), (a + chunk, 1))
+                sr = jax.lax.slice(swin, (a + dilation, 0), (a + dilation + chunk, 1))
+            sp = spq[pl.ds(off, chunk), :]
+            ssp = sspq[pl.ds(off, chunk), :]
+
+            # each tap's i32 product carries its own row scale; the shared
+            # per-output-channel weight scale factors out of the sum
+            in_acc = (doti(xl, w_in_ref[i, 0]).astype(jnp.float32) * sl
+                      + doti(xc, w_in_ref[i, 1]).astype(jnp.float32) * sc
+                      + doti(xr, w_in_ref[i, 2]).astype(jnp.float32) * sr)
+            cond_acc = doti(sp, w_cond_ref[i]).astype(jnp.float32) * ssp
+            acts = (in_acc * s_in_ref[i].astype(jnp.float32)
+                    + cond_acc * s_cond_ref[i].astype(jnp.float32)
+                    + b_in_ref[i].astype(jnp.float32)
+                    + b_cond_ref[i].astype(jnp.float32))
+            gated = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
+
+            g_q, g_s = _row_quant(gated)
+            acc_rows = pl.ds(off - margin, chunk)
+            if last:
+                skip = (doti(g_q, w_rs_last_ref[:]).astype(jnp.float32)
+                        * g_s * s_rs_last_ref[:].astype(jnp.float32)
+                        + b_rs_last_ref[:].astype(jnp.float32))
+                skipacc[acc_rows, :] = skipacc[acc_rows, :] + skip
+            else:
+                rs = (doti(g_q, w_rs_ref[i]).astype(jnp.float32)
+                      * g_s * s_rs_ref[i].astype(jnp.float32)
+                      + b_rs_ref[i].astype(jnp.float32))
+                # residual base is the TRUE stream from src (not the
+                # dequantized xc) so quantization error does not compound
+                # across layers through the residual path
+                xc_true = src[pl.ds(off, chunk), :]
+                new_x = xc_true.astype(jnp.float32) + rs[:, :C]
+                gpos = ext_start + (off - margin) \
+                    + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                valid = (gpos >= 0) & (gpos < seq_len)
+                new_x = jnp.where(valid, new_x, 0.)
+                dst[pl.ds(off, chunk), :] = new_x.astype(dst.dtype)
+                # fused requantization for the next layer's taps
+                nq, ns = _row_quant(new_x)
+                xq[1 - qs, pl.ds(off, chunk), :] = nq
+                sxq[1 - qs, pl.ds(off, chunk), :] = ns
+                skipacc[acc_rows, :] = skipacc[acc_rows, :] + rs[:, C:]
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        src, dst = dst, src
+
+    skip_out_ref[0] = skipacc[halo: halo + tile, :].astype(skip_out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret'),
+)
+def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
+                        chunk = None, interpret = False):
+    """int8 variant of `fused_wn_block`.
+
+    `quant` is the dict produced by `quantize_wn_weights` from the packed
+    f32 weights: int8 kernels ``w_*`` with per-output-channel f32 scales
+    ``s_*`` and f32 biases ``b_*``.  x/spect layouts and padding are
+    identical to the bf16 kernel (use `wn_block_pad`).  Activation rows
+    quantize dynamically in-kernel.  Returns skip_sum (B, T, C) in
+    ``x_padded.dtype``.
+    """
+    w_in = quant['w_in']
+    n_layers = w_in.shape[0]
+    C = w_in.shape[2]
+    S = spect_padded.shape[2]
+    B = x_padded.shape[0]
+    halo = _round_up(2 ** n_layers - 1, 32)
+    margin = _round_up(2 ** (n_layers - 1), 32)
+    pad = halo + margin
+    T = x_padded.shape[1] - 2 * pad
+    assert T == seq_len and T % tile == 0, (T, seq_len, tile)
+    ext = tile + 2 * halo
+    if chunk is None:
+        chunk = next(c for c in (512, 256, 128, 64, 32) if ext % c == 0)
+    assert ext % chunk == 0 and chunk % 32 == 0
+
+    n_tiles = T // tile
+    t_b = tile + 2 * pad
+    kernel = functools.partial(
+        _wn_block_int8_kernel, tile = tile, channels = C,
+        n_layers = n_layers, n_tiles = n_tiles, seq_len = seq_len,
+        halo = halo, margin = margin, chunk = chunk,
+    )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda g: (0,) * len(shape), memory_space = pltpu.VMEM)
+
+    flops_tile = 2 * ext * C * 2 * C * (3 * n_layers + (n_layers - 1) + S / C * n_layers + 0.5)
+    return pl.pallas_call(
+        kernel,
+        grid = (B * n_tiles,),
+        in_specs = [
+            pl.BlockSpec(memory_space = pltpu.ANY),      # x (manual DMA)
+            pl.BlockSpec(memory_space = pltpu.ANY),      # spect (manual DMA)
+            const((n_layers, S, 2 * C)),                 # w_cond int8
+            const((n_layers, 2 * C)),                    # s_cond
+            const((n_layers, 2 * C)),                    # b_cond
+            const((n_layers, 3, C, 2 * C)),              # w_in int8
+            const((n_layers, 2 * C)),                    # s_in
+            const((n_layers, 2 * C)),                    # b_in
+            const((max(n_layers - 1, 1), C, 2 * C)),     # w_rs int8
+            const((max(n_layers - 1, 1), 2 * C)),        # s_rs
+            const((max(n_layers - 1, 1), 2 * C)),        # b_rs
+            const((C, C)),                               # w_rs_last int8
+            const((C,)),                                 # s_rs_last
+            const((C,)),                                 # b_rs_last
+        ],
+        out_specs = pl.BlockSpec(
+            (1, tile, C), lambda g, n_tiles = n_tiles: (g // n_tiles, g % n_tiles, 0),
+            memory_space = pltpu.VMEM),
+        out_shape = jax.ShapeDtypeStruct((B, T, C), x_padded.dtype),
+        scratch_shapes = [
+            pltpu.VMEM((2, t_b, C), x_padded.dtype),     # DMA'd x (ping)
+            pltpu.VMEM((t_b, C), x_padded.dtype),        # pong
+            pltpu.VMEM((2, t_b, S), spect_padded.dtype),
+            pltpu.VMEM((t_b, S), jnp.int8),              # quantized spect
+            pltpu.VMEM((t_b, 1), jnp.float32),           # spect row scales
+            pltpu.VMEM((2, t_b, C), jnp.int8),           # quantized x ping-pong
+            pltpu.VMEM((2, t_b, 1), jnp.float32),        # x row scales ping-pong
+            pltpu.VMEM((ext, C), jnp.float32),           # skip accumulator
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes = 127 * 1024 * 1024,
+        ),
+        interpret = interpret,
+        cost_estimate = pl.CostEstimate(
+            # int8 matmul "flops" at half the bf16 cost steers the scheduler
+            flops = int(flops_tile) * B * n_tiles // 2,
+            bytes_accessed = B * n_tiles * t_b * (C + S) * 2,
+            transcendentals = B * n_tiles * ext * 2 * C * n_layers,
+        ),
+    )(x_padded, spect_padded,
+      quant['w_cond'], quant['s_cond'], quant['b_cond'],
+      quant['w_in'], quant['s_in'], quant['b_in'],
+      quant['w_rs'], quant['s_rs'], quant['b_rs'],
+      quant['w_rs_last'], quant['s_rs_last'], quant['b_rs_last'])
+
+
+def wn_block_pad_int8(n_layers):
+    """Time padding `fused_wn_block_int8` expects (32-aligned for int8
+    sublane tiling, vs 16 for the bf16 kernel)."""
+    return _round_up(2 ** n_layers - 1, 32) + _round_up(2 ** (n_layers - 1), 32)
+
+
+def quantize_wn_weights(packed):
+    """Pre-quantize one block's packed WN weights (see
+    `WaveGlow.pack_pallas_params`) to symmetric int8 with per-output-channel
+    scales, for `fused_wn_block_int8`.  The three taps of each dilated conv
+    share their output-channel scale so it factors out of the tap sum."""
+    import numpy as np
+
+    def q(w, axes):
+        """Quantize per output channel; scale returned without the reduced
+        axes (e.g. (L,3,C,2C) reduced over (1,2) → scale (L,2C))."""
+        w = np.asarray(w, np.float32)
+        scale = np.maximum(
+            np.max(np.abs(w), axis = axes, keepdims = True), _INT8_EPS) / 127.
+        w_q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return w_q, np.squeeze(scale, axis = axes).astype(np.float32)
+
+    w_in, s_in = q(packed['w_in'], (1, 2))          # → scale (L, 2C)
+    w_cond, s_cond = q(packed['w_cond'], (1,))      # → scale (L, 2C)
+    w_rs, s_rs = q(packed['w_rs'], (1,))            # → scale (L-1, 2C)
+    w_last, s_last = q(packed['w_rs_last'], (0,))   # → scale (C,)
+    return {
+        'w_in': w_in, 's_in': s_in,
+        'b_in': np.asarray(packed['b_in'], np.float32),
+        'w_cond': w_cond, 's_cond': s_cond,
+        'b_cond': np.asarray(packed['b_cond'], np.float32),
+        'w_rs': w_rs, 's_rs': s_rs,
+        'b_rs': np.asarray(packed['b_rs'], np.float32),
+        'w_rs_last': w_last, 's_rs_last': s_last,
+        'b_rs_last': np.asarray(packed['b_rs_last'], np.float32),
+    }
+
+
+def wn_block_int8_reference(x, spect, quant):
+    """Pure-XLA simulation of `fused_wn_block_int8`'s exact arithmetic
+    (per-row activation quant, per-channel weight scales, f32 accumulate)
+    for numeric verification of the kernel."""
+    n_layers = quant['w_in'].shape[0]
+    C = quant['w_in'].shape[2]
+
+    def row_q(v):
+        amax = jnp.max(jnp.abs(v), axis = -1, keepdims = True)
+        scale = jnp.maximum(amax, _INT8_EPS) / 127.
+        return jnp.clip(jnp.round(v / scale), -127, 127).astype(jnp.int8), scale
+
+    x = x.astype(jnp.float32)
+    sp_q, sp_s = row_q(spect.astype(jnp.float32))
+    skip_sum = 0.
+    for i in range(n_layers):
+        last = i == n_layers - 1
+        x_q, x_s = row_q(x)
+        w = quant['w_in'][i]
+        d = 2 ** i
+        def tap(k):
+            # SAME-pad dilated tap: roll + zero the wrapped edge
+            T = x_q.shape[1]
+            idx = jnp.arange(T) + k
+            valid = (idx >= 0) & (idx < T)
+            rolled_q = jnp.roll(x_q, -k, axis = 1)
+            rolled_s = jnp.roll(x_s, -k, axis = 1)
+            qv = jnp.where(valid[None, :, None], rolled_q, 0)
+            return qv, rolled_s
+        acc = 0.
+        for t, k in enumerate((-d, 0, d)):
+            qv, sv = tap(k)
+            acc = acc + jnp.einsum(
+                'btc,cd->btd', qv.astype(jnp.int32), w[t].astype(jnp.int32),
+            ).astype(jnp.float32) * sv
+        cond = jnp.einsum(
+            'bts,sd->btd', sp_q.astype(jnp.int32),
+            quant['w_cond'][i].astype(jnp.int32),
+        ).astype(jnp.float32) * sp_s
+        acts = (acc * quant['s_in'][i] + cond * quant['s_cond'][i]
+                + quant['b_in'][i] + quant['b_cond'][i])
+        gated = jnp.tanh(acts[..., :C]) * jax.nn.sigmoid(acts[..., C:])
+        g_q, g_s = row_q(gated)
+        if last:
+            skip = jnp.einsum(
+                'btc,cd->btd', g_q.astype(jnp.int32),
+                quant['w_rs_last'].astype(jnp.int32),
+            ).astype(jnp.float32) * g_s * quant['s_rs_last'] + quant['b_rs_last']
+            skip_sum = skip_sum + skip
+        else:
+            rs = jnp.einsum(
+                'btc,cd->btd', g_q.astype(jnp.int32),
+                quant['w_rs'][i].astype(jnp.int32),
+            ).astype(jnp.float32) * g_s * quant['s_rs'][i] + quant['b_rs'][i]
+            # like the kernel, the residual base is the true stream
+            x = x + rs[..., :C]
+            skip_sum = skip_sum + rs[..., C:]
+    return skip_sum
