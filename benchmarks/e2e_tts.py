@@ -18,6 +18,10 @@ def main():
     parser.add_argument('--runs', type = int, default = 3)
     parser.add_argument('--dtype', default = None,
                         help = 'bfloat16 runs both models at MXU precision')
+    parser.add_argument('--fused-decoder', action = 'store_true',
+                        help = 'fused decoder-step Pallas kernel (B<=8)')
+    parser.add_argument('--int8-vocoder', action = 'store_true',
+                        help = 'int8 fused-block WaveGlow serving path')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -26,9 +30,13 @@ def main():
     if args.dtype:
         import jax.numpy as jnp
         extra['dtype'] = getattr(jnp, args.dtype)
+    if args.fused_decoder:
+        extra['use_fused_decoder'] = True
 
     model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     vocoder = WaveGlow(name = 'bench_waveglow')
+    if args.int8_vocoder:
+        vocoder.quantize_for_serving()
 
     texts = [
         'The quick brown fox jumps over the lazy dog number {}.'.format(i)

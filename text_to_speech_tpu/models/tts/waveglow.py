@@ -94,9 +94,10 @@ class WaveGlow(BaseAudioModel, BaseModel):
         platform = default_dev.platform if default_dev is not None \
             else jax.default_backend()
         use_pallas = platform == 'tpu'
+        int8 = bool(getattr(self, '_serve_int8', False)) and use_pallas
         static = (float(sigma) if sigma is not None else None,
                   bool(deterministic), dtype, use_pallas)
-        key = ('infer', static)
+        key = ('infer', static, int8)
 
         def builder():
             def fn(params, mel, rng):
@@ -116,12 +117,26 @@ class WaveGlow(BaseAudioModel, BaseModel):
             # pack ONCE outside jit (in-graph packing serializes the packing
             # concats with the kernels and costs ~3x); cache per params object
             cached = getattr(self, '_packed_params', None)
-            if cached is None or cached[0] is not params:
-                self._packed_params = (
-                    params, self.arch.pack_pallas_params(params))
-            params = self._packed_params[1]
+            if cached is None or cached[0] is not params or cached[1] != int8:
+                packed = self.arch.pack_pallas_params(params)
+                if int8:
+                    packed = self.arch.quantize_pallas_params(packed)
+                self._packed_params = (params, int8, packed)
+            params = self._packed_params[2]
 
         return self.get_compiled(key, builder)(params, mel, rng)
+
+    def quantize_for_serving(self, enable = True):
+        """Serve through the fused int8 WN-block kernels: weights
+        pre-quantized to int8 with per-output-channel scales; activations
+        quantize per-row inside the kernel.  Measured on v5e: ~1.6x faster
+        than the bf16 kernel AND closer to the f32 chain (42 vs −3 dB
+        waveform SNR — see `ops/pallas_kernels.py`).  Training, export and
+        checkpointing are unaffected: the quantized copy lives only in the
+        serving cache.  Requires a TPU backend; no-op elsewhere."""
+        self._serve_int8 = bool(enable)
+        self._packed_params = None
+        return self
 
     # -- inference -------------------------------------------------------------
 

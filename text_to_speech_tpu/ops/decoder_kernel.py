@@ -53,13 +53,14 @@ def pack_decoder_weights(dec, *, n_mel = 80, dtype = jnp.bfloat16):
       w0 (128, P): prenet layer 0, frame rows padded 80→128 (the gate lane
         and padding lanes of the recycled projection output hit zero rows);
       w1 (P, P'), b0/b1;
-      att_wx (P'+D, 4U), att_wh (U, 4U), att_b (4U,);
+      att_w (P'+D+U, 4U): [Wx; Wh] stacked so `[x|ctx|h] @ att_w` is ONE
+        matmul; att_b (4U,);
       q_w (U, A);
       loc_w (512, 8*A): block-diagonal location-conv weight — input lanes
         (c*31+k)*8+b (channel c, tap k, batch b), output lanes b*A+d;
         folds location_conv (31,2,F) @ location_dense (F,A);
       v_w (1, 8*A): the value vector tiled per batch group;
-      dec_wx (U+D, 4U), dec_wh (U, 4U), dec_b (4U,);
+      dec_w (2U+D, 4U): same stacking for the decoder LSTM; dec_b (4U,);
       proj_w (U+D, 128): linear_projection (·,n_mel) and gate_layer (·,1)
         side by side, zero-padded to 128 lanes; proj_b (1, 128).
     """
@@ -88,6 +89,14 @@ def pack_decoder_weights(dec, *, n_mel = 80, dtype = jnp.bfloat16):
     v_w = jnp.tile(v, 8)[None, :]                       # (1, 8A)
 
     a_rnn, d_rnn = dec['attention_rnn'], dec['decoder_rnn']['cell_0']
+    # one [x | h] @ [Wx; Wh] matmul per LSTM instead of two + add (halves
+    # the serial MXU dispatches in the step's critical path)
+    att_w = jnp.concatenate(
+        [jnp.asarray(a_rnn['kernel']), jnp.asarray(a_rnn['recurrent_kernel'])],
+        axis = 0)
+    dec_w = jnp.concatenate(
+        [jnp.asarray(d_rnn['kernel']), jnp.asarray(d_rnn['recurrent_kernel'])],
+        axis = 0)
     proj, gate = dec['linear_projection'], dec['gate_layer']
     pw = f32(proj['kernel'])                            # (U+D, n_mel)
     gw = f32(gate['kernel'])                            # (U+D, 1)
@@ -101,12 +110,10 @@ def pack_decoder_weights(dec, *, n_mel = 80, dtype = jnp.bfloat16):
     return {
         'w0': as_dt(w0), 'b0': b0,
         'w1': as_dt(p1['kernel']), 'b1': b1,
-        'att_wx': as_dt(a_rnn['kernel']), 'att_wh': as_dt(a_rnn['recurrent_kernel']),
-        'att_b': f32(a_rnn['bias']),
+        'att_w': as_dt(att_w), 'att_b': f32(a_rnn['bias']),
         'q_w': as_dt(att['query']['kernel']),
         'loc_w': as_dt(loc_w), 'v_w': v_w,
-        'dec_wx': as_dt(d_rnn['kernel']), 'dec_wh': as_dt(d_rnn['recurrent_kernel']),
-        'dec_b': f32(d_rnn['bias']),
+        'dec_w': as_dt(dec_w), 'dec_b': f32(d_rnn['bias']),
         'proj_w': as_dt(proj_w), 'proj_b': proj_b,
     }
 
@@ -114,9 +121,9 @@ def pack_decoder_weights(dec, *, n_mel = 80, dtype = jnp.bfloat16):
 def _decoder_kernel(seed_ref,
                     mem_ref, pm_ref, mask_ref, len_ref,
                     w0_ref, b0_ref, w1_ref, b1_ref, extra_ref,
-                    att_wx_ref, att_wh_ref, att_b_ref,
+                    att_w_ref, att_b_ref,
                     q_w_ref, loc_w_ref, v_w_ref,
-                    dec_wx_ref, dec_wh_ref, dec_b_ref,
+                    dec_w_ref, dec_b_ref,
                     proj_w_ref, proj_b_ref,
                     frame_ref, h_att_ref, c_att_ref, h_dec_ref, c_dec_ref,
                     ctx_ref, prev_ref, cum_ref, main_ref,
@@ -126,7 +133,7 @@ def _decoder_kernel(seed_ref,
                     win_scratch,
                     *, S, D, U, P, A, drop_threshold, drop_scale,
                     deterministic, use_window, win_len, win_offset,
-                    gate_lane):
+                    gate_lane, ablate = ()):
     g = pl.program_id(0)
     dt = mem_ref.dtype                     # compute (matmul) dtype
     # f32 parity runs want true-f32 matmuls (the MXU's default for f32
@@ -148,15 +155,15 @@ def _decoder_kernel(seed_ref,
     x = jnp.maximum(x, 0.)
     if not deterministic:
         bits = pltpu.bitcast(pltpu.prng_random_bits((8, P)), jnp.uint32)
-        x = jnp.where(bits >= drop_threshold, x * drop_scale, 0.)
+        x = jnp.where(bits >= jnp.uint32(drop_threshold), x * drop_scale, 0.)
     x = jnp.maximum(dot(x.astype(dt), w1_ref[:]) + b1_ref[:], 0.)
     if not deterministic:
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
-        x = jnp.where(bits >= drop_threshold, x * drop_scale, 0.)
+        x = jnp.where(bits >= jnp.uint32(drop_threshold), x * drop_scale, 0.)
 
     # ---- attention LSTM -----------------------------------------------------
-    xin = jnp.concatenate([x.astype(dt), ctx_o[:]], axis = -1)   # (8, P+D)
-    z = dot(xin, att_wx_ref[:]) + dot(h_att_o[:], att_wh_ref[:]) + att_b_ref[:]
+    xin = jnp.concatenate([x.astype(dt), ctx_o[:], h_att_o[:]], axis = -1)
+    z = dot(xin, att_w_ref[:]) + att_b_ref[:]               # (8, 4U)
     i_g = jax.nn.sigmoid(z[:, :U])
     f_g = jax.nn.sigmoid(z[:, U: 2 * U])
     g_g = jnp.tanh(z[:, 2 * U: 3 * U])
@@ -169,24 +176,31 @@ def _decoder_kernel(seed_ref,
     # ---- location-sensitive attention (S on sublanes) ------------------------
     pq = dot(h_att.astype(dt), q_w_ref[:])                  # (8, A) f32
 
-    # im2col: window column (c*31+k) of output s holds attn_c[s + k - 15];
-    # sublane shifts of the transposed alignments are cheap
-    win_scratch[:] = jnp.zeros_like(win_scratch)
-    for c, ref in ((0, prev_o), (1, cum_o)):
-        a_t = ref[:].astype(dt)                             # (S, 8)
-        for k in range(LOC_KERNEL):
-            shift = k - LOC_PAD
-            src_lo, dst_lo = max(0, shift), max(0, -shift)
-            n = S - abs(shift)
-            col = (c * LOC_KERNEL + k) * 8
-            win_scratch[dst_lo: dst_lo + n, col: col + 8] = \
-                a_t[src_lo: src_lo + n, :]
-    feat = dot(win_scratch[:], loc_w_ref[:])                # (S, 8A) f32
+    if 'loc' not in ablate:
+        # im2col: window column (c*31+k) of output s holds attn_c[s + k - 15];
+        # sublane shifts of the transposed alignments are cheap
+        win_scratch[:] = jnp.zeros_like(win_scratch)
+        for c, ref in ((0, prev_o), (1, cum_o)):
+            a_t = ref[:].astype(dt)                         # (S, 8)
+            for k in range(LOC_KERNEL):
+                shift = k - LOC_PAD
+                src_lo, dst_lo = max(0, shift), max(0, -shift)
+                n = S - abs(shift)
+                col = (c * LOC_KERNEL + k) * 8
+                win_scratch[dst_lo: dst_lo + n, col: col + 8] = \
+                    a_t[src_lo: src_lo + n, :]
+        feat = dot(win_scratch[:], loc_w_ref[:])            # (S, 8A) f32
+    else:
+        feat = 0.
 
-    pm = pm_ref[:].astype(jnp.float32)                      # (S, 8A)
-    pq_row = pq.reshape(1, 8 * A)                           # (1, 8A)
-    e = jnp.tanh(pq_row + pm + feat) * v_w_ref[:]           # (S, 8A) f32
-    energies = jnp.sum(e.reshape(S, 8, A), axis = -1)       # (S, 8)
+    if 'energies' not in ablate:
+        pm = pm_ref[:].astype(jnp.float32)                  # (S, 8A)
+        pq_row = pq.reshape(1, 8 * A)                       # (1, 8A)
+        e = jnp.tanh(pq_row + pm + feat) * v_w_ref[:]       # (S, 8A) f32
+        energies = jnp.sum(e.reshape(S, 8, A), axis = -1)   # (S, 8)
+    else:
+        energies = pq[:, :8].reshape(1, 8) \
+            + jax.lax.broadcasted_iota(jnp.float32, (S, 8), 0) * 1e-3
 
     mask = mask_ref[:] > 0.                                 # (S, 8)
     if use_window:
@@ -195,23 +209,31 @@ def _decoder_kernel(seed_ref,
         lo = center - win_offset
         pos = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 0)
         mask = mask & (pos >= lo) & (pos <= lo + win_len)
-    energies = jnp.where(mask, energies, -1e9)
-    energies = energies - jnp.max(energies, axis = 0, keepdims = True)
-    ew = jnp.exp(energies)
-    attn = ew / jnp.sum(ew, axis = 0, keepdims = True)      # (S, 8) f32
+    if 'softmax' not in ablate:
+        energies = jnp.where(mask, energies, -1e9)
+        energies = energies - jnp.max(energies, axis = 0, keepdims = True)
+        ew = jnp.exp(energies)
+        attn = ew / jnp.sum(ew, axis = 0, keepdims = True)  # (S, 8) f32
+    else:
+        attn = energies * (1. / S)
 
     cum = cum_o[:] + attn
     prev_o[:] = attn
     cum_o[:] = cum
-    main_o[:] = jnp.argmax(attn, axis = 0)[None, :].astype(jnp.int32)
+    if 'argmax' not in ablate:
+        main_o[:] = jnp.argmax(attn, axis = 0)[None, :].astype(jnp.int32)
 
-    ctx = jnp.sum(attn[:, :, None].astype(dt) * mem_ref[:],
-                  axis = 0, dtype = jnp.float32)            # (8, D)
-    ctx_o[:] = ctx.astype(dt)
+    if 'context' not in ablate:
+        ctx = jnp.sum(attn[:, :, None].astype(dt) * mem_ref[:],
+                      axis = 0, dtype = jnp.float32)        # (8, D)
+        ctx_o[:] = ctx.astype(dt)
+    else:
+        ctx = ctx_o[:].astype(jnp.float32)
 
     # ---- decoder LSTM ---------------------------------------------------------
-    yin = jnp.concatenate([h_att.astype(dt), ctx.astype(dt)], axis = -1)
-    z = dot(yin, dec_wx_ref[:]) + dot(h_dec_o[:], dec_wh_ref[:]) + dec_b_ref[:]
+    yin = jnp.concatenate(
+        [h_att.astype(dt), ctx.astype(dt), h_dec_o[:]], axis = -1)
+    z = dot(yin, dec_w_ref[:]) + dec_b_ref[:]               # (8, 4U)
     i_g = jax.nn.sigmoid(z[:, :U])
     f_g = jax.nn.sigmoid(z[:, U: 2 * U])
     g_g = jnp.tanh(z[:, 2 * U: 3 * U])
@@ -239,12 +261,13 @@ def _decoder_kernel(seed_ref,
 @functools.partial(
     jax.jit,
     static_argnames = ('n_steps', 'deterministic', 'use_window',
-                       'win_len', 'win_offset', 'gate_lane', 'interpret'),
+                       'win_len', 'win_offset', 'gate_lane', 'interpret',
+                       'ablate'),
 )
 def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
                   *, n_steps, deterministic = False, use_window = False,
                   win_len = 0, win_offset = 0, gate_lane = 80,
-                  interpret = False):
+                  interpret = False, ablate = ()):
     """Run `n_steps` fused decoder steps.
 
     - weights: dict from `pack_decoder_weights`;
@@ -262,17 +285,18 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
     ``[:, :, 80]`` gate —, attn (n_steps, S, 8) f32, new_state).
     """
     S, _, D = mem_t.shape
-    U = weights['att_wh'].shape[0]
+    U = weights['att_w'].shape[1] // 4
     P = weights['w1'].shape[0]
     A = weights['q_w'].shape[1]
     assert S % 8 == 0, S
 
     kernel = functools.partial(
         _decoder_kernel, S = S, D = D, U = U, P = P, A = A,
-        drop_threshold = jnp.uint32(2147483648),     # p = 0.5
+        drop_threshold = 2147483648,                 # p = 0.5 (u32 built in-kernel)
         drop_scale = 2.,
         deterministic = deterministic, use_window = use_window,
         win_len = win_len, win_offset = win_offset, gate_lane = gate_lane,
+        ablate = tuple(ablate),   # perf-bisection switches; () in production
     )
 
     whole = lambda shape: pl.BlockSpec(
@@ -286,7 +310,7 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
         jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state_in)
     state_specs = tuple(whole(s.shape) for s in state_in)
 
-    n_inputs = 21 + len(state_in)
+    n_inputs = 19 + len(state_in)
     outs = pl.pallas_call(
         kernel,
         grid = (n_steps,),
@@ -296,12 +320,10 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
             whole(mask_t.shape), whole(enc_len.shape),
             whole(w['w0'].shape), whole(w['b0'].shape),
             whole(w['w1'].shape), whole(w['b1'].shape), whole(extra.shape),
-            whole(w['att_wx'].shape), whole(w['att_wh'].shape),
-            whole(w['att_b'].shape),
+            whole(w['att_w'].shape), whole(w['att_b'].shape),
             whole(w['q_w'].shape), whole(w['loc_w'].shape),
             whole(w['v_w'].shape),
-            whole(w['dec_wx'].shape), whole(w['dec_wh'].shape),
-            whole(w['dec_b'].shape),
+            whole(w['dec_w'].shape), whole(w['dec_b'].shape),
             whole(w['proj_w'].shape), whole(w['proj_b'].shape),
         ] + list(state_specs),
         out_specs = tuple(state_specs) + (
@@ -326,9 +348,9 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
         interpret = interpret,
     )(seed, mem_t, pm_t, mask_t, enc_len,
       w['w0'], w['b0'], w['w1'], w['b1'], extra,
-      w['att_wx'], w['att_wh'], w['att_b'],
+      w['att_w'], w['att_b'],
       w['q_w'], w['loc_w'], w['v_w'],
-      w['dec_wx'], w['dec_wh'], w['dec_b'],
+      w['dec_w'], w['dec_b'],
       w['proj_w'], w['proj_b'],
       * state_in)
 
