@@ -346,6 +346,11 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         inputs, max_length = max_length, ** kwargs
                     )
                 out_lengths = np.asarray(outputs.lengths)
+                # ONE bulk device→host fetch per output: per-row slice
+                # transfers each pay the tunnel's ~30 ms round-trip latency
+                # (16 slices cost ~0.5 s; two bulk fetches cost ~0.06 s)
+                mel_host = np.asarray(outputs.mel)
+                attn_host = np.asarray(outputs.attention_weights)
                 for row, i in enumerate(group):
                     ratio = float(out_lengths[row]) / max(lengths[i], 1)
                     ok = min_fpt_ratio < ratio < max_fpt_ratio
@@ -353,9 +358,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                     if ok or is_last or mels[i] is None:
                         # keep >=1 frame so downstream vocoding stays shape-valid
                         out_len = max(1, int(out_lengths[row]))
-                        mels[i] = np.asarray(outputs.mel[row, :out_len])
-                        attn[i] = np.asarray(
-                            outputs.attention_weights[row, :out_len])
+                        mels[i] = mel_host[row, :out_len]
+                        attn[i] = attn_host[row, :out_len]
                     if not ok:
                         logger.info(
                             'chunk %d attempt %d rejected (frames/token %.2f)',

@@ -43,8 +43,22 @@ def unflatten_tree(flat, sep = '/'):
     return tree
 
 
+def _to_host(value, retries = 3):
+    """Device→host fetch with retry: bulk transfers through the axon TPU
+    tunnel intermittently fail with FAILED_PRECONDITION; a retry (after a
+    short pause) reliably recovers."""
+    for attempt in range(retries):
+        try:
+            return np.asarray(value)
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            import time
+            time.sleep(0.5 * (attempt + 1))
+
+
 def save_tree(filename, tree):
-    flat = {k: np.asarray(v) for k, v in flatten_tree(tree).items()}
+    flat = {k: _to_host(v) for k, v in flatten_tree(tree).items()}
     d = os.path.dirname(filename)
     if d: os.makedirs(d, exist_ok = True)
     np.savez(filename, ** flat)
