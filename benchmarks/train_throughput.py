@@ -1,0 +1,131 @@
+"""Training-step throughput on one chip: Tacotron-2 (teacher-forced,
+TacotronLoss) and WaveGlow (flow NLL), full-size models, synthetic batches.
+
+Usage: python benchmarks/train_throughput.py [--model tacotron2|waveglow|both]
+       [--batch 32] [--frames 384] [--tokens 128] [--iters 5]
+
+Reference context: the reference trains on a single RTX 3090 through Keras
+`fit` (no published step times); the speaker-encoder headline is ~99%
+accuracy in 2-3 h (README.md:142).  This measures the raw jitted train-step
+rate the `fit` path replays.
+"""
+
+import os
+import sys
+import time
+import argparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+
+def sync(x):
+    return float(x)
+
+
+def bench_tacotron(batch, tokens, frames, iters):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
+    from text_to_speech_tpu.train.losses import TacotronLoss
+    from text_to_speech_tpu.train.optimizers import get_optimizer
+
+    arch = Tacotron2()
+    params, state = arch.init(jax.random.PRNGKey(0))
+    loss = TacotronLoss()
+    opt = get_optimizer('adam', lr = 1e-3)
+    opt_state = opt.init(params)
+
+    tok = jnp.ones((batch, tokens), jnp.int32)
+    mel_in = jnp.zeros((batch, frames, 80))
+    mel_out = jnp.zeros((batch, frames, 80))
+    gate = jnp.zeros((batch, frames))
+    lengths = jnp.full((batch,), frames, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    def step(params, state, opt_state, rng):
+        import optax
+        def loss_of(p):
+            (dec, post, g), new_state = arch(
+                p, state, tok, mel_in, mel_lengths = lengths,
+                train = True, rng = rng)
+            losses = loss((mel_out, gate), (dec, post, g))
+            return jnp.mean(losses['loss']), new_state
+        (l, new_state), grads = jax.value_and_grad(loss_of, has_aux = True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, l
+
+    step = jax.jit(step, donate_argnums = (0, 2))
+    params, state, opt_state, l = step(params, state, opt_state, rng)
+    sync(l)
+    start = time.perf_counter()
+    for i in range(iters):
+        params, state, opt_state, l = step(params, state, opt_state,
+                                           jax.random.fold_in(rng, i))
+    sync(l)
+    el = (time.perf_counter() - start) / iters
+    audio_s = batch * frames * 256 / 22050.
+    print('tacotron2 train step B=%d T=%d: %.0f ms (%.1f steps/s, '
+          '%.1fx realtime-audio/step-throughput)' % (
+              batch, frames, el * 1e3, 1. / el, audio_s / el))
+
+
+def bench_waveglow(batch, frames, iters):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from text_to_speech_tpu.models.waveglow_arch import WaveGlow
+    from text_to_speech_tpu.train.optimizers import get_optimizer
+
+    arch = WaveGlow()
+    params = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+    opt = get_optimizer('adam', lr = 1e-4)
+    opt_state = opt.init(params)
+
+    mel = jax.random.normal(jax.random.PRNGKey(1), (batch, frames, 80))
+    audio = jax.random.normal(jax.random.PRNGKey(2),
+                              (batch, frames * 256)) * 0.1
+
+    def step(params, opt_state):
+        def loss_of(p):
+            # per-flow remat: large-batch flow training does not compile
+            # without it (the 12-flow fused backward overwhelms the compiler)
+            return arch.loss(p, mel, audio, remat = True)
+        l, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    step = jax.jit(step, donate_argnums = (0, 1))
+    params, opt_state, l = step(params, opt_state)
+    sync(l)
+    start = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, l = step(params, opt_state)
+    sync(l)
+    el = (time.perf_counter() - start) / iters
+    audio_s = batch * frames * 256 / 22050.
+    print('waveglow train step B=%d T=%d: %.0f ms (%.1f steps/s, '
+          '%.1fx realtime-audio/step-throughput)' % (
+              batch, frames, el * 1e3, 1. / el, audio_s / el))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--model', default = 'both')
+    parser.add_argument('--batch', type = int, default = 32)
+    parser.add_argument('--frames', type = int, default = 384)
+    parser.add_argument('--tokens', type = int, default = 128)
+    parser.add_argument('--iters', type = int, default = 5)
+    args = parser.parse_args()
+
+    if args.model in ('tacotron2', 'both'):
+        bench_tacotron(args.batch, args.tokens, args.frames, args.iters)
+    if args.model in ('waveglow', 'both'):
+        # flow NLL is memory-heavy: halve the batch at full frame count
+        bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters)
+
+
+if __name__ == '__main__':
+    main()

@@ -461,39 +461,71 @@ class WaveGlow:
             audio = sigma * noise(rngs[0], self.n_remaining_channels)
             z_rest = None
 
-        for k in reversed(range(hp.n_flows)):
-            flow = params['flow_{}'.format(k)]
-            c = audio.shape[-1]
-            n_half = c // 2
+        def inv_flow(audio, flow):
+            n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-
             wn_out = self.wn_block(flow['block'], audio_0, spect,
                                    spect_padded = spect_padded,
                                    fused = use_pallas)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
             audio_1 = (audio_1 - b) * jnp.exp(-s)
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
-
             w_inv = jnp.linalg.inv(
                 flow['convinv']['kernel'].astype(jnp.float32)
             ).astype(audio.dtype)
-            audio = audio @ w_inv
+            return audio @ w_inv
 
-            if k % hp.n_early_every == 0 and k > 0:
+        # flows run as a reversed `lax.scan` per channel group (equal shapes
+        # stack along the scan axis): ONE traced flow body per group instead
+        # of 12 — ~4x smaller program, ~3-4x faster XLA compiles; runtime
+        # identical (the scanned pallas/XLA body is the same computation)
+        for first, count, c in reversed(self._flow_groups()):
+            stacked = self._stack_flows(params, first, count)
+            audio, _ = jax.lax.scan(
+                lambda a, f: (inv_flow(a, f), None), audio, stacked,
+                reverse = True)
+            if first % hp.n_early_every == 0 and first > 0:
+                # z layout: [final | early(last) | ... | early(first)] —
+                # groups walk outward in descending first-k, consuming from
+                # the front (same order as the per-flow loop)
                 if z_rest is not None:
                     z_i = sigma * z_rest[..., :hp.n_early_size]
                     z_rest = z_rest[..., hp.n_early_size:]
                 else:
-                    z_i = sigma * noise(rngs[k], hp.n_early_size)
+                    z_i = sigma * noise(rngs[first], hp.n_early_size)
                 audio = jnp.concatenate([z_i, audio], axis = -1)
 
         return audio.reshape(batch, -1)
 
     # -- forward (training direction) ------------------------------------------
 
-    def forward(self, params, mel, audio):
+    def _flow_groups(self):
+        """Runs of consecutive flows with equal audio-channel count (the
+        early outputs only ever shrink it, exactly at `n_early_every`
+        boundaries): [(first_k, n_flows_in_run, channels), ...]."""
+        groups = []
+        for k, c in enumerate(self.flow_channels):
+            if groups and groups[-1][2] == c:
+                groups[-1] = (groups[-1][0], groups[-1][1] + 1, c)
+            else:
+                groups.append((k, 1, c))
+        return groups
+
+    def _stack_flows(self, params, first, count):
+        """Stack `count` flows' params (identical shapes within a channel
+        group) along a leading scan axis."""
+        flows = [params['flow_{}'.format(first + i)] for i in range(count)]
+        return jax.tree_util.tree_map(lambda * leaves: jnp.stack(leaves), * flows)
+
+    def forward(self, params, mel, audio, *, remat = False):
         """audio (B, T) + mel (B, F, n_mel) → (z, log_s_total, log_det_w_total)
-        for the flow negative-log-likelihood loss."""
+        for the flow negative-log-likelihood loss.
+
+        Flows run as `lax.scan` over channel groups (flows with equal shapes
+        stack along the scan axis) — the traced program holds ONE flow body
+        per group instead of 12, which large-batch training needs to even
+        compile.  ``remat=True`` additionally checkpoints each flow: ~12x
+        less activation memory for ~1.3x flow FLOPs."""
         hp = self.hp
         spect = self.upsample_mel(params, mel)
         lg = spect.shape[1]
@@ -501,20 +533,10 @@ class WaveGlow:
         audio = audio[:, : lg * hp.n_group]
         audio = audio.reshape(audio.shape[0], lg, hp.n_group)
 
-        z_out = []
-        log_s_total = 0.
-        log_det_total = 0.
-        for k in range(hp.n_flows):
-            if k % hp.n_early_every == 0 and k > 0:
-                z_out.append(audio[..., :hp.n_early_size])
-                audio = audio[..., hp.n_early_size:]
-
-            flow = params['flow_{}'.format(k)]
+        def flow_step(audio, flow, spect):
             w = flow['convinv']['kernel']
             audio = audio @ w
             _, logdet = jnp.linalg.slogdet(w)
-            log_det_total = log_det_total + audio.shape[0] * lg * logdet
-
             n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
             # training stays on the differentiable XLA chain (the Pallas
@@ -522,16 +544,37 @@ class WaveGlow:
             wn_out = self.wn_block(flow['block'], audio_0, spect, fused = False)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
             audio_1 = jnp.exp(s) * audio_1 + b
-            log_s_total = log_s_total + jnp.sum(s)
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
+            return audio, jnp.sum(s), logdet
+
+        if remat:
+            flow_step = jax.checkpoint(flow_step)
+
+        def body(carry, flow):
+            audio, s_acc, d_acc = carry
+            audio, log_s, logdet = flow_step(audio, flow, spect)
+            return (audio, s_acc + log_s, d_acc + logdet), None
+
+        z_out = []
+        log_s_total = 0.
+        log_det_total = 0.
+        for first, count, c in self._flow_groups():
+            if first % hp.n_early_every == 0 and first > 0:
+                z_out.append(audio[..., :hp.n_early_size])
+                audio = audio[..., hp.n_early_size:]
+            stacked = self._stack_flows(params, first, count)
+            (audio, log_s, logdet), _ = jax.lax.scan(
+                body, (audio, 0., 0.), stacked)
+            log_s_total = log_s_total + log_s
+            log_det_total = log_det_total + audio.shape[0] * lg * logdet
 
         z_out.append(audio)
         return jnp.concatenate(z_out, axis = -1), log_s_total, log_det_total
 
-    def loss(self, params, mel, audio, sigma = None):
+    def loss(self, params, mel, audio, sigma = None, *, remat = False):
         """WaveGlow negative log-likelihood (per element)."""
         if sigma is None: sigma = self.hp.sigma
-        z, log_s, log_det = self.forward(params, mel, audio)
+        z, log_s, log_det = self.forward(params, mel, audio, remat = remat)
         return (jnp.sum(z * z) / (2 * sigma * sigma) - log_s - log_det) / z.size
 
     def get_config(self):

@@ -40,7 +40,10 @@ def model_forward(model, params, state, inputs, *, rng, train = True):
     arch = model.arch
     if isinstance(model, WGTask):
         mel, audio = inputs
-        return arch.forward(params, mel, audio), state
+        # per-flow remat: 12x less activation memory, and the compiler
+        # cannot digest the un-checkpointed 12-flow backward at real batches
+        return arch.forward(params, mel, audio,
+                            remat = getattr(model, 'train_remat', True)), state
     if isinstance(model, SpeakerEncoder):
         mels, lengths = inputs
         n_speakers, n_utt = model.ge2e_shape      # static at trace time
