@@ -111,6 +111,53 @@ def bench_waveglow(batch, frames, iters):
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
+def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
+    """GE2E step at the reference's recipe shape (N speakers x M utterances;
+    the reference reaches ~99% accuracy in 2-3h of these on one RTX 3090)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from text_to_speech_tpu.models.encoder_arch import AudioEncoder
+    from text_to_speech_tpu.train.losses import GE2ELoss
+    from text_to_speech_tpu.train.optimizers import get_optimizer
+
+    arch = AudioEncoder()
+    params, state = arch.init(jax.random.PRNGKey(0))
+    loss_fn = GE2ELoss()
+    opt = get_optimizer('adam', lr = 1e-3)
+    opt_state = opt.init(params)
+
+    B = n_speakers * n_utt
+    mel = jax.random.normal(jax.random.PRNGKey(1), (B, frames, 80))
+    lengths = jnp.full((B,), frames, jnp.int32)
+
+    def step(params, state, opt_state, rng):
+        def loss_of(p):
+            emb, new_state = arch(p, state, mel, lengths = lengths,
+                                  train = True, rng = rng)
+            emb = emb.reshape(n_speakers, n_utt, -1)
+            losses = loss_fn(None, (emb, p['ge2e']['w'], p['ge2e']['b']))
+            return jnp.mean(losses['loss']), new_state
+        (l, new_state), grads = jax.value_and_grad(loss_of, has_aux = True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, l
+
+    step = jax.jit(step, donate_argnums = (0, 2))
+    rng = jax.random.PRNGKey(2)
+    params, state, opt_state, l = step(params, state, opt_state, rng)
+    sync(l)
+    start = time.perf_counter()
+    for i in range(iters):
+        params, state, opt_state, l = step(params, state, opt_state,
+                                           jax.random.fold_in(rng, i))
+    sync(l)
+    el = (time.perf_counter() - start) / iters
+    print('speaker-encoder GE2E step N=%d M=%d T=%d: %.1f ms (%.0f steps/s, '
+          '%.0f utterances/s)' % (n_speakers, n_utt, frames, el * 1e3,
+                                  1. / el, B / el))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default = 'both')
@@ -125,6 +172,8 @@ def main():
     if args.model in ('waveglow', 'both'):
         # flow NLL is memory-heavy: halve the batch at full frame count
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters)
+    if args.model in ('encoder', 'both'):
+        bench_speaker_encoder(args.iters)
 
 
 if __name__ == '__main__':

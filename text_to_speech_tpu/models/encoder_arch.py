@@ -45,8 +45,11 @@ class AudioEncoder:
             ch_in = ch_out
         # stats pooling (mean ⊕ std) doubles the channel dim
         params['projection'] = nn.init_dense(next(keys), 2 * ch_in, hp.embedding_dim)
-        # GE2E scale parameters (w, b) live with the model
-        params['ge2e'] = {'w': jnp.asarray(10.), 'b': jnp.asarray(-5.)}
+        # GE2E scale parameters (w, b) live with the model.  Explicit dtype:
+        # weak-typed scalars lose weak_type after the first optimizer update,
+        # changing the jit aval and silently RETRACING the train step
+        params['ge2e'] = {'w': jnp.array(10., jnp.float32),
+                          'b': jnp.array(-5., jnp.float32)}
         return params, state
 
     def __call__(self, params, state, mel, *, lengths = None, train = False,

@@ -300,9 +300,11 @@ class GE2ELoss:
         w = jnp.maximum(w, 1e-3)  # keep the similarity scale positive
         sim = w * self.similarity_matrix(y_pred) + b
         n, m, _ = sim.shape
-        labels = jnp.broadcast_to(jnp.arange(n)[:, None], (n, m))
         logp = jax.nn.log_softmax(sim, axis = -1)
-        nll = -jnp.take_along_axis(logp, labels[..., None], axis = -1)[..., 0]
+        # one-hot contraction, NOT take_along_axis: the gather's backward
+        # lowers to a TPU scatter that costs ~0.5s on even tiny shapes
+        one_hot = jnp.eye(n, dtype = logp.dtype)[:, None, :]     # (N, 1, N)
+        nll = -jnp.sum(logp * one_hot, axis = -1)                # (N, M)
         return {'loss': jnp.mean(nll, axis = 1)}
 
     def get_config(self):
