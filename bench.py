@@ -75,8 +75,11 @@ def worker():
         # quality gate: int8 kernels vs the f32 XLA chain, same noise
         base = WaveGlow(use_pallas = False)
         small = mel[:2]
+        # gate the exact configuration the timed loop runs: int8 kernels with
+        # bf16 non-kernel ops (start/end/upsample convs, activations)
         w_f = jax.jit(lambda p, m: base.infer(p, m, rng = rng))(raw, small)
-        w_q = jax.jit(lambda p, m: arch.infer(p, m, rng = rng))(params, small)
+        w_q = jax.jit(lambda p, m: arch.infer(
+            p, m, rng = rng, dtype = jnp.bfloat16))(params, small)
         noise = float(jnp.mean((w_f - w_q) ** 2))
         snr = 10 * np.log10(float(jnp.mean(w_f ** 2)) / max(noise, 1e-20))
         if snr < SNR_GATE_DB:

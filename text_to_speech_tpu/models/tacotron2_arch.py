@@ -555,7 +555,11 @@ class Tacotron2:
                 and hp.n_frames_per_step == 1
                 and not hp.pred_stop_on_mel
                 and hp.with_logits
-                and len(hp.prenet_sizes) == 2)
+                and len(hp.prenet_sizes) == 2
+                # the kernel slices both LSTMs' gates with one U and folds
+                # the location conv at its fixed tap count
+                and hp.attention_rnn_dim == hp.decoder_rnn_dim
+                and hp.lsa_attention_kernel_size == 31)
 
     def infer_fused(self, params, state, tokens, *,
                     speaker_embedding = None,
@@ -661,6 +665,7 @@ class Tacotron2:
                 use_window = use_window, win_len = win_len,
                 win_offset = offset, gate_lane = hp.n_mel_channels,
                 interpret = interpret,
+                drop_rate = float(hp.prenet_drop_rate),
             )
             t0 = s['c'] * chunk
             gates = steps[:, :, hp.n_mel_channels] > hp.gate_threshold
@@ -690,7 +695,9 @@ class Tacotron2:
 
         return Tacotron2InferenceOutput(
             mel = mel,
-            lengths = final['lengths'][:batch],
+            # a never-gating row counts all ceil(max_length/chunk)*chunk steps;
+            # cap at max_length to match infer() and the sliced buffers
+            lengths = jnp.minimum(final['lengths'][:batch], max_length),
             stop_tokens = stop_tokens,
             attention_weights = attention_weights,
             decoder_output = outputs,

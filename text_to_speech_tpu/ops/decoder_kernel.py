@@ -262,12 +262,12 @@ def _decoder_kernel(seed_ref,
     jax.jit,
     static_argnames = ('n_steps', 'deterministic', 'use_window',
                        'win_len', 'win_offset', 'gate_lane', 'interpret',
-                       'ablate'),
+                       'ablate', 'drop_rate'),
 )
 def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
                   *, n_steps, deterministic = False, use_window = False,
                   win_len = 0, win_offset = 0, gate_lane = 80,
-                  interpret = False, ablate = ()):
+                  interpret = False, ablate = (), drop_rate = 0.5):
     """Run `n_steps` fused decoder steps.
 
     - weights: dict from `pack_decoder_weights`;
@@ -290,10 +290,12 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
     A = weights['q_w'].shape[1]
     assert S % 8 == 0, S
 
+    assert 0. <= drop_rate < 1., drop_rate
     kernel = functools.partial(
         _decoder_kernel, S = S, D = D, U = U, P = P, A = A,
-        drop_threshold = 2147483648,                 # p = 0.5 (u32 built in-kernel)
-        drop_scale = 2.,
+        # keep iff u32 bits >= round(p·2³²); scale survivors by 1/(1-p)
+        drop_threshold = min(int(round(drop_rate * 4294967296.)), 4294967295),
+        drop_scale = 1. / (1. - drop_rate),
         deterministic = deterministic, use_window = use_window,
         win_len = win_len, win_offset = win_offset, gate_lane = gate_lane,
         ablate = tuple(ablate),   # perf-bisection switches; () in production

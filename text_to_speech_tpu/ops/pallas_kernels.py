@@ -497,8 +497,12 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
     xalt[t_b - margin: t_b, :] = jnp.zeros((margin, C), xalt.dtype)
     skipacc[:] = jnp.zeros((ext, C), jnp.float32)
 
-    # the quantized-x ping-pong margins are never written by the fused
-    # residual updates; zeroed q makes the scale value irrelevant there
+    # Seed the quantized-x ping-pong margins with zeros.  NOTE: the full-slot
+    # write `xq[0] = q` below immediately overwrites slot 0's margins with
+    # quantized DMA'd rows, and later layers writing a slot leave stale margin
+    # rows behind — correctness does NOT rest on these zeros.  It rests on
+    # halo (256) >= the stack's total receptive field (sum of dilations = 255),
+    # which keeps any corrupted edge rows out of the emitted tile.
     for qs in (0, 1):
         xq[qs, 0: margin, :] = jnp.zeros((margin, C), jnp.int8)
         xq[qs, t_b - margin: t_b, :] = jnp.zeros((margin, C), jnp.int8)
