@@ -175,3 +175,113 @@ class TestWeightsConverter:
         out = partial_transfer_learning(src, tgt)
         np.testing.assert_allclose(np.asarray(out['p']), 1.)
         np.testing.assert_allclose(np.asarray(out['q']), 7.)
+
+
+class TestKerasConverter:
+    """Keras/TF2-convention checkpoint import (reference checkpoints are
+    Keras weights; /root/reference/models/weights_converter.py:48-84,103).
+    The synthetic state dict below uses the reference architecture's layer
+    names (/root/reference/architectures/tacotron2_arch.py) with this
+    framework's tiny-hparams shapes."""
+
+    TINY = dict(
+        vocab_size = 20, n_mel_channels = 8,
+        encoder_embedding_dim = 16, encoder_n_conv = 2, encoder_kernel_size = 3,
+        prenet_sizes = (8, 8), lsa_attention_dim = 8, lsa_attention_filters = 4,
+        lsa_attention_kernel_size = 7, attention_rnn_dim = 16,
+        decoder_rnn_dim = 16, postnet_n_conv = 2, postnet_filters = 8,
+        postnet_kernel_size = 3,
+    )
+
+    @staticmethod
+    def _keras_name(path):
+        """Our tree path -> the reference Keras model's variable path."""
+        import re as _re
+        m = _re.match(r'encoder/embedding/embeddings', path)
+        if m: return 'tacotron2/encoder/encoder_embeddings/embeddings'
+        m = _re.match(r'encoder/conv_(\d+)/conv/(\w+)', path)
+        if m: return 'tacotron2/encoder/conv_{}/{}'.format(int(m.group(1)) + 1, m.group(2))
+        m = _re.match(r'encoder/conv_(\d+)/bn/(\w+)', path)
+        if m:
+            var = {'moving_var': 'moving_variance'}.get(m.group(2), m.group(2))
+            return 'tacotron2/encoder/norm_{}/{}'.format(int(m.group(1)) + 1, var)
+        m = _re.match(r'encoder/bilstm/(forward|backward)/(\w+)', path)
+        if m: return ('tacotron2/encoder/bidirectional/{}_lstm/lstm_cell/{}'
+                      .format(m.group(1), m.group(2)))
+        m = _re.match(r'decoder/prenet/layer_(\d+)/(\w+)', path)
+        if m: return 'tacotron2/decoder_cell/prenet/layer_{}/{}'.format(*m.groups())
+        m = _re.match(r'decoder/attention_rnn/(\w+)', path)
+        if m: return 'tacotron2/decoder_cell/attention_rnn/{}'.format(m.group(1))
+        m = _re.match(r'decoder/attention/(query|memory|value)/kernel', path)
+        if m: return ('tacotron2/decoder_cell/location_sensitive_attention/'
+                      '{}_layer/kernel'.format(m.group(1)))
+        m = _re.match(r'decoder/attention/(location_conv|location_dense)/kernel', path)
+        if m: return ('tacotron2/decoder_cell/location_sensitive_attention/'
+                      'location_layer/{}/kernel'.format(m.group(1)))
+        m = _re.match(r'decoder/decoder_rnn/cell_(\d+)/(\w+)', path)
+        if m: return 'tacotron2/decoder_cell/decoder_rnn/cell_{}/{}'.format(*m.groups())
+        m = _re.match(r'decoder/linear_projection/(\w+)', path)
+        if m: return 'tacotron2/decoder/linear_projection/{}'.format(m.group(1))
+        m = _re.match(r'decoder/gate_layer/(\w+)', path)
+        if m: return 'tacotron2/decoder/gate_output/{}'.format(m.group(1))
+        m = _re.match(r'postnet/conv_(\d+)/conv/(\w+)', path)
+        if m: return 'tacotron2/postnet/conv_{}/{}'.format(int(m.group(1)) + 1, m.group(2))
+        m = _re.match(r'postnet/conv_(\d+)/bn/(\w+)', path)
+        if m:
+            var = {'moving_var': 'moving_variance'}.get(m.group(2), m.group(2))
+            return 'tacotron2/postnet/norm_{}/{}'.format(int(m.group(1)) + 1, var)
+        raise AssertionError('no keras name for ' + path)
+
+    def _synthetic(self):
+        from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
+        arch = Tacotron2(** self.TINY)
+        params, state = arch.init(jax.random.PRNGKey(0))
+        target = dict(flatten_tree(params), ** flatten_tree(state))
+        rng = np.random.RandomState(0)
+        keras_sd = {}
+        for path, v in target.items():
+            val = rng.normal(0., 0.1, np.shape(v)).astype('float32')
+            if path.endswith('moving_var'):        # variances must be positive
+                val = np.abs(val) + 0.5
+            keras_sd[self._keras_name(path)] = val
+        return arch, params, state, target, keras_sd
+
+    def test_round_trip(self):
+        from text_to_speech_tpu.models.weights_converter import convert_keras_variables
+        arch, params, state, target, keras_sd = self._synthetic()
+        new_params, new_state = convert_keras_variables(keras_sd)
+
+        got = dict(flatten_tree(new_params), ** flatten_tree(new_state))
+        assert set(got) == set(target), (
+            set(got) ^ set(target))
+        # Keras layouts match ours: values must transfer verbatim
+        for path, v in got.items():
+            np.testing.assert_array_equal(
+                v, keras_sd[self._keras_name(path)], err_msg = path)
+        # params/state split: moving stats land in state
+        assert 'moving_mean' in flatten_tree(new_state).get(
+            'encoder/conv_0/bn/moving_mean', 'missing') or \
+            'encoder/conv_0/bn/moving_mean' in flatten_tree(new_state)
+
+        # converted trees drive a forward pass
+        tokens = np.tile(np.arange(1, 9, dtype = np.int32), (2, 1))
+        mel_in = np.zeros((2, 4, self.TINY['n_mel_channels']), np.float32)
+        (dec, post, gates), _ = arch(
+            new_params, new_state, tokens, mel_in,
+            mel_lengths = np.full((2,), 4, np.int32),
+            train = False, rng = jax.random.PRNGKey(0))
+        assert np.all(np.isfinite(np.asarray(dec)))
+
+    def test_tf_checkpoint_names(self):
+        """Legacy TF-checkpoint form: 'model/' prefix +
+        '.ATTRIBUTES/VARIABLE_VALUE' suffixes (reference
+        load_saved_model_variables)."""
+        from text_to_speech_tpu.models.weights_converter import convert_keras_variables
+        arch, params, state, target, keras_sd = self._synthetic()
+        tf_sd = {
+            'model/' + k + '/.ATTRIBUTES/VARIABLE_VALUE': v
+            for k, v in keras_sd.items()
+        }
+        new_params, new_state = convert_keras_variables(tf_sd)
+        got = dict(flatten_tree(new_params), ** flatten_tree(new_state))
+        assert set(got) == set(target)

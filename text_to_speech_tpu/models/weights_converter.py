@@ -186,3 +186,132 @@ def torch_dense_kernel(value):
 def torch_lstm_kernel(value, units = None):
     """torch LSTM weight_ih (4u, in) with gate order i,f,g,o → (in, 4u)."""
     return np.transpose(value, (1, 0))
+
+
+# -- Keras / TF2 naming conventions --------------------------------------------
+#
+# The reference's own checkpoints are Keras weights
+# (``/root/reference/custom_train_objects/checkpoint_manager.py:23`` —
+# ``ckpt.weights.h5``; legacy TF checkpoints via
+# ``models/weights_converter.py:103`` ``load_saved_model_variables``).  Keras
+# tensor layouts already match ``nn``'s conventions — Dense (in, out),
+# Conv1D (w, in, out), LSTM kernel (in, 4u) with gate order i,f,c,o ≡ our
+# i,f,g,o — so the conversion is purely a NAMING problem: normalize the
+# variable paths of the reference architecture
+# (``/root/reference/architectures/tacotron2_arch.py`` layer names) onto this
+# framework's pytree paths, shift 1-indexed conv/norm stacks to 0-indexed,
+# and split batch-norm moving statistics into the separate ``state`` tree.
+
+def normalize_keras_name(name):
+    """Canonicalize a Keras/TF variable path: strip TF-checkpoint suffixes
+    (``.ATTRIBUTES/VARIABLE_VALUE``), lowercase, '/'-separate, and drop a
+    leading model-name component (e.g. ``tacotron2/``)."""
+    name = name.replace('/.ATTRIBUTES/VARIABLE_VALUE', '')
+    name = name.replace('.ATTRIBUTES/VARIABLE_VALUE', '')
+    name = re.sub(r'^model/', '', name)
+    name = name.lower().replace('.', '/')
+    name = re.sub(r'^(tacotron2|sv2tts[a-z0-9_]*)/', '', name)
+    return name
+
+
+def _bn_var(name):
+    return 'moving_var' if name == 'moving_variance' else name
+
+
+#: Ordered regex -> replacement map: reference Keras Tacotron-2 variable paths
+#: (``/root/reference/architectures/tacotron2_arch.py`` layer names; conv
+#: stacks from ``simple_models.simple_cnn`` are 1-indexed ``conv_{i}`` /
+#: ``norm_{i}``) -> this framework's ``models.tacotron2_arch`` tree paths.
+#: Every pattern consumes the WHOLE normalized name and emits the absolute
+#: target path; application is first-match-wins.
+KERAS_TACOTRON2_PATTERNS = {
+    # embeddings: '<name>_embeddings/embeddings' (ref tacotron2_arch.py:299)
+    r'^.*embeddings/embeddings$': lambda m: 'encoder/embedding/embeddings',
+    # SV2TTS speaker concat projections (ref tacotron2_arch.py:273-284)
+    r'^.*embedding_(projection|resizing)/(kernel|bias)$':
+        lambda m: 'encoder/speaker_projection/{}'.format(m.group(2)),
+    # encoder conv stack (1-indexed) + norms
+    r'^.*encoder/conv_(\d+)/(kernel|bias)$':
+        lambda m: 'encoder/conv_{}/conv/{}'.format(int(m.group(1)) - 1, m.group(2)),
+    r'^.*encoder/norm_(\d+)/(gamma|beta|moving_mean|moving_variance)$':
+        lambda m: 'encoder/conv_{}/bn/{}'.format(
+            int(m.group(1)) - 1, _bn_var(m.group(2))),
+    # BiLSTM flatten layer (ref current_blocks.get_flatten_layer 'bi_lstm')
+    r'^.*bidirectional[^/]*/forward_[^/]*/(lstm_cell[^/]*/)?'
+    r'(kernel|recurrent_kernel|bias)$':
+        lambda m: 'encoder/bilstm/forward/{}'.format(m.group(2)),
+    r'^.*bidirectional[^/]*/backward_[^/]*/(lstm_cell[^/]*/)?'
+    r'(kernel|recurrent_kernel|bias)$':
+        lambda m: 'encoder/bilstm/backward/{}'.format(m.group(2)),
+    # decoder cell (ref tacotron2_arch.py:337-361)
+    r'^.*attention_rnn/(lstm_cell[^/]*/)?(kernel|recurrent_kernel|bias)$':
+        lambda m: 'decoder/attention_rnn/{}'.format(m.group(2)),
+    r'^.*decoder_rnn/(stacked_rnn_cells[^/]*/)?cell_(\d+)/(lstm_cell[^/]*/)?'
+    r'(kernel|recurrent_kernel|bias)$':
+        lambda m: 'decoder/decoder_rnn/cell_{}/{}'.format(m.group(2), m.group(4)),
+    # location-sensitive attention (ref location_sensitive_attention.py:27-59)
+    r'^.*query_layer/kernel$': lambda m: 'decoder/attention/query/kernel',
+    r'^.*memory_layer/kernel$': lambda m: 'decoder/attention/memory/kernel',
+    r'^.*value_layer/kernel$': lambda m: 'decoder/attention/value/kernel',
+    r'^.*location_layer/location_conv/kernel$':
+        lambda m: 'decoder/attention/location_conv/kernel',
+    r'^.*location_layer/location_dense/kernel$':
+        lambda m: 'decoder/attention/location_dense/kernel',
+    # prenet (0-indexed 'layer_{i}', ref tacotron2_arch.py:168)
+    r'^.*prenet/layer_(\d+)/(kernel|bias)$':
+        lambda m: 'decoder/prenet/layer_{}/{}'.format(m.group(1), m.group(2)),
+    # output projections (ref tacotron2_arch.py:503-508)
+    r'^.*linear_projection/(kernel|bias)$':
+        lambda m: 'decoder/linear_projection/{}'.format(m.group(1)),
+    r'^.*gate_output/(kernel|bias)$':
+        lambda m: 'decoder/gate_layer/{}'.format(m.group(1)),
+    # postnet conv stack (1-indexed, ref Tacotron2Postnet -> simple_cnn)
+    r'^.*postnet/conv_(\d+)/(kernel|bias)$':
+        lambda m: 'postnet/conv_{}/conv/{}'.format(int(m.group(1)) - 1, m.group(2)),
+    r'^.*postnet/norm_(\d+)/(gamma|beta|moving_mean|moving_variance)$':
+        lambda m: 'postnet/conv_{}/bn/{}'.format(
+            int(m.group(1)) - 1, _bn_var(m.group(2))),
+}
+
+
+def apply_keras_patterns(variables, pattern_map = None):
+    """Rename a Keras-convention ``{path: array}`` dict into this framework's
+    flat paths (no layout transforms -- Keras layouts already match).  Names
+    matching no pattern pass through verbatim (already-canonical paths);
+    application is first-match-wins per name."""
+    pattern_map = pattern_map or KERAS_TACOTRON2_PATTERNS
+    out, origins = {}, {}
+    for name, value in variables.items():
+        new_name = normalize_keras_name(name)
+        for pattern, repl in pattern_map.items():
+            m = re.match(pattern, new_name)
+            if m:
+                new_name = repl(m)
+                break
+        if new_name in out:
+            logger.warning('keras pattern collision: %s and %s both map to %s',
+                           name, origins[new_name], new_name)
+        out[new_name] = np.asarray(value)
+        origins[new_name] = name
+    return out
+
+
+def split_params_state(flat):
+    """Split a flat ``path -> array`` dict into (params, state) trees:
+    batch-norm moving statistics (``moving_mean`` / ``moving_var``) live in
+    the separate ``state`` tree (this framework keeps apply fns pure)."""
+    params_flat, state_flat = {}, {}
+    for path, value in flat.items():
+        (state_flat if path.rsplit('/', 1)[-1] in ('moving_mean', 'moving_var')
+         else params_flat)[path] = value
+    return unflatten_tree(params_flat), unflatten_tree(state_flat)
+
+
+def convert_keras_variables(variables, pattern_map = None):
+    """Keras/TF2-convention ``{var_path: array}`` → (params, state) pytrees.
+
+    Covers the reference's checkpoint formats
+    (``/root/reference/models/weights_converter.py:48-84,103``): Keras-3
+    ``.path`` style names and TF-checkpoint names with
+    ``.ATTRIBUTES/VARIABLE_VALUE`` suffixes."""
+    return split_params_state(apply_keras_patterns(variables, pattern_map))
