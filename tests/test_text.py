@@ -249,3 +249,94 @@ class TestCTCBeam:
         logits[:, :, 1] = 3.
         out = tok.ctc_decode(logits, method = 'beam')
         assert out == ['a', 'a']
+
+
+class TestSentencePiece:
+    """Pure-Python SentencePiece (.model protobuf + unigram/BPE encoders) —
+    the reference's utils/text/sentencepiece_tokenizer.py capability without
+    the external package."""
+
+    def _unigram(self):
+        from text_to_speech_tpu.text.sentencepiece import (
+            SentencePieceModel, NORMAL, UNKNOWN, CONTROL)
+        pieces = [
+            ('<unk>', 0., UNKNOWN), ('<s>', 0., CONTROL), ('</s>', 0., CONTROL),
+            ('▁', -3.0, NORMAL), ('▁hello', -1.0, NORMAL), ('▁world', -1.2, NORMAL),
+            ('▁hell', -2.8, NORMAL), ('o', -2.5, NORMAL), ('wor', -2.0, NORMAL),
+            ('ld', -2.1, NORMAL), ('h', -4., NORMAL), ('e', -4., NORMAL),
+            ('l', -4., NORMAL), ('w', -4., NORMAL), ('r', -4., NORMAL),
+            ('d', -4., NORMAL),
+        ]
+        return SentencePieceModel(pieces)
+
+    def test_viterbi_picks_best_segmentation(self):
+        m = self._unigram()
+        ids = m.encode('hello world')
+        # ▁hello (-1.0) beats ▁hell+o (-2.8-2.5); ▁world beats ▁+wor+ld
+        assert [m.id_to_piece(i) for i in ids] == ['▁hello', '▁world']
+        assert m.decode(ids) == 'hello world'
+
+    def test_unknown_char_maps_to_unk(self):
+        m = self._unigram()
+        ids = m.encode('hello Ω world')
+        assert m.unk_id in ids
+        assert '⁇' in m.decode(ids)
+
+    def test_byte_fallback(self):
+        from text_to_speech_tpu.text.sentencepiece import (
+            SentencePieceModel, NORMAL, UNKNOWN, BYTE)
+        pieces = [('<unk>', 0., UNKNOWN), ('▁a', -1., NORMAL)]
+        pieces += [('<0x{:02X}>'.format(b), -10., BYTE) for b in range(256)]
+        m = SentencePieceModel(pieces)
+        ids = m.encode('a é')      # é has no piece -> utf-8 bytes
+        assert all(0 <= i < len(m) for i in ids)
+        assert m.decode(ids) == 'a é'
+
+    def test_normalization_options(self):
+        m = self._unigram()
+        assert m.normalize('a  b') == '▁a▁b'      # collapse + dummy prefix
+        m.remove_extra_whitespaces = False
+        assert '▁▁' in m.normalize('a  b')
+        m.add_dummy_prefix = False
+        m.remove_extra_whitespaces = True
+        assert m.normalize('a b') == 'a▁b'
+
+    def test_bpe_mode(self):
+        from text_to_speech_tpu.text.sentencepiece import (
+            SentencePieceModel, NORMAL, UNKNOWN, BPE)
+        # scores encode merge priority: higher merges first
+        pieces = [('<unk>', 0., UNKNOWN),
+                  ('▁', -1., NORMAL), ('a', -1., NORMAL), ('b', -1., NORMAL),
+                  ('ab', -0.5, NORMAL), ('▁ab', -0.6, NORMAL)]
+        m = SentencePieceModel(pieces, model_type = BPE)
+        ids = m.encode('ab')
+        assert [m.id_to_piece(i) for i in ids] == ['▁ab']
+        assert m.decode(ids) == 'ab'
+
+    def test_model_file_roundtrip(self, tmp_path):
+        from text_to_speech_tpu.text.sentencepiece import SentencePieceModel
+        m = self._unigram()
+        path = m.save(str(tmp_path / 'test.model'))
+        m2 = SentencePieceModel.load(path)
+        assert m2.encode('hello world') == m.encode('hello world')
+        assert m2.unk_id == m.unk_id and m2.pad_id == -1
+        assert m2.model_type == m.model_type
+        assert [p[0] for p in m2.pieces] == [p[0] for p in m.pieces]
+
+    def test_tokenizer_adapter(self, tmp_path):
+        from text_to_speech_tpu.text.sentencepiece import SentencePieceTokenizer
+        tok = SentencePieceTokenizer(self._unigram(), offset = 3)
+        ids = tok.encode('hello world')
+        assert ids.dtype.name == 'int32'
+        assert tok.decode(ids) == 'hello world'
+        # persistence: JSON config + .model side file
+        path = tok.save(str(tmp_path / 'sp.json'))
+        tok2 = SentencePieceTokenizer.load_from_file(path)
+        assert tok2.offset == 3
+        assert tok2.decode(tok2.encode('hello world')) == 'hello world'
+
+    def test_sos_eos(self):
+        from text_to_speech_tpu.text.sentencepiece import SentencePieceTokenizer
+        tok = SentencePieceTokenizer(self._unigram(), use_sos_and_eos = True)
+        ids = list(tok.encode('hello'))
+        assert ids[0] == tok.sos_token_idx and ids[-1] == tok.eos_token_idx
