@@ -40,6 +40,47 @@ def _kernel_inputs(arch, params, state, tokens):
     return memory, pm, mask, mem_t, pm_t, mask_t, enc_len
 
 
+def _tiny_hp(** extra):
+    """Reduced dims for fast interpret-mode parity (full-size parity is the
+    `slow` profile + the TPU class)."""
+    hp = dict(
+        n_mel_channels = 8, encoder_embedding_dim = 16, encoder_n_conv = 1,
+        encoder_kernel_size = 3, prenet_sizes = (8, 8), lsa_attention_dim = 8,
+        lsa_attention_filters = 4, lsa_attention_kernel_size = 31,
+        attention_rnn_dim = 16, decoder_rnn_dim = 16, postnet_n_conv = 2,
+        postnet_filters = 8, postnet_kernel_size = 3,
+    )
+    hp.update(extra)
+    return hp
+
+
+class TestInferFusedTiny:
+    """Fast (not slow) interpret-mode parity at reduced dims — keeps the
+    fused-decoder logic covered in the default CI profile."""
+
+    def test_matches_infer(self):
+        arch, params, state, tokens = _setup(
+            2, 32, vocab = 24, ** _tiny_hp(max_decoder_steps = 16))
+        ref = arch.infer(params, state, tokens, deterministic = True,
+                         early_stopping = False, max_length = 16)
+        got = arch.infer_fused(params, state, tokens, deterministic = True,
+                               early_stopping = False, max_length = 16,
+                               chunk = 8, interpret = True)
+        assert float(jnp.abs(got.mel - ref.mel).max()) < 5e-4
+        assert float(jnp.abs(got.stop_tokens - ref.stop_tokens).max()) < 5e-4
+
+    def test_lengths_clamped_to_max_length(self):
+        # max_length not divisible by chunk: reported lengths stay <= max
+        arch, params, state, tokens = _setup(
+            2, 32, vocab = 24, ** _tiny_hp(max_decoder_steps = 12))
+        got = arch.infer_fused(params, state, tokens, deterministic = True,
+                               early_stopping = False, max_length = 12,
+                               chunk = 8, interpret = True)
+        assert got.mel.shape[1] == 12
+        assert int(jnp.max(got.lengths)) <= 12
+
+
+@pytest.mark.slow
 class TestDecoderStepsKernel:
     def test_matches_xla_chain(self):
         B, S, K = 2, 64, 4
@@ -97,6 +138,7 @@ class TestDecoderStepsKernel:
         assert float(jnp.abs(full - chunked).max()) < 1e-5
 
 
+@pytest.mark.slow
 class TestInferFused:
     def test_matches_infer(self):
         arch, params, state, tokens = _setup(2, 64, max_decoder_steps = 32)
@@ -152,6 +194,7 @@ class TestInferFused:
                                  - b.decoder_output[:, :n]).max()) < 1e-5
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
 class TestInferFusedTPU:
     def test_matches_infer_full_size(self):

@@ -24,6 +24,7 @@ def _make_inputs(B = 1, T = 1024, C = 128, seed = 0):
     return x, cond, w_in, b_in, w_rs, b_rs
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _has_tpu(), reason = 'pallas TPU kernel needs a TPU')
 class TestFusedWNLayerTPU:
     @pytest.mark.parametrize('dilation', [1, 4, 64])
@@ -68,6 +69,7 @@ def _make_block_inputs(B, T, C, S, L, seed = 0):
             mk(ks[8], (C, C)), mk(ks[9], (C,)))
 
 
+@pytest.mark.slow
 class TestFusedWNBlock:
     """Whole-coupling-block kernel semantics (CPU interpret mode: exact)."""
 
@@ -86,6 +88,7 @@ class TestFusedWNBlock:
         assert float(jnp.abs(out - ref).max()) < 1e-5
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
 class TestFusedWNBlockTPU:
     def test_matches_xla_chain_tpu(self):
@@ -120,6 +123,7 @@ class TestFastUpsample:
         assert float(jnp.abs(fast - slow).max()) < 2e-5
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
 class TestWaveGlowPallasPath:
     def test_arch_equivalence(self):
@@ -151,6 +155,7 @@ def _packed_block(B, T, C, S, L, seed = 0):
     return mk(ks[0], (B, T, C), 0.3), mk(ks[1], (B, T, S), 0.3), packed
 
 
+@pytest.mark.slow
 class TestFusedWNBlockInt8:
     """int8 whole-block kernel: bit-exact vs its quantization simulation,
     and close (per-row dynamic quant) to the f32 chain."""
@@ -200,6 +205,7 @@ class TestFusedWNBlockInt8:
         assert rel < 1e-2   # 1/254 per-channel rounding bound
 
 
+@pytest.mark.tpu
 @pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
 class TestFusedWNBlockInt8TPU:
     def test_matches_sim_full_size(self):

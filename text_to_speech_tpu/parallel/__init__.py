@@ -146,7 +146,15 @@ def waveglow_param_specs(params, axis = 'tp'):
 
 def tacotron2_param_specs(params, axis = 'tp'):
     """PartitionSpec tree for Tacotron-2: the big decoder LSTM kernels and
-    projection matmuls sharded on their output dim."""
+    projection matmuls sharded on their output dim.
+
+    SCOPE: this validates sharding propagation + collective insertion for
+    the training dryrun (teacher-forced scan: the all-gather of ``h`` is
+    amortized over the whole sequence matmul).  It is NOT a serving TP
+    plan — autoregressive decode would all-gather ``h`` every sequential
+    step, which ICI latency makes a net loss at Tacotron's dims.  The
+    production multi-chip story is batch-DP here plus channel-TP on the
+    FLOPs-dominant vocoder (`waveglow_param_specs`)."""
     from jax.sharding import PartitionSpec as P
     import jax
 
