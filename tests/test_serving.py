@@ -132,3 +132,109 @@ class TestChatTemplate:
         ids = tok.encode_chat([{'role': 'user', 'content': 'hi'}],
                               cleaned = True)
         assert len(ids) > 0
+
+
+class TestContinuousServingEngine:
+    """In-flight batching: requests admitted at chunk boundaries
+    (VERDICT: a request submitted mid-decode must complete without waiting
+    for the full prior batch)."""
+
+    def test_mid_decode_request_completes_first(self):
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        two_chunks_done = threading.Event()
+        order = []
+
+        def start_fn(n_chunks):
+            return {'remaining': n_chunks, 'n': n_chunks}
+
+        def step_fn(states):
+            out, done = [], []
+            for st in states:
+                st = dict(st, remaining = st['remaining'] - 1)
+                out.append(st)
+                done.append(st['remaining'] <= 0)
+            if any(st['n'] - st['remaining'] >= 2 for st in out):
+                two_chunks_done.set()
+            time.sleep(0.01)       # bounded chunk latency
+            return out, done
+
+        with ContinuousServingEngine(start_fn, step_fn,
+                                     lambda st: st['n']) as engine:
+            slow = engine.submit(50, callback = lambda o, r: order.append('slow'))
+            assert two_chunks_done.wait(timeout = 10)
+            fast = engine.submit(3, callback = lambda o, r: order.append('fast'))
+            assert fast.result.get(timeout = 10) == 3
+            assert slow.result.get(timeout = 10) == 50
+        # the fast request overtook the in-flight slow one
+        assert order == ['fast', 'slow']
+        assert len(engine.stats['latencies']) == 2
+
+    def test_batch_slot_reuse_and_abort(self):
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        def step_fn(states):
+            time.sleep(0.005)
+            return states, [True] * len(states)
+
+        with ContinuousServingEngine(lambda x: x, step_fn,
+                                     max_batch_size = 2) as engine:
+            results = [engine.submit(i) for i in range(5)]
+            aborted = engine.submit(99)
+            aborted.abort()
+            outs = [r.result.get(timeout = 10) for r in results]
+            assert outs == [0, 1, 2, 3, 4]
+            with pytest.raises(RuntimeError):
+                aborted.result.get(timeout = 10)
+
+
+class TestContinuousTacotron:
+    def test_chunked_decode_matches_infer(self, tmp_path, monkeypatch):
+        """The serving stepper's chunked decode path is numerically the
+        arch.infer decode (deterministic prenet)."""
+        import jax
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'serving_taco',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        # never-firing gate: decode runs to max_steps (deterministic length)
+        model.arch.hp.gate_threshold = 1.1
+
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 12,
+            deterministic = True)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            a = engine.submit('hello world')
+            b = engine.submit('test')
+            out_a = a.result.get(timeout = 120)
+            out_b = b.result.get(timeout = 120)
+
+        assert out_a['mel'].shape == (12, 80)
+        assert out_b['steps'] == 12
+
+        # reference: the one-shot while_loop decode on the same padded tokens
+        tokens = np.asarray(model.encode_text('hello world'))[None, :]
+        s = -(-tokens.shape[1] // 8) * 8
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        ref = model.arch.infer(
+            model.params, model.state, jnp.asarray(tokens),
+            deterministic = True, early_stopping = False, max_length = 12)
+        np.testing.assert_allclose(
+            out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
+        reset_instances()

@@ -411,6 +411,46 @@ class Tacotron2:
             x = jnp.where(mask[..., None], x, 0.)
         return x, {** state, 'postnet': new_state}
 
+    # -- chunked decoding (continuous-batching serving) --------------------------
+
+    def decode_chunk(self, params, frame, cell_state, memory,
+                     processed_memory, enc_mask, *, n_steps,
+                     rng = None, deterministic = None,
+                     speaker_embedding = None, step_offset = 0):
+        """Decode ``n_steps`` AR steps from an explicit carry.
+
+        Host-controlled chunked decoding: the serving engine calls this once
+        per chunk and may admit new requests into free batch rows between
+        calls (the in-flight batching the reference's TRT-LLM runner
+        provides, ``custom_model_runner_cpp.py:26-40``).  ``step_offset``
+        keeps the prenet-dropout PRNG stream aligned across chunks.
+
+        Returns (frames (B, K, n_mel), gates (B, K), (frame, cell_state)).
+        """
+        hp = self.hp
+        if deterministic is None: deterministic = hp.prenet_deterministic
+        if rng is None: rng = jax.random.PRNGKey(0)
+
+        def step(carry, t):
+            frame, cell_state = carry
+            pre = self.prenet(
+                params['decoder'], frame, rng = jax.random.fold_in(rng, t),
+                speaker_embedding = speaker_embedding,
+                deterministic = deterministic,
+            )
+            cell_out, _, cell_state = self.decoder_cell(
+                params['decoder'], pre, memory, processed_memory, enc_mask,
+                cell_state,
+            )
+            frame, gate = self._project(params['decoder'], cell_out)
+            return (frame, cell_state), (frame, gate[..., 0])
+
+        (frame, cell_state), (frames, gates) = lax.scan(
+            step, (frame, cell_state),
+            step_offset + jnp.arange(n_steps))
+        return (jnp.swapaxes(frames, 0, 1), jnp.swapaxes(gates, 0, 1),
+                (frame, cell_state))
+
     # -- autoregressive inference -----------------------------------------------
 
     def infer(self, params, state, tokens, *,
