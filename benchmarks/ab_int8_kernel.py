@@ -1,0 +1,81 @@
+"""A/B the int8 WN-block kernel optimizations at the serving design point:
+bias fold + per-layer edge zeroing (now default) with the chunk loop as
+fori_loop vs statically unrolled.  Chained 12-launch timing (no CSE).
+"""
+
+import os
+import sys
+import time
+import json
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+B = int(os.environ.get('SWEEP_B', 32))
+T = int(os.environ.get('SWEEP_T', 8192))
+ITERS = int(os.environ.get('SWEEP_ITERS', 4))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from text_to_speech_tpu.ops import pallas_kernels as pk
+
+    cpu = jax.devices('cpu')[0]
+    tpu = jax.devices()[0]
+    pad = pk.wn_block_pad_int8(8)
+
+    with jax.default_device(cpu):
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, T + 2 * pad, 512),
+                              dtype = jnp.bfloat16) * 0.3
+        spect = jax.random.normal(jax.random.PRNGKey(4), (B, T + 2 * pad, 640),
+                                  dtype = jnp.bfloat16) * 0.3
+        packed = {
+            'w_cond': jax.random.normal(jax.random.PRNGKey(5), (8, 640, 1024)) * 0.05,
+            'b_cond': jax.random.normal(jax.random.PRNGKey(6), (8, 1024)) * 0.05,
+            'w_in': jax.random.normal(jax.random.PRNGKey(7), (8, 3, 512, 1024)) * 0.05,
+            'b_in': jax.random.normal(jax.random.PRNGKey(8), (8, 1024)) * 0.05,
+            'w_rs': jax.random.normal(jax.random.PRNGKey(9), (7, 512, 1024)) * 0.05,
+            'b_rs': jax.random.normal(jax.random.PRNGKey(10), (7, 1024)) * 0.05,
+            'w_rs_last': jax.random.normal(jax.random.PRNGKey(11), (512, 512)) * 0.05,
+            'b_rs_last': jax.random.normal(jax.random.PRNGKey(12), (512,)) * 0.05,
+        }
+        quant = jax.tree_util.tree_map(jnp.asarray, pk.quantize_wn_weights(packed))
+    x, spect, quant = jax.device_put((x, spect, quant), tpu)
+    print('setup done', flush = True)
+
+    def k12(x, spect, quant, chunk, unroll):
+        for _ in range(12):
+            out = pk.fused_wn_block_int8(x, spect, quant, tile = 4096,
+                                         seq_len = T, chunk = chunk,
+                                         unroll = unroll)
+            x = jax.lax.dynamic_update_slice(
+                x, out.astype(x.dtype), (0, pad, 0))
+        return x
+
+    results = {}
+    for label, chunk, unroll in [('fori_c512', 512, False),
+                                 ('unroll_c512', 512, True),
+                                 ('unroll_c768', 768, True),
+                                 ('unroll_c1536', 1536, True)]:
+        try:
+            fn = jax.jit(lambda x, s, q, c = chunk, u = unroll:
+                         jnp.sum(k12(x, s, q, c, u)))
+            float(fn(x, spect, quant))
+            for _ in range(2):
+                out = fn(x, spect, quant)
+            float(out)
+            start = time.perf_counter()
+            for _ in range(ITERS):
+                out = fn(x, spect, quant)
+            float(out)
+            t = (time.perf_counter() - start) / ITERS
+            results[label] = t
+            print('{}: {:.4f}s/12  ({:.2f}ms/launch)'.format(
+                label, t, t * 1000 / 12), flush = True)
+        except Exception as e:
+            print('{}: FAILED {}'.format(label, str(e)[:160]), flush = True)
+    print(json.dumps(results))
+
+
+if __name__ == '__main__':
+    main()

@@ -22,6 +22,8 @@ def main():
                         help = 'fused decoder-step Pallas kernel (B<=8)')
     parser.add_argument('--int8-vocoder', action = 'store_true',
                         help = 'int8 fused-block WaveGlow serving path')
+    parser.add_argument('--batch', type = int, default = None,
+                        help = 'cross-text batched synthesis (predict_batched)')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -32,6 +34,8 @@ def main():
         extra['dtype'] = getattr(jnp, args.dtype)
     if args.fused_decoder:
         extra['use_fused_decoder'] = True
+    if args.batch:
+        extra['batch_size'] = args.batch
 
     model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     vocoder = WaveGlow(name = 'bench_waveglow')

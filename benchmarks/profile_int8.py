@@ -58,18 +58,27 @@ def main():
     results = {}
 
     arch = WaveGlow(use_pallas = True)
-    raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
-    key = jax.random.PRNGKey(7)
-    for name, v in raw.items():
-        if name.startswith('flow_'):
-            key, sub = jax.random.split(key)
-            end = v['block']['end']
-            v['block']['end'] = {
-                'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
-                'bias': end['bias']}
-    params = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
-    mel = jax.random.normal(jax.random.PRNGKey(1), (B, F, 80)) * 2. - 6.
+    # all setup on CPU (eager ops over the axon tunnel pay ~30ms each —
+    # hundreds of init/pack/quantize ops would take many minutes), then one
+    # bulk device_put
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+        key = jax.random.PRNGKey(7)
+        for name, v in raw.items():
+            if name.startswith('flow_'):
+                key, sub = jax.random.split(key)
+                end = v['block']['end']
+                v['block']['end'] = {
+                    'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
+                    'bias': end['bias']}
+        params = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
+        mel = jax.random.normal(jax.random.PRNGKey(1), (B, F, 80)) * 2. - 6.
+    tpu = jax.devices()[0]
+    params = jax.device_put(params, tpu)
+    mel = jax.device_put(mel, tpu)
     rng = jax.random.PRNGKey(2)
+    print('setup done', flush = True)
 
     # 1. baseline
     infer = jax.jit(lambda p, m, r: arch.infer(p, m, rng = r, dtype = jnp.bfloat16))
@@ -78,8 +87,12 @@ def main():
     results['full_rtf'] = audio_s / t
     print('full int8 infer: {:.4f}s  ({:.1f}x RT)'.format(t, audio_s / t), flush = True)
 
-    # 2. upsample only
-    up = jax.jit(lambda p, m: arch.upsample_mel(p, m.astype(jnp.bfloat16)))
+    # 2. upsample only (bf16 like the timed path casts it)
+    def up_fn(p, m):
+        k = {'upsample': jax.tree_util.tree_map(
+            lambda leaf: leaf.astype(jnp.bfloat16), p['upsample'])}
+        return arch.upsample_mel(k, m.astype(jnp.bfloat16))
+    up = jax.jit(up_fn)
     t = timeit(up, args.iters, params, mel)
     results['upsample_s'] = t
     print('upsample_mel:    {:.4f}s'.format(t), flush = True)
@@ -103,10 +116,12 @@ def main():
 
     # 4. kernel-only: 12 launches at the serving shape
     pad = pk.wn_block_pad_int8(8)
-    x = jax.random.normal(jax.random.PRNGKey(3), (B, T + 2 * pad, 512),
-                          dtype = jnp.bfloat16) * 0.3
-    spect = jax.random.normal(jax.random.PRNGKey(4), (B, T + 2 * pad, 640),
+    with jax.default_device(cpu):
+        x = jax.random.normal(jax.random.PRNGKey(3), (B, T + 2 * pad, 512),
                               dtype = jnp.bfloat16) * 0.3
+        spect = jax.random.normal(jax.random.PRNGKey(4), (B, T + 2 * pad, 640),
+                                  dtype = jnp.bfloat16) * 0.3
+    x, spect = jax.device_put((x, spect), tpu)
     quant = params['flow_0']['block']['packed_q']
 
     def k12(x, spect, quant, tile, chunk):

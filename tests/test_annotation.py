@@ -80,6 +80,59 @@ class TestAnnotationWorkspace:
         assert df.iloc[0]['text'] == 'first part'
 
 
+class TestBuildAlignment:
+    """Reference audio_annotation.py:179 build_alignment semantics."""
+
+    def _workspace(self, segments):
+        ws = AudioAnnotation(np.zeros(16000, np.float32), 16000)
+        ws.alignment = segments
+        return ws
+
+    def test_merges_same_speaker_close_segments(self):
+        ws = self._workspace([
+            {'start': 0.0, 'end': 1.0, 'speaker': 'a', 'text': 'Hello there'},
+            {'start': 1.2, 'end': 2.0, 'speaker': 'a', 'text': 'general'},
+            {'start': 2.1, 'end': 3.0, 'speaker': 'b', 'text': 'Kenobi'},
+        ])
+        parts = ws.build_alignment(join_threshold = 0.5)
+        assert len(parts) == 2
+        assert parts[0]['text'] == 'Hello there general'
+        assert parts[0]['indexes'] == [0, 1]
+        assert parts[0]['start'] == 0.0 and parts[0]['end'] == 2.0
+        assert abs(parts[0]['time'] - 2.0) < 1e-9
+        assert parts[1]['speaker'] == 'b'
+
+    def test_gap_over_threshold_splits(self):
+        ws = self._workspace([
+            {'start': 0.0, 'end': 1.0, 'speaker': 'a', 'text': 'one'},
+            {'start': 2.0, 'end': 3.0, 'speaker': 'a', 'text': 'two'},
+        ])
+        assert len(ws.build_alignment(join_threshold = 0.5)) == 2
+        # looser threshold joins
+        assert len(ws.build_alignment(join_threshold = 1.5)) == 1
+
+    def test_text_based_new_sentence_splits(self):
+        ws = self._workspace([
+            {'start': 0.0, 'end': 1.0, 'speaker': 'a', 'text': 'first part'},
+            {'start': 1.1, 'end': 2.0, 'speaker': 'a', 'text': 'New sentence'},
+        ])
+        assert len(ws.build_alignment(text_based = True)) == 2
+        assert len(ws.build_alignment(text_based = False)) == 1
+
+    def test_save_merged_dataset(self, tmp_path):
+        ws = AudioAnnotation(np.random.RandomState(0).randn(32000).astype(np.float32) * 0.1,
+                             16000)
+        ws.alignment = [
+            {'start': 0.0, 'end': 0.5, 'speaker': 'a', 'text': 'hello'},
+            {'start': 0.6, 'end': 1.0, 'speaker': 'a', 'text': 'again'},
+            {'start': 1.1, 'end': 1.5, 'speaker': 'b', 'text': 'Bye'},
+        ]
+        df = ws.save_as_dataset(str(tmp_path / 'ds'), merged = True)
+        assert len(df) == 2
+        assert df.iloc[0]['text'] == 'hello again'
+        assert os.path.exists(df.iloc[0]['filename'])
+
+
 class TestWrappers:
     def test_copy_methods(self):
         class Inner:

@@ -127,6 +127,39 @@ class TestParsers:
     def test_listing(self):
         assert {'txt', 'md', 'html', 'docx', 'pdf', 'py'} <= set(list_parsers())
 
+    def test_pdf_flate_engine(self, tmp_path):
+        """Self-contained engine for FlateDecode-compressed content streams
+        (the reference's multi-engine pdf dispatch, pdf_parser.py:265)."""
+        import io, zlib
+        from text_to_speech_tpu.text.parsers import parse_pdf
+        content = (b"BT /F1 12 Tf 72 720 Td (Hello compressed) Tj T* "
+                   b"(Line two \\(esc\\)) Tj ET\n"
+                   b"BT [ (A) (rray) -250 ( join) ] TJ ET")
+        comp = zlib.compress(content)
+        buf = io.BytesIO()
+        buf.write(b"%PDF-1.4\n1 0 obj\n<< /Length ")
+        buf.write(str(len(comp)).encode())
+        buf.write(b" /Filter /FlateDecode >>\nstream\n")
+        buf.write(comp)
+        buf.write(b"\nendstream\nendobj\n%%EOF\n")
+        p = tmp_path / 'c.pdf'
+        p.write_bytes(buf.getvalue())
+        out = parse_pdf(str(p))
+        texts = [x['text'] for x in out]
+        assert 'Hello compressed' in texts
+        assert 'Line two (esc)' in texts
+        assert 'Array join' in texts
+        # explicit engine selection
+        assert parse_pdf(str(p), method = 'flate') == out
+        assert parse_pdf(str(p), method = 'minimal') == []
+
+    def test_pdf_uncompressed_minimal(self, tmp_path):
+        from text_to_speech_tpu.text.parsers import parse_pdf
+        p = tmp_path / 'u.pdf'
+        p.write_bytes(b"%PDF-1.4\nstream\nBT (plain old text) Tj ET\nendstream\n")
+        out = parse_pdf(str(p), method = 'minimal')
+        assert any('plain old text' in x['text'] for x in out)
+
 
 class TestWeb:
     def test_engine_registry(self):

@@ -76,14 +76,26 @@ class WaveGlow(BaseAudioModel, BaseModel):
                        rng = None, deterministic = False, dtype = None, ** _):
         """padding_multiple defaults to 256 (the reference's
         ``prepare_for_xla_inference`` bucket) so arbitrary mel lengths hit a
-        bounded number of compiled executables."""
+        bounded number of compiled executables.
+
+        Device arrays pass through WITHOUT a host round-trip (padded with
+        `jnp.pad` on device) — the synthesizer pipelines its decoder output
+        straight into the vocoder launch this way."""
         import jax
 
-        mel = np.asarray(mel)
-        if mel.ndim == 2: mel = mel[None]
-        if padding_multiple:
-            mel = pad_to_multiple(mel, padding_multiple, axis = 1,
-                                  constant_values = self.pad_mel_value)
+        if isinstance(mel, jax.Array) and not isinstance(mel, np.ndarray):
+            import jax.numpy as jnp
+            if mel.ndim == 2: mel = mel[None]
+            if padding_multiple and mel.shape[1] % padding_multiple:
+                pad = padding_multiple - mel.shape[1] % padding_multiple
+                mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)),
+                              constant_values = self.pad_mel_value)
+        else:
+            mel = np.asarray(mel)
+            if mel.ndim == 2: mel = mel[None]
+            if padding_multiple:
+                mel = pad_to_multiple(mel, padding_multiple, axis = 1,
+                                      constant_values = self.pad_mel_value)
         if rng is None:
             import time as _time
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))

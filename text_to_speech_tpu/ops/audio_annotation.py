@@ -165,6 +165,48 @@ class AudioAnnotation:
     def set_text(self, index, text):
         self.alignment[index]['text'] = text
 
+    def build_alignment(self, join_threshold = 0.5, text_based = True):
+        """Group consecutive same-speaker segments into alignment parts
+        (reference ``audio_annotation.py:179``): segments merge when the
+        speaker matches, the silence gap is under `join_threshold` seconds,
+        and — with `text_based` — the next text reads as a continuation
+        (a capitalized different text starts a new part).  Each part carries
+        the joined text, the span timing, and the member segment `indexes`.
+
+        The merged view is stored as ``self.parts`` and returned; the
+        fine-grained ``self.alignment`` is untouched."""
+        parts = []
+        current = None
+        for i, seg in enumerate(self.alignment):
+            text = seg.get('text', '') or ''
+            speaker = seg.get('speaker')
+            if current is not None:
+                gap = seg['start'] - current['end']
+                new_sentence = bool(text) and text != current.get('text', '') \
+                    and text[:1].isupper()
+                joinable = (
+                    speaker == current.get('speaker')
+                    and 0 <= join_threshold and gap < join_threshold
+                    and (not text_based or not new_sentence)
+                )
+                if joinable:
+                    current['end'] = seg['end']
+                    current['indexes'].append(i)
+                    if text:
+                        current['text'] = (current.get('text', '') + ' ' + text).strip()
+                    continue
+                parts.append(current)
+            current = {
+                'start': seg['start'], 'end': seg['end'],
+                'speaker': speaker, 'text': text, 'indexes': [i],
+            }
+        if current is not None:
+            parts.append(current)
+        for part in parts:
+            part['time'] = part['end'] - part['start']
+        self.parts = parts
+        return parts
+
     # -- extraction -----------------------------------------------------------
 
     def extract(self, segment):
@@ -183,15 +225,22 @@ class AudioAnnotation:
 
     # -- export ---------------------------------------------------------------
 
-    def save_as_dataset(self, directory = None):
-        """Write per-segment wavs + a metadata DataFrame usable by `fit`."""
+    def save_as_dataset(self, directory = None, *, merged = False):
+        """Write per-segment wavs + a metadata DataFrame usable by `fit`.
+        With ``merged``, export the `build_alignment` parts instead of the
+        fine-grained segments (the reference's parts/ vs alignments/
+        duality, ``audio_annotation.py:788``)."""
         import pandas as pd
         from .audio_io import write_audio
+
+        segments = self.alignment
+        if merged:
+            segments = getattr(self, 'parts', None) or self.build_alignment()
 
         directory = directory or self.directory or 'annotation_dataset'
         os.makedirs(os.path.join(directory, 'wavs'), exist_ok = True)
         rows = []
-        for i, seg in enumerate(self.alignment):
+        for i, seg in enumerate(segments):
             clip = self.extract(seg)
             if len(clip) == 0: continue
             path = os.path.join(directory, 'wavs', 'seg-{:05d}.wav'.format(i))

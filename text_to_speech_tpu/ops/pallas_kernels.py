@@ -264,7 +264,34 @@ def _wn_block_kernel(x_hbm, spect_hbm,
                 skipacc[acc_rows, :] = skipacc[acc_rows, :] + rs[:, C:]
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        if unroll:
+            # static unroll: Mosaic sees one DAG per layer and can overlap a
+            # chunk's MXU matmuls with the previous chunk's elementwise tail
+            for c in range(n_chunks):
+                chunk_body(c, 0)
+        else:
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        if not last_layer:
+            # Sequence-edge semantics (conv 'SAME' zero padding): rows before
+            # position 0 / after seq_len-1 must read as zeros in the next
+            # layer's taps.  Zeroing the halo rows ONCE per layer replaces a
+            # per-chunk iota+compare+where over all of ext (~15% of the
+            # kernel's VPU work).  Stale sxq scales over q=0 dequantize to 0.
+            tile_idx = g % n_tiles
+            qn = 1 - (i % 2)
+
+            @pl.when(tile_idx == 0)
+            def _():
+                dst[pl.ds(margin, halo), :] = jnp.zeros((halo, C), dst.dtype)
+                xq[qn, pl.ds(margin, halo), :] = jnp.zeros((halo, C), jnp.int8)
+
+            @pl.when(tile_idx == n_tiles - 1)
+            def _():
+                o = t_b - margin - halo
+                dst[pl.ds(o, halo), :] = jnp.zeros((halo, C), dst.dtype)
+                xq[qn, pl.ds(o, halo), :] = jnp.zeros((halo, C), jnp.int8)
+
         src, dst = dst, src
 
     skip_out_ref[0] = skipacc[halo: halo + tile, :].astype(skip_out_ref.dtype)
@@ -446,15 +473,15 @@ def _row_quant(x_f32, eps = _INT8_EPS):
 
 
 def _wn_block_int8_kernel(x_hbm, spect_hbm,
-                          w_cond_ref, s_cond_ref, b_cond_ref,
-                          w_in_ref, s_in_ref, b_in_ref,
+                          w_cond_ref, s_cond_ref,
+                          w_in_ref, s_in_ref, b_ref,
                           w_rs_ref, s_rs_ref, b_rs_ref,
                           w_rs_last_ref, s_rs_last_ref, b_rs_last_ref,
                           skip_out_ref,
                           xbuf, xalt, spectbuf, spq, sspq, xq, sxq,
                           skipacc, sems,
                           *, tile, channels, n_layers, n_tiles, seq_len,
-                          halo, margin, chunk):
+                          halo, margin, chunk, unroll = False):
     """int8 whole WN coupling block for one (batch, time-tile) grid step.
     See `fused_wn_block_int8` for the contract."""
     C = channels
@@ -518,7 +545,7 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
     src, dst = xbuf.at[slot], xalt
     for i in range(n_layers):
         dilation = 2 ** i
-        last = i == n_layers - 1
+        last = last_layer = i == n_layers - 1
         qs = i % 2          # quantized-x slot for this layer
 
         def chunk_body(c, _, *, i = i, dilation = dilation, last = last,
@@ -552,10 +579,10 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                       + doti(xc, w_in_ref[i, 1]).astype(jnp.float32) * sc
                       + doti(xr, w_in_ref[i, 2]).astype(jnp.float32) * sr)
             cond_acc = doti(sp, w_cond_ref[i]).astype(jnp.float32) * ssp
+            # b = b_in + b_cond folded at call time (one VPU pass saved)
             acts = (in_acc * s_in_ref[i].astype(jnp.float32)
                     + cond_acc * s_cond_ref[i].astype(jnp.float32)
-                    + b_in_ref[i].astype(jnp.float32)
-                    + b_cond_ref[i].astype(jnp.float32))
+                    + b_ref[i].astype(jnp.float32))
             gated = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
 
             g_q, g_s = _row_quant(gated)
@@ -574,10 +601,6 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                 # across layers through the residual path
                 xc_true = src[pl.ds(off, chunk), :]
                 new_x = xc_true.astype(jnp.float32) + rs[:, :C]
-                gpos = ext_start + (off - margin) \
-                    + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-                valid = (gpos >= 0) & (gpos < seq_len)
-                new_x = jnp.where(valid, new_x, 0.)
                 dst[pl.ds(off, chunk), :] = new_x.astype(dst.dtype)
                 # fused requantization for the next layer's taps
                 nq, ns = _row_quant(new_x)
@@ -586,7 +609,34 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                 skipacc[acc_rows, :] = skipacc[acc_rows, :] + rs[:, C:]
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        if unroll:
+            # static unroll: Mosaic sees one DAG per layer and can overlap a
+            # chunk's MXU matmuls with the previous chunk's elementwise tail
+            for c in range(n_chunks):
+                chunk_body(c, 0)
+        else:
+            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        if not last_layer:
+            # Sequence-edge semantics (conv 'SAME' zero padding): rows before
+            # position 0 / after seq_len-1 must read as zeros in the next
+            # layer's taps.  Zeroing the halo rows ONCE per layer replaces a
+            # per-chunk iota+compare+where over all of ext (~15% of the
+            # kernel's VPU work).  Stale sxq scales over q=0 dequantize to 0.
+            tile_idx = g % n_tiles
+            qn = 1 - (i % 2)
+
+            @pl.when(tile_idx == 0)
+            def _():
+                dst[pl.ds(margin, halo), :] = jnp.zeros((halo, C), dst.dtype)
+                xq[qn, pl.ds(margin, halo), :] = jnp.zeros((halo, C), jnp.int8)
+
+            @pl.when(tile_idx == n_tiles - 1)
+            def _():
+                o = t_b - margin - halo
+                dst[pl.ds(o, halo), :] = jnp.zeros((halo, C), dst.dtype)
+                xq[qn, pl.ds(o, halo), :] = jnp.zeros((halo, C), jnp.int8)
+
         src, dst = dst, src
 
     skip_out_ref[0] = skipacc[halo: halo + tile, :].astype(skip_out_ref.dtype)
@@ -594,10 +644,10 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret'),
+    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret', 'unroll'),
 )
 def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
-                        chunk = None, interpret = False):
+                        chunk = None, interpret = False, unroll = False):
     """int8 variant of `fused_wn_block`.
 
     `quant` is the dict produced by `quantize_wn_weights` from the packed
@@ -627,7 +677,7 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
     kernel = functools.partial(
         _wn_block_int8_kernel, tile = tile, channels = C,
         n_layers = n_layers, n_tiles = n_tiles, seq_len = seq_len,
-        halo = halo, margin = margin, chunk = chunk,
+        halo = halo, margin = margin, chunk = chunk, unroll = unroll,
     )
 
     const = lambda shape: pl.BlockSpec(
@@ -642,10 +692,9 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
             pl.BlockSpec(memory_space = pltpu.ANY),      # spect (manual DMA)
             const((n_layers, S, 2 * C)),                 # w_cond int8
             const((n_layers, 2 * C)),                    # s_cond
-            const((n_layers, 2 * C)),                    # b_cond
             const((n_layers, 3, C, 2 * C)),              # w_in int8
             const((n_layers, 2 * C)),                    # s_in
-            const((n_layers, 2 * C)),                    # b_in
+            const((n_layers, 2 * C)),                    # b = b_in + b_cond
             const((max(n_layers - 1, 1), C, 2 * C)),     # w_rs int8
             const((max(n_layers - 1, 1), 2 * C)),        # s_rs
             const((max(n_layers - 1, 1), 2 * C)),        # b_rs
@@ -679,8 +728,9 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
             transcendentals = B * n_tiles * ext * 2 * C * n_layers,
         ),
     )(x_padded, spect_padded,
-      quant['w_cond'], quant['s_cond'], quant['b_cond'],
-      quant['w_in'], quant['s_in'], quant['b_in'],
+      quant['w_cond'], quant['s_cond'],
+      quant['w_in'], quant['s_in'],
+      (quant['b_in'] + quant['b_cond']).astype(jnp.float32),
       quant['w_rs'], quant['s_rs'], quant['b_rs'],
       quant['w_rs_last'], quant['s_rs_last'], quant['b_rs_last'])
 

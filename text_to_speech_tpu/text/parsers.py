@@ -157,34 +157,139 @@ def parse_docx(filename, ** kwargs):
 
 
 @register_parser('pdf')
-def parse_pdf(filename, ** kwargs):
-    try:
-        import pypdf
-        reader = pypdf.PdfReader(filename)
-        return [
-            {'text': page.extract_text().strip(), 'page': i}
-            for i, page in enumerate(reader.pages) if page.extract_text().strip()
-        ]
-    except ImportError:
-        return _parse_pdf_minimal(filename)
+def parse_pdf(filename, method = None, ** kwargs):
+    """Multi-engine pdf text extraction (the reference dispatches between
+    engines at ``utils/text/parsers/pdf_parser.py:265``):
+
+      - 'pypdf':   the library, when installed;
+      - 'flate':   self-contained — inflates FlateDecode content streams
+                   (zlib is stdlib) and walks the text operators;
+      - 'minimal': raw Tj/TJ scan of uncompressed streams.
+
+    Default tries each in that order and returns the first non-empty
+    result."""
+    engines = [method] if method else ['pypdf', 'flate', 'minimal']
+    for engine in engines:
+        try:
+            result = _PDF_ENGINES[engine](filename)
+        except ImportError:
+            continue
+        except Exception:
+            logger.exception('pdf engine %s failed on %s', engine, filename)
+            continue
+        if result:
+            return result
+    return []
+
+
+def _parse_pdf_pypdf(filename):
+    import pypdf
+    reader = pypdf.PdfReader(filename)
+    return [
+        {'text': page.extract_text().strip(), 'page': i}
+        for i, page in enumerate(reader.pages) if page.extract_text().strip()
+    ]
+
+
+def _pdf_decode_string(raw):
+    """PDF literal string bytes → text (escapes + octal per the spec)."""
+    out, i = [], 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x5C and i + 1 < len(raw):          # backslash
+            nxt = raw[i + 1]
+            esc = {0x6E: '\n', 0x72: '\r', 0x74: '\t', 0x62: '\b',
+                   0x66: '\f', 0x28: '(', 0x29: ')', 0x5C: '\\'}
+            if nxt in esc:
+                out.append(esc[nxt]); i += 2; continue
+            if 0x30 <= nxt <= 0x37:                  # octal \ddd
+                j = i + 1
+                digits = ''
+                while j < len(raw) and len(digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    digits += chr(raw[j]); j += 1
+                out.append(chr(int(digits, 8) & 0xFF)); i = j; continue
+            i += 1; continue                          # line continuation etc.
+        out.append(chr(b))
+        i += 1
+    return ''.join(out)
+
+
+def _pdf_text_from_content(content):
+    """Walk a (decompressed) content stream's text operators: () and <hex>
+    strings consumed by Tj / ' / " / TJ; Td/TD/T* line moves → newlines."""
+    lines, line = [], []
+
+    def endline():
+        if line:
+            lines.append(''.join(line))
+            del line[:]
+
+    token_re = re.compile(
+        rb'\(((?:[^()\\]|\\.)*)\)\s*(Tj|\x27|\x22)'    # (string) Tj/'/"
+        rb"|<([0-9A-Fa-f\s]+)>\s*Tj"                   # <hex> Tj
+        rb'|\[((?:[^\[\]\\]|\\.)*)\]\s*TJ'             # [array] TJ
+        rb'|(T\*|TD|Td|ET|BT)', re.DOTALL)
+    for m in token_re.finditer(content):
+        if m.group(5):                                 # positioning operator
+            endline()
+            continue
+        if m.group(1) is not None:
+            if m.group(2) in (b"'", b'"'):
+                endline()
+            line.append(_pdf_decode_string(m.group(1)))
+        elif m.group(3) is not None:
+            hx = re.sub(rb'\s', rb'', m.group(3))
+            if len(hx) % 2: hx += b'0'
+            raw = bytes.fromhex(hx.decode('ascii'))
+            # heuristics: 2-byte identity CID text shows as \x00c pairs
+            if raw[:1] == b'\x00' and len(raw) % 2 == 0:
+                raw = raw[1::2]
+            line.append(raw.decode('latin-1'))
+        elif m.group(4) is not None:
+            parts = re.findall(rb'\(((?:[^()\\]|\\.)*)\)', m.group(4))
+            line.append(''.join(_pdf_decode_string(p) for p in parts))
+    endline()
+    return [l.strip() for l in lines if l.strip()]
+
+
+def _parse_pdf_flate(filename):
+    """Self-contained engine: inflate every FlateDecode stream object and
+    extract the text operators (handles the compressed content streams the
+    minimal engine cannot)."""
+    import zlib
+    with open(filename, 'rb') as f:
+        raw = f.read()
+
+    paragraphs = []
+    stream_re = re.compile(rb'<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream',
+                           re.DOTALL)
+    for m in stream_re.finditer(raw):
+        header, body = m.group(1), m.group(2)
+        if b'Image' in header or b'XObject' in header and b'Form' not in header:
+            continue
+        if b'FlateDecode' in header:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        elif b'Filter' in header:
+            continue                         # other filters unsupported
+        for text in _pdf_text_from_content(body):
+            paragraphs.append({'text': text})
+    return paragraphs
 
 
 def _parse_pdf_minimal(filename):
-    """Very small fallback: extracts text from uncompressed Tj/TJ operators
-    of simple PDFs (enough for programmatically-generated text PDFs)."""
     with open(filename, 'rb') as f:
         raw = f.read()
-    texts = []
-    for match in re.finditer(rb'\(((?:[^()\\]|\\.)*)\)\s*Tj', raw):
-        texts.append(match.group(1).decode('latin-1'))
-    for match in re.finditer(rb'\[(.*?)\]\s*TJ', raw, re.DOTALL):
-        parts = re.findall(rb'\(((?:[^()\\]|\\.)*)\)', match.group(1))
-        texts.append(''.join(p.decode('latin-1') for p in parts))
-    text = '\n'.join(t for t in texts if t.strip())
-    if not text:
-        logger.warning('minimal pdf parser found no text in %s '
-                       '(compressed streams need pypdf)', filename)
-    return [{'text': p.strip()} for p in text.split('\n') if p.strip()]
+    return [{'text': t} for t in _pdf_text_from_content(raw)]
+
+
+_PDF_ENGINES = {
+    'pypdf': _parse_pdf_pypdf,
+    'flate': _parse_pdf_flate,
+    'minimal': _parse_pdf_minimal,
+}
 
 
 @register_parser('json')
