@@ -49,19 +49,24 @@ def worker():
     # otherwise the quality gate would compare flows that ignore the kernels.
     # end-conv scale 0.02 keeps the random flows in the stable (contractive)
     # regime trained checkpoints live in; larger scales make the inverse flow
-    # chaotic and ANY precision scores badly (bf16 hits -14 dB there)
+    # chaotic and ANY precision scores badly (bf16 hits -14 dB there).
+    # ALL setup runs on CPU (hundreds of eager ops over the axon tunnel pay
+    # ~30 ms each — many minutes), then one bulk device_put.
     arch = WaveGlow(use_pallas = True)
-    raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
-    key = jax.random.PRNGKey(7)
-    for name, v in raw.items():
-        if name.startswith('flow_'):
-            key, sub = jax.random.split(key)
-            end = v['block']['end']
-            v['block']['end'] = {
-                'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
-                'bias': end['bias']}
-
-    mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        raw = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
+        key = jax.random.PRNGKey(7)
+        for name, v in raw.items():
+            if name.startswith('flow_'):
+                key, sub = jax.random.split(key)
+                end = v['block']['end']
+                v['block']['end'] = {
+                    'kernel': 0.02 * jax.random.normal(sub, end['kernel'].shape),
+                    'bias': end['bias']}
+        mel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, FRAMES, 80)) * 2. - 6.
+    tpu = jax.devices()[0]
+    mel = jax.device_put(mel, tpu)
     rng = jax.random.PRNGKey(2)
 
     def sync(x):
@@ -71,7 +76,9 @@ def worker():
 
     mode = DTYPE
     if mode == 'int8':
-        params = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
+        with jax.default_device(cpu):
+            params = arch.quantize_pallas_params(arch.pack_pallas_params(raw))
+        params = jax.device_put(params, tpu)
         # quality gate: int8 kernels vs the f32 XLA chain, same noise
         base = WaveGlow(use_pallas = False)
         small = mel[:2]
@@ -89,7 +96,9 @@ def worker():
         else:
             sys.stderr.write('int8 SNR gate: %.1f dB\n' % snr)
     if mode != 'int8':
-        params = arch.pack_pallas_params(raw)
+        with jax.default_device(cpu):
+            params = arch.pack_pallas_params(raw)
+        params = jax.device_put(params, tpu)
 
     dtype = jnp.bfloat16 if mode != 'float32' else jnp.float32
     infer = jax.jit(lambda p, m, r: jnp.sum(arch.infer(p, m, rng = r, dtype = dtype)))

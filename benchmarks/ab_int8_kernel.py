@@ -43,23 +43,22 @@ def main():
     x, spect, quant = jax.device_put((x, spect, quant), tpu)
     print('setup done', flush = True)
 
-    def k12(x, spect, quant, chunk, unroll):
+    def k12(x, spect, quant, chunk, unroll, probe = False):
         for _ in range(12):
             out = pk.fused_wn_block_int8(x, spect, quant, tile = 4096,
                                          seq_len = T, chunk = chunk,
-                                         unroll = unroll)
+                                         unroll = unroll,
+                                         aligned_probe = probe)
             x = jax.lax.dynamic_update_slice(
                 x, out.astype(x.dtype), (0, pad, 0))
         return x
 
     results = {}
-    for label, chunk, unroll in [('fori_c512', 512, False),
-                                 ('unroll_c512', 512, True),
-                                 ('unroll_c768', 768, True),
-                                 ('unroll_c1536', 1536, True)]:
+    for label, chunk, unroll, probe in [('fori_c512', 512, False, False),
+                                        ('aligned_probe', 512, False, True)]:
         try:
-            fn = jax.jit(lambda x, s, q, c = chunk, u = unroll:
-                         jnp.sum(k12(x, s, q, c, u)))
+            fn = jax.jit(lambda x, s, q, c = chunk, u = unroll, pr = probe:
+                         jnp.sum(k12(x, s, q, c, u, pr)))
             float(fn(x, spect, quant))
             for _ in range(2):
                 out = fn(x, spect, quant)

@@ -264,9 +264,19 @@ class WaveGlow:
             int8_kernel = 'packed_q' in block
             pad = wn_block_pad_int8(hp.wn_layers) if int8_kernel \
                 else wn_block_pad(hp.wn_layers)
-            tile = next(t for t in (4096, 2048, 1024, 512) if T % t == 0)
-            x = nn.conv1d(block['start'], audio_half)
-            x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+            buf_dtype = spect.dtype
+            if int8_kernel and T <= 8192 \
+                    and jnp.dtype(buf_dtype).itemsize == 2:
+                # single-tile mode: no internal tile boundaries → the kernel
+                # skips ALL halo recompute (the tiled path redoes 2×halo rows
+                # per tile per layer — 12.5% extra at tile=4096); VMEM-bound
+                # to T ≤ 8192 at 512 channels / 16-bit buffers (~109 MB)
+                tile = T
+            else:
+                tile = next(t for t in (4096, 2048, 1024, 512) if T % t == 0)
+            x = nn.conv1d(block['start'], audio_half.astype(
+                block['start']['kernel'].dtype))
+            x = jnp.pad(x.astype(buf_dtype), ((0, 0), (pad, pad), (0, 0)))
             if spect_padded is None:
                 spect_padded = jnp.pad(spect, ((0, 0), (pad, pad), (0, 0)))
             if int8_kernel:
@@ -281,7 +291,16 @@ class WaveGlow:
                     p['b_in'], p['w_rs'], p['b_rs'], p['w_rs_last'],
                     p['b_rs_last'], tile = tile, seq_len = T,
                 )
-            return nn.conv1d(block['end'], skip_sum)
+            # end conv with f32 accumulation: bf16 operands (no upconvert of
+            # the (B, T, C) skip tensor) but f32 b/s outputs for the f32
+            # audio stream (int8 mixed precision); the bf16 kernel path
+            # keeps its uniform-dtype contract
+            w_end = block['end']['kernel'][0].astype(skip_sum.dtype)
+            out = jnp.einsum('btc,ck->btk', skip_sum, w_end,
+                             preferred_element_type = jnp.float32)
+            if 'bias' in block['end']:
+                out = out + block['end']['bias'].astype(jnp.float32)
+            return out if int8_kernel else out.astype(buf_dtype)
         x = nn.conv1d(block['start'], audio_half)
         cond_all = None
         if 'cond_layer' in block:
@@ -416,11 +435,19 @@ class WaveGlow:
         if use_pallas is None: use_pallas = hp.use_pallas
         if sigma is None: sigma = hp.sigma
         if rng is None: rng = jax.random.PRNGKey(0)
+        int8_mode = use_pallas and 'packed_q' in params['flow_0']['block']
         if dtype is not None:
+            # int8 serving runs MIXED precision: the WN kernels and the
+            # start/end convs consume bf16 operands (halved VMEM/DMA; the
+            # end conv accumulates in f32 so its b/s outputs are f32), but
+            # the AUDIO stream — the ≤8-channel affine update and 1x1
+            # inverses — stays f32.  A bf16 audio stream accumulates
+            # rounding through all 12 inverse flows and lands at ~-3 dB SNR
+            # vs f32 (measured); mixed scores ~39 dB.
+            keep_f32 = {'packed_q'} | ({'convinv'} if int8_mode else set())
+
             def cast(path, leaf):
-                # int8 kernels keep their f32 scales/biases (packed_q); the
-                # kernel's accumulation is f32 regardless of serving dtype
-                if any(getattr(k, 'key', None) == 'packed_q' for k in path):
+                if any(getattr(k, 'key', None) in keep_f32 for k in path):
                     return leaf
                 if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
                     return leaf.astype(dtype)
@@ -446,7 +473,9 @@ class WaveGlow:
                 else wn_block_pad(hp.wn_layers)
             spect_padded = jnp.pad(spect, ((0, 0), (p, p), (0, 0)))
 
-        out_dtype = spect.dtype
+        # int8 mixed precision: the audio stream is f32 even when the
+        # conditioning/kernels run bf16 (see the cast above)
+        out_dtype = jnp.float32 if int8_mode else spect.dtype
 
         def noise(key, channels):
             if deterministic:

@@ -127,7 +127,7 @@ def fused_wn_layer(x_padded, cond, w_in, b_in, w_rs, b_rs, *,
         kernel,
         grid = grid,
         in_specs = [
-            pl.BlockSpec(memory_space = pltpu.ANY),            # x (manual DMA)
+            pl.BlockSpec(memory_space = pl.ANY),            # x (manual DMA)
             pl.BlockSpec((1, tile, 2 * C), tile_index,
                          memory_space = pltpu.VMEM),
             pl.BlockSpec((3, C, 2 * C), lambda g: (0, 0, 0),
@@ -163,7 +163,7 @@ def _wn_block_kernel(x_hbm, spect_hbm,
                      skip_out_ref,
                      xbuf, xalt, spectbuf, skipacc, sems,
                      *, tile, channels, n_layers, n_tiles, seq_len,
-                     halo, margin, chunk):
+                     halo, margin, chunk, skip = 0):
     """One whole WN coupling block (all dilated layers) for one (batch,
     time-tile) grid step.  See `fused_wn_block` for the contract."""
     C = channels
@@ -177,7 +177,7 @@ def _wn_block_kernel(x_hbm, spect_hbm,
     def dma(src_hbm, dst, sem_base, step, slot):
         return pltpu.make_async_copy(
             src_hbm.at[step // n_tiles,
-                       pl.ds((step % n_tiles) * tile, t_b), :],
+                       pl.ds(skip + (step % n_tiles) * tile, t_b), :],
             dst.at[slot], sems.at[sem_base + slot],
         )
 
@@ -264,34 +264,7 @@ def _wn_block_kernel(x_hbm, spect_hbm,
                 skipacc[acc_rows, :] = skipacc[acc_rows, :] + rs[:, C:]
             return 0
 
-        if unroll:
-            # static unroll: Mosaic sees one DAG per layer and can overlap a
-            # chunk's MXU matmuls with the previous chunk's elementwise tail
-            for c in range(n_chunks):
-                chunk_body(c, 0)
-        else:
-            jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-        if not last_layer:
-            # Sequence-edge semantics (conv 'SAME' zero padding): rows before
-            # position 0 / after seq_len-1 must read as zeros in the next
-            # layer's taps.  Zeroing the halo rows ONCE per layer replaces a
-            # per-chunk iota+compare+where over all of ext (~15% of the
-            # kernel's VPU work).  Stale sxq scales over q=0 dequantize to 0.
-            tile_idx = g % n_tiles
-            qn = 1 - (i % 2)
-
-            @pl.when(tile_idx == 0)
-            def _():
-                dst[pl.ds(margin, halo), :] = jnp.zeros((halo, C), dst.dtype)
-                xq[qn, pl.ds(margin, halo), :] = jnp.zeros((halo, C), jnp.int8)
-
-            @pl.when(tile_idx == n_tiles - 1)
-            def _():
-                o = t_b - margin - halo
-                dst[pl.ds(o, halo), :] = jnp.zeros((halo, C), dst.dtype)
-                xq[qn, pl.ds(o, halo), :] = jnp.zeros((halo, C), jnp.int8)
-
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
         src, dst = dst, src
 
     skip_out_ref[0] = skipacc[halo: halo + tile, :].astype(skip_out_ref.dtype)
@@ -368,8 +341,8 @@ def fused_wn_block(x_padded, spect_padded, w_cond, b_cond, w_in, b_in,
         kernel,
         grid = (B * n_tiles,),
         in_specs = [
-            pl.BlockSpec(memory_space = pltpu.ANY),      # x (manual DMA)
-            pl.BlockSpec(memory_space = pltpu.ANY),      # spect (manual DMA)
+            pl.BlockSpec(memory_space = pl.ANY),      # x (manual DMA)
+            pl.BlockSpec(memory_space = pl.ANY),      # spect (manual DMA)
             const((n_layers, S, 2 * C)),
             const((n_layers, 2 * C)),
             const((n_layers, 3, C, 2 * C)),
@@ -481,7 +454,8 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                           xbuf, xalt, spectbuf, spq, sspq, xq, sxq,
                           skipacc, sems,
                           *, tile, channels, n_layers, n_tiles, seq_len,
-                          halo, margin, chunk, unroll = False):
+                          halo, margin, chunk, unroll = False,
+                          aligned_probe = False, skip = 0):
     """int8 whole WN coupling block for one (batch, time-tile) grid step.
     See `fused_wn_block_int8` for the contract."""
     C = channels
@@ -495,7 +469,7 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
     def dma(src_hbm, dst, sem_base, step, slot):
         return pltpu.make_async_copy(
             src_hbm.at[step // n_tiles,
-                       pl.ds((step % n_tiles) * tile, t_b), :],
+                       pl.ds(skip + (step % n_tiles) * tile, t_b), :],
             dst.at[slot], sems.at[sem_base + slot],
         )
 
@@ -533,6 +507,12 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
     for qs in (0, 1):
         xq[qs, 0: margin, :] = jnp.zeros((margin, C), jnp.int8)
         xq[qs, t_b - margin: t_b, :] = jnp.zeros((margin, C), jnp.int8)
+        # the row-scale margins must also be defined: a NaN/garbage scale
+        # times a zero q row is NaN, which in halo-free (single-tile) mode
+        # would land in EMITTED rows (the tiled path merely contained it
+        # inside the unemitted halo)
+        sxq[qs, 0: margin, :] = jnp.zeros((margin, 1), jnp.float32)
+        sxq[qs, t_b - margin: t_b, :] = jnp.zeros((margin, 1), jnp.float32)
 
     # layer 0 quantizes the DMA'd input once; later layers requantize
     # inside the residual-update write (no extra buffer pass)
@@ -545,6 +525,8 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
     src, dst = xbuf.at[slot], xalt
     for i in range(n_layers):
         dilation = 2 ** i
+        if aligned_probe and dilation < 32:
+            dilation = 32          # PERF PROBE ONLY: wrong numerics
         last = last_layer = i == n_layers - 1
         qs = i % 2          # quantized-x slot for this layer
 
@@ -617,7 +599,7 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
         else:
             jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-        if not last_layer:
+        if not last_layer and halo > 0:
             # Sequence-edge semantics (conv 'SAME' zero padding): rows before
             # position 0 / after seq_len-1 must read as zeros in the next
             # layer's taps.  Zeroing the halo rows ONCE per layer replaces a
@@ -644,10 +626,12 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret', 'unroll'),
+    static_argnames = ('tile', 'seq_len', 'chunk', 'interpret', 'unroll',
+                       'aligned_probe'),
 )
 def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
-                        chunk = None, interpret = False, unroll = False):
+                        chunk = None, interpret = False, unroll = False,
+                        aligned_probe = False):
     """int8 variant of `fused_wn_block`.
 
     `quant` is the dict produced by `quantize_wn_weights` from the packed
@@ -662,11 +646,22 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
     C = w_in.shape[2]
     S = spect_padded.shape[2]
     B = x_padded.shape[0]
-    halo = _round_up(2 ** n_layers - 1, 32)
+    caller_pad = (x_padded.shape[1] - seq_len) // 2
+    assert x_padded.shape[1] == seq_len + 2 * caller_pad
     margin = _round_up(2 ** (n_layers - 1), 32)
+    if tile == seq_len:
+        # single-tile mode: no internal tile boundaries, and the sequence
+        # edges are zeros ('SAME' padding) kept zero by the margin rows —
+        # so NO halo rows are recomputed at all (the tiled path recomputes
+        # 2*halo rows per tile per layer, 12.5% extra at tile=4096)
+        halo = 0
+    else:
+        halo = _round_up(2 ** n_layers - 1, 32)
     pad = halo + margin
-    T = x_padded.shape[1] - 2 * pad
-    assert T == seq_len and T % tile == 0, (T, seq_len, tile)
+    skip = caller_pad - pad
+    assert skip >= 0, (caller_pad, pad)
+    T = seq_len
+    assert T % tile == 0, (T, tile)
     ext = tile + 2 * halo
     if chunk is None:
         chunk = next(c for c in (512, 256, 128, 64, 32) if ext % c == 0)
@@ -678,6 +673,7 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
         _wn_block_int8_kernel, tile = tile, channels = C,
         n_layers = n_layers, n_tiles = n_tiles, seq_len = seq_len,
         halo = halo, margin = margin, chunk = chunk, unroll = unroll,
+        aligned_probe = aligned_probe, skip = skip,
     )
 
     const = lambda shape: pl.BlockSpec(
@@ -688,8 +684,8 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
         kernel,
         grid = (B * n_tiles,),
         in_specs = [
-            pl.BlockSpec(memory_space = pltpu.ANY),      # x (manual DMA)
-            pl.BlockSpec(memory_space = pltpu.ANY),      # spect (manual DMA)
+            pl.BlockSpec(memory_space = pl.ANY),      # x (manual DMA)
+            pl.BlockSpec(memory_space = pl.ANY),      # spect (manual DMA)
             const((n_layers, S, 2 * C)),                 # w_cond int8
             const((n_layers, 2 * C)),                    # s_cond
             const((n_layers, 3, C, 2 * C)),              # w_in int8
@@ -718,7 +714,7 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
             pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes = 127 * 1024 * 1024,
+            vmem_limit_bytes = 128 * 1024 * 1024,
         ),
         interpret = interpret,
         cost_estimate = pl.CostEstimate(
@@ -812,8 +808,11 @@ def wn_block_int8_reference(x, spect, quant):
             'bts,sd->btd', sp_q.astype(jnp.int32),
             quant['w_cond'][i].astype(jnp.int32),
         ).astype(jnp.float32) * sp_s
+        # parenthesization matters: the kernel adds the pre-folded
+        # b_in+b_cond in ONE f32 add; matching it keeps row-amax ties (and
+        # hence the int8 quantization grids) bit-identical
         acts = (acc * quant['s_in'][i] + cond * quant['s_cond'][i]
-                + quant['b_in'][i] + quant['b_cond'][i])
+                + (quant['b_in'][i] + quant['b_cond'][i]))
         gated = jnp.tanh(acts[..., :C]) * jax.nn.sigmoid(acts[..., C:])
         g_q, g_s = row_q(gated)
         if last:
