@@ -1,4 +1,12 @@
 from .image_io import load_image, save_image, resize_image, normalize_image
 from .boxes import (
-    convert_boxes, box_iou, nms, combine_boxes, box_metrics, crop_box, BoxFormat,
+    convert_boxes, box_iou, nms, combine_boxes, box_metrics, crop_box,
+    BoxFormat, lanms, sort_boxes, union_box, compute_groups, group_boxes,
+    combine_boxes_horizontal, combine_boxes_vertical, combine_boxes_layout,
+    filter_boxes, BoxFilter, SizeFilter, RegionFilter, RepetitionFilter,
+)
+from .video import (
+    FFMPEGReader, FFMPEGWriter, OpenCVWriter, VideoWriter, HTTPScreenMirror,
+    probe_video, get_video_info, set_video_audio, frame_generator,
+    stream_camera, build_gif, build_sprite,
 )
