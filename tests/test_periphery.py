@@ -34,6 +34,72 @@ class TestPlotUtils:
                               filename = str(tmp_path / 'e.png'))
         assert os.path.exists(path)
 
+    def test_plot_axis_options(self, tmp_path):
+        path = plot([1., 10., 100.], logscale = True, with_grid = True,
+                    hlines = 10., vlines = [0, 2], ylim = (0.5, 200),
+                    xtick_labels = ['a', 'b', 'c'], tick_rotation = 45,
+                    filename = str(tmp_path / 'opts.png'))
+        assert os.path.getsize(path) > 0
+
+    def test_plot_bar_and_hist(self, tmp_path):
+        assert os.path.exists(plot([3, 1, 2], plot_type = 'bar',
+                                   filename = str(tmp_path / 'b.png')))
+        assert os.path.exists(plot(np.random.randn(100), plot_type = 'hist',
+                                   filename = str(tmp_path / 'h.png')))
+
+    def test_plot_confusion_matrix_from_labels(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_confusion_matrix
+        path = plot_confusion_matrix(
+            true = ['cat', 'dog', 'cat', 'cat'],
+            pred = ['cat', 'dog', 'dog', 'cat'],
+            filename = str(tmp_path / 'cm.png'))
+        assert os.path.getsize(path) > 0
+
+    def test_plot_matrix_normalized(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_matrix
+        path = plot_matrix(np.random.rand(4, 6), norm = True,
+                           x_labels = list('abcdef'),
+                           y_labels = list('wxyz'),
+                           filename = str(tmp_path / 'mat.png'))
+        assert os.path.exists(path)
+
+    def test_plot_classification_topk(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_classification
+        path = plot_classification(np.random.rand(20), k = 5,
+                                   filename = str(tmp_path / 'cls.png'))
+        assert os.path.exists(path)
+
+    def test_plot_boxes_overlay(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_boxes
+        path = plot_boxes(np.array([[0.1, 0.1, 0.4, 0.3]]),
+                          image = np.random.rand(32, 32, 3),
+                          labels = ['word'], scores = [0.9],
+                          filename = str(tmp_path / 'boxes.png'))
+        assert os.path.exists(path)
+
+    def test_plot_polygons(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_polygons
+        path = plot_polygons([np.array([[0, 0], [4, 0], [3, 2], [0, 3]])],
+                             labels = ['quad'],
+                             filename = str(tmp_path / 'poly.png'))
+        assert os.path.exists(path)
+
+    def test_plot_volume(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_volume
+        path = plot_volume(np.random.rand(6, 6, 6), threshold = 0.8,
+                           filename = str(tmp_path / 'vol.png'))
+        assert os.path.exists(path)
+
+    def test_plot_distribution(self, tmp_path):
+        from text_to_speech_tpu.utils.plot_utils import plot_distribution
+        assert os.path.exists(plot_distribution(
+            np.random.randn(50), np.random.randn(50) + 1,
+            labels = ['a', 'b'], plot_type = 'violin',
+            filename = str(tmp_path / 'violin.png')))
+        assert os.path.exists(plot_distribution(
+            np.random.randn(50), plot_type = 'box',
+            filename = str(tmp_path / 'box.png')))
+
 
 class TestAudioDatasets:
     def test_registry(self):
