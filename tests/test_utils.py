@@ -183,3 +183,92 @@ class TestAsyncPrimitives:
         pq.put('high', priority = 1)
         pq.put('mid', priority = 3)
         assert [pq.get(), pq.get(), pq.get()] == ['high', 'mid', 'low']
+
+
+def _square(x):
+    return x * x
+
+
+def _slow_echo(x):
+    import time
+    time.sleep(0.1)
+    return x
+
+
+class TestProcess:
+    def test_map_order(self):
+        from text_to_speech_tpu.utils.process import Process
+        with Process(_square) as p:
+            assert p.map([1, 2, 3]) == [1, 4, 9]
+
+    def test_submit_callback(self):
+        from text_to_speech_tpu.utils.process import Process
+        got = []
+        with Process(_square) as p:
+            r = p.submit(4, callback = got.append)
+            assert r.get(timeout = 10) == 16
+        assert got == [16]
+
+    def test_priority_overtakes(self):
+        import time
+        from text_to_speech_tpu.utils.process import Process
+
+        order = []
+        p = Process(_slow_echo, buffer = 'priority')
+        p.start()
+        lows = [p.submit(i, priority = 5, callback = order.append)
+                for i in range(5)]
+        time.sleep(0.03)
+        hi = p.submit('HI', priority = 0, callback = order.append)
+        assert hi.get(timeout = 20) == 'HI'
+        for r in lows: r.get(timeout = 20)
+        p.stop()
+        # the late high-priority task must overtake at least the last
+        # buffered low-priority task (a couple may already be in the pipe)
+        assert order.index('HI') < order.index(4)
+
+    def test_finalizer_runs_on_stop(self):
+        import time
+        from text_to_speech_tpu.utils.process import Process
+        done = []
+        p = Process(_square, finalizer = lambda: done.append(True))
+        p.start()
+        assert p.submit(3).get(timeout = 10) == 9
+        p.stop()
+        for _ in range(50):
+            if done: break
+            time.sleep(0.02)
+        assert done == [True]
+
+    def test_clear_cancels_buffered(self):
+        import time
+        from text_to_speech_tpu.utils.process import Process
+        p = Process(_slow_echo, buffer = 'priority')
+        p.start()
+        futs = [p.submit(i) for i in range(8)]
+        time.sleep(0.03)
+        dropped = p.clear()
+        assert dropped > 0
+        cancelled = 0
+        for f in futs:
+            try:
+                f.get(timeout = 20)
+            except RuntimeError:
+                cancelled += 1
+        assert cancelled == dropped
+        p.stop()
+
+    def test_run_in_thread(self):
+        import time
+        from text_to_speech_tpu.utils.process import run_in_thread
+        got = []
+
+        @run_in_thread(callback = got.append)
+        def add(a, b):
+            return a + b
+
+        assert add(2, 3).get(timeout = 5) == 5
+        for _ in range(50):
+            if got: break
+            time.sleep(0.02)
+        assert got == [5]
