@@ -256,3 +256,73 @@ class TestGifSprite:
                      image_size = 16, filename = path)
         sprite = load_image(path)
         assert sprite.shape == (48, 48, 3)    # ceil(sqrt(5)) = 3 tiles
+
+
+class TestImageProcessing:
+    def test_pad_image_modes(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.image import pad_image
+        img = np.arange(12, dtype = np.float32).reshape(2, 2, 3)
+        after = pad_image(img, (4, 3), 'after')
+        assert after.shape == (4, 3, 3)
+        assert np.all(after[:2, :2] == img) and after[3, 2, 0] == 0
+        before = pad_image(img, (4, 3), 'before', pad_value = 7)
+        assert before.shape == (4, 3, 3)
+        assert np.all(before[2:, 1:] == img) and before[0, 0, 0] == 7
+        even = pad_image(img, (4, 4), 'even')
+        assert np.all(even[1:3, 1:3] == img)
+        rep = pad_image(img, (3, 3), 'repeat_last')
+        assert np.all(rep[2] == rep[1]) and np.all(rep[:, 2] == rep[:, 1])
+        batched = pad_image(img[None], (4, 3), 'after')
+        assert batched.shape == (1, 4, 3, 3)
+
+    def test_get_output_size(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.image import get_output_size
+        img = np.zeros((30, 50, 3))
+        assert get_output_size(img) == (30, 50)
+        assert get_output_size(img, (64, 64)) == (64, 64)
+        assert get_output_size(img, (-1, 100)) == (30, 100)
+        assert get_output_size(img, (-1, 100),
+                               preserve_aspect_ratio = True) == (60, 100)
+        assert get_output_size(img, multiples = (32, 32)) == (32, 64)
+        assert get_output_size(img, multiples = (32, 32),
+                               round = True) == (32, 64)
+
+    def test_rotate_image(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.image import rotate_image
+        img = np.zeros((8, 8, 3), np.float32)
+        img[0, :, 0] = 1.                      # top row red
+        rot = rotate_image(img, 90, method = 'nearest')
+        assert rot.shape == img.shape
+        assert rot[:, 0, 0].sum() > rot[0, :, 0].sum()  # moved to left column
+
+    def test_normalization_registry(self):
+        import numpy as np
+        import pytest
+        from text_to_speech_tpu.utils.image import (
+            get_image_normalization_fn, normalize_image, build_mean_normalize)
+        img = (np.ones((2, 2, 3)) * 255).astype(np.uint8)
+        assert np.allclose(normalize_image(img, '01'), 1.)
+        assert np.allclose(normalize_image(img, 'centered'), 1.)
+        vgg = normalize_image(img, 'vgg')
+        assert vgg.shape == img.shape and vgg[0, 0, 0] != 1.
+        fn = build_mean_normalize([0.5, 0.5, 0.5], [2., 2., 2.])
+        assert np.allclose(fn(np.ones((1, 1, 3))), 0.25)
+        assert get_image_normalization_fn(None)(img).dtype == np.float32
+        with pytest.raises(ValueError):
+            get_image_normalization_fn('nope')
+
+    def test_size_and_uint8(self, tmp_path):
+        import numpy as np
+        from text_to_speech_tpu.utils.image import (
+            get_image_size, convert_to_uint8, save_image)
+        img = np.random.rand(6, 9, 3).astype(np.float32)
+        assert get_image_size(img) == (6, 9)
+        assert get_image_size(img[None]) == (6, 9)
+        path = save_image(str(tmp_path / 'x.png'), img)
+        assert get_image_size(path) == (6, 9)
+        u8 = convert_to_uint8(img)
+        assert u8.dtype == np.uint8 and u8.max() <= 255
+        assert convert_to_uint8(u8) is u8

@@ -167,6 +167,100 @@ class TestWeb:
         with pytest.raises(ValueError):
             get_search_engine('nope')
 
+    def test_format_query_exclude_site(self):
+        eng = get_search_engine('google')
+        q = eng.format_query('jax tpu', exclude_site = 'youtube.com')
+        assert q == 'jax tpu -site:youtube.com'
+        assert eng.format_query('plain') == 'plain'
+
+    def test_parse_response_dispatch(self):
+        from text_to_speech_tpu.text.web import parse_response
+        html = {'content': '<html><body><p>hello world</p></body></html>',
+                'content_type': 'text/html'}
+        out = parse_response(html)
+        assert out and 'hello world' in out[0]['text']
+        txt = parse_response({'content': 'raw', 'content_type': 'text/plain'})
+        assert txt == [{'text': 'raw'}]
+        assert parse_response({'content': b'', 'content_type': 'image/png'}) == []
+
+    def test_process_urls_local_server(self):
+        import http.server, threading
+        from text_to_speech_tpu.text.web import process_urls, fetch_page_text
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == '/missing':
+                    self.send_error(404)
+                    return
+                body = ('<html><body><p>page %s content</p></body></html>'
+                        % self.path.strip('/')).encode()
+                self.send_response(200)
+                self.send_header('Content-Type', 'text/html; charset=utf-8')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = http.server.ThreadingHTTPServer(('127.0.0.1', 0), Handler)
+        threading.Thread(target = server.serve_forever, daemon = True).start()
+        try:
+            base = 'http://127.0.0.1:%d' % server.server_address[1]
+            urls = [base + '/a', base + '/missing', base + '/b']
+            out = process_urls(urls, n = 2)
+            assert list(out) == [base + '/a', base + '/b']
+            assert 'page a content' in out[base + '/a'][0]['text']
+            assert out[base + '/a'][0]['url'] == base + '/a'
+            assert 'page b content' in fetch_page_text(base + '/b')
+        finally:
+            server.shutdown()
+
+    def test_process_urls_content_filter(self):
+        import http.server, threading
+        from text_to_speech_tpu.text.web import process_urls
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                body = b'<p>x</p>'
+                self.send_response(200)
+                self.send_header('Content-Type', 'text/html')
+                self.send_header('Content-Length', str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        server = http.server.ThreadingHTTPServer(('127.0.0.1', 0), Handler)
+        threading.Thread(target = server.serve_forever, daemon = True).start()
+        try:
+            base = 'http://127.0.0.1:%d' % server.server_address[1]
+            out = process_urls([base + '/x'],
+                               allowed_contents = ['application/pdf'])
+            assert out == {}
+        finally:
+            server.shutdown()
+
+    def test_query_cache_roundtrip(self, tmp_path, monkeypatch):
+        import text_to_speech_tpu.text.web as web
+        monkeypatch.setattr(web, '_CACHE_ROOT', str(tmp_path))
+
+        calls = []
+
+        class FakeEngine(web.SearchEngine):
+            name = 'fake'
+            def fetch_urls(self, query, n = 5, ** kwargs):
+                calls.append(query)
+                return ['http://nowhere.invalid/page']
+
+        eng = FakeEngine()
+        urls = eng.search('q1', parse = False, save = True)
+        assert urls == ['http://nowhere.invalid/page']
+        urls2 = eng.search('q1', parse = False, save = True)
+        assert urls2 == urls
+        assert calls == ['q1']           # second hit served from cache
+
 
 class TestHandlers:
     def test_buffering_handler(self):

@@ -1,4 +1,8 @@
-from .image_io import load_image, save_image, resize_image, normalize_image
+from .image_io import (
+    load_image, save_image, resize_image, normalize_image, get_image_size,
+    convert_to_uint8, pad_image, get_output_size, rotate_image,
+    build_mean_normalize, get_image_normalization_fn, register_normalization,
+)
 from .boxes import (
     convert_boxes, box_iou, nms, combine_boxes, box_metrics, crop_box,
     BoxFormat, lanms, sort_boxes, union_box, compute_groups, group_boxes,
