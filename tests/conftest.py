@@ -15,6 +15,12 @@ import pytest  # noqa: E402
 # explicitly; mesh tests build their Mesh from jax.devices('cpu') (8 virtual).
 jax.config.update('jax_default_device', jax.devices('cpu')[0])
 
+# The suite is XLA-compile-dominated on this 1-core host; the persistent
+# compilation cache makes warm re-runs skip every unchanged compile.
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('JAX_CACHE_DIR', '/tmp/jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
 REFERENCE_DIR = '/root/reference'
 
 

@@ -49,6 +49,7 @@ def synthetic_rows(n = 6, rate = 22050):
 
 
 class TestFitTacotron2:
+    @pytest.mark.slow
     def test_two_epochs_updates_and_persists(self, model_root):
         model = Tacotron2(lang = 'en', name = 'fit_taco', ** TINY_TACO)
         before = np.asarray(model.params['decoder']['linear_projection']['kernel']).copy()
@@ -80,6 +81,7 @@ class TestFitTacotron2:
 
 
 class TestFitWaveGlow:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         model = WaveGlow(
             name = 'fit_wg', n_flows = 2, n_group = 4, wn_layers = 2,

@@ -7,6 +7,13 @@ from text_to_speech_tpu.ops.pallas_kernels import fused_wn_layer, wn_layer_refer
 
 
 def _has_tpu():
+    # Opt-in only: under pytest the axon TPU plugin still registers a 'tpu'
+    # platform even with JAX_PLATFORMS=cpu, and the tunnel allows ONE client
+    # process — running TPU tests by default makes the suite contend with any
+    # concurrent bench/serving process and blows the bounded CPU profile.
+    import os
+    if os.environ.get('TTS_TEST_TPU') != '1':
+        return False
     try:
         return len(jax.devices('tpu')) > 0
     except RuntimeError:
@@ -25,7 +32,7 @@ def _make_inputs(B = 1, T = 1024, C = 128, seed = 0):
 
 
 @pytest.mark.tpu
-@pytest.mark.skipif(not _has_tpu(), reason = 'pallas TPU kernel needs a TPU')
+@pytest.mark.skipif(not _has_tpu(), reason = "pallas TPU kernel needs a TPU (set TTS_TEST_TPU=1)")
 class TestFusedWNLayerTPU:
     @pytest.mark.parametrize('dilation', [1, 4, 64])
     def test_matches_xla_reference(self, dilation):
@@ -89,7 +96,7 @@ class TestFusedWNBlock:
 
 
 @pytest.mark.tpu
-@pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
+@pytest.mark.skipif(not _has_tpu(), reason = "needs a TPU (set TTS_TEST_TPU=1)")
 class TestFusedWNBlockTPU:
     def test_matches_xla_chain_tpu(self):
         from text_to_speech_tpu.ops.pallas_kernels import (
@@ -124,7 +131,7 @@ class TestFastUpsample:
 
 
 @pytest.mark.tpu
-@pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
+@pytest.mark.skipif(not _has_tpu(), reason = "needs a TPU (set TTS_TEST_TPU=1)")
 class TestWaveGlowPallasPath:
     def test_arch_equivalence(self):
         from text_to_speech_tpu.models.waveglow_arch import WaveGlow
@@ -206,7 +213,7 @@ class TestFusedWNBlockInt8:
 
 
 @pytest.mark.tpu
-@pytest.mark.skipif(not _has_tpu(), reason = 'needs a TPU')
+@pytest.mark.skipif(not _has_tpu(), reason = "needs a TPU (set TTS_TEST_TPU=1)")
 class TestFusedWNBlockInt8TPU:
     def test_matches_sim_full_size(self):
         from text_to_speech_tpu.ops.pallas_kernels import (

@@ -164,6 +164,7 @@ def synthetic_nvidia_tacotron2_sd():
 
 
 class TestNvidiaConverters:
+    @pytest.mark.slow
     def test_tacotron2_shapes_match_arch(self):
         from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
         from text_to_speech_tpu.train.checkpoint import flatten_tree
