@@ -24,6 +24,11 @@ def main():
                         help = 'int8 fused-block WaveGlow serving path')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
+    parser.add_argument('--gate', action = 'store_true',
+                        help = 'keep the frames/token retry gate (default off: '
+                               'random weights always fail it, so the gate '
+                               'would double-decode and measure retry logic '
+                               'instead of the pipeline)')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -36,6 +41,9 @@ def main():
         extra['use_fused_decoder'] = True
     if args.batch:
         extra['batch_size'] = args.batch
+    if not args.gate:
+        extra['min_fpt_ratio'] = -1.
+        extra['max_fpt_ratio'] = float('inf')
 
     model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     vocoder = WaveGlow(name = 'bench_waveglow')

@@ -223,6 +223,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
               silence_time = 0.15,
               vocoder_config = {},
               batch_chunks = True,
+              fetch_attention = None,
               ** kwargs
              ):
         """Synthesize one text (possibly split into chunks).
@@ -267,11 +268,16 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             start = time.time()
             pipelined = None
             if vocoder is not None and batch_chunks:
+                # attention maps are telemetry: fetched only when a consumer
+                # (callback / explicit request) will read them
+                if fetch_attention is None:
+                    fetch_attention = bool(callbacks)
                 pipelined = self._synthesize_and_vocode(
                     encoded, vocoder, embeddings = embeddings,
                     max_length = max_length, min_fpt_ratio = min_fpt_ratio,
                     max_fpt_ratio = max_fpt_ratio,
-                    vocoder_config = vocoder_config, ** kwargs,
+                    vocoder_config = vocoder_config,
+                    fetch_attention = fetch_attention, ** kwargs,
                 )
             if pipelined is not None:
                 mels, attn_weights, audios = pipelined
@@ -335,7 +341,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     def _synthesize_and_vocode(self, encoded, vocoder, *, embeddings = None,
                                max_length = 10., min_fpt_ratio = 2.,
                                max_fpt_ratio = 10., vocoder_config = {},
-                               vocoder_batch = 8, ** kwargs):
+                               vocoder_batch = 8, fetch_attention = True,
+                               ** kwargs):
         """Pipelined decode→vocode (BASELINE config 5): the vocoder launches
         on the DEVICE mel before any bulk host fetch, so the device queue
         runs decoder→vocoder back-to-back and the mel/attention transfers
@@ -380,6 +387,17 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             for lo in range(0, len(encoded), vocoder_batch)
         ]
 
+        # start the mel/attention device→host copies NOW so they ride the
+        # transfer engine while the vocoder computes (attention is fetched
+        # only when a consumer asked for it — it is the largest buffer and
+        # pure telemetry on the serving path)
+        for buf in ([outputs.mel, outputs.attention_weights]
+                    if fetch_attention else [outputs.mel]):
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:      # plain numpy under eager/CPU tests
+                pass
+
         out_lengths = np.asarray(outputs.lengths)
         for i in range(len(encoded)):
             ratio = float(out_lengths[i]) / max(lengths[i], 1)
@@ -389,7 +407,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 return None
 
         mel_host = np.asarray(outputs.mel)
-        attn_host = np.asarray(outputs.attention_weights)
+        attn_host = np.asarray(outputs.attention_weights) \
+            if fetch_attention else None
         rate = getattr(vocoder, 'upsample_rate', 256)
         audio_host = [np.asarray(a) for a in audio_dev]
 
@@ -397,7 +416,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         for i in range(len(encoded)):
             out_len = max(1, int(out_lengths[i]))
             mels.append(mel_host[i, :out_len])
-            attn.append(attn_host[i, :out_len])
+            attn.append(attn_host[i, :out_len] if attn_host is not None
+                        else None)
             audios.append(
                 audio_host[i // vocoder_batch][i % vocoder_batch,
                                                : out_len * rate])
@@ -682,7 +702,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         max_length = max_length,
                         min_fpt_ratio = min_fpt_ratio,
                         max_fpt_ratio = max_fpt_ratio,
-                        vocoder_config = vocoder_config, ** kwargs,
+                        vocoder_config = vocoder_config,
+                        fetch_attention = bool(callbacks), ** kwargs,
                     )
                 if pipelined is not None:
                     chunk_mels, chunk_attn, chunk_audios = pipelined
