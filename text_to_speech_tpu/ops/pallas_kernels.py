@@ -455,7 +455,8 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                           skipacc, sems,
                           *, tile, channels, n_layers, n_tiles, seq_len,
                           halo, margin, chunk, unroll = False,
-                          aligned_probe = False, skip = 0):
+                          aligned_probe = False, skip = 0,
+                          static_gate_scale = False):
     """int8 whole WN coupling block for one (batch, time-tile) grid step.
     See `fused_wn_block_int8` for the contract."""
     C = channels
@@ -567,16 +568,29 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
                     + b_ref[i].astype(jnp.float32))
             gated = jnp.tanh(acts[:, :C]) * jax.nn.sigmoid(acts[:, C:])
 
-            g_q, g_s = _row_quant(gated)
+            if static_gate_scale:
+                # tanh·sigmoid is bounded in (-1, 1): a fixed 1/127 scale is
+                # always valid, so the per-row amax reduce + div disappears —
+                # the 1/127 is pre-folded into s_rs/s_rs_last at call time
+                g_q = jnp.clip(jnp.round(gated * 127.),
+                               -127., 127.).astype(jnp.int8)
+                g_s = None
+            else:
+                g_q, g_s = _row_quant(gated)
+
+            def descale(prod, s_ref):
+                w_scale = s_ref.astype(jnp.float32)
+                if g_s is None:
+                    return prod.astype(jnp.float32) * w_scale
+                return prod.astype(jnp.float32) * g_s * w_scale
+
             acc_rows = pl.ds(off - margin, chunk)
             if last:
-                skip = (doti(g_q, w_rs_last_ref[:]).astype(jnp.float32)
-                        * g_s * s_rs_last_ref[:].astype(jnp.float32)
+                skip = (descale(doti(g_q, w_rs_last_ref[:]), s_rs_last_ref[:])
                         + b_rs_last_ref[:].astype(jnp.float32))
                 skipacc[acc_rows, :] = skipacc[acc_rows, :] + skip
             else:
-                rs = (doti(g_q, w_rs_ref[i]).astype(jnp.float32)
-                      * g_s * s_rs_ref[i].astype(jnp.float32)
+                rs = (descale(doti(g_q, w_rs_ref[i]), s_rs_ref[i])
                       + b_rs_ref[i].astype(jnp.float32))
                 # residual base is the TRUE stream from src (not the
                 # dequantized xc) so quantization error does not compound
@@ -627,11 +641,11 @@ def _wn_block_int8_kernel(x_hbm, spect_hbm,
 @functools.partial(
     jax.jit,
     static_argnames = ('tile', 'seq_len', 'chunk', 'interpret', 'unroll',
-                       'aligned_probe'),
+                       'aligned_probe', 'static_gate_scale'),
 )
 def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
                         chunk = None, interpret = False, unroll = False,
-                        aligned_probe = False):
+                        aligned_probe = False, static_gate_scale = False):
     """int8 variant of `fused_wn_block`.
 
     `quant` is the dict produced by `quantize_wn_weights` from the packed
@@ -674,13 +688,14 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
         n_layers = n_layers, n_tiles = n_tiles, seq_len = seq_len,
         halo = halo, margin = margin, chunk = chunk, unroll = unroll,
         aligned_probe = aligned_probe, skip = skip,
+        static_gate_scale = static_gate_scale,
     )
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda g: (0,) * len(shape), memory_space = pltpu.VMEM)
 
     flops_tile = 2 * ext * C * 2 * C * (3 * n_layers + (n_layers - 1) + S / C * n_layers + 0.5)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid = (B * n_tiles,),
         in_specs = [
@@ -723,12 +738,15 @@ def fused_wn_block_int8(x_padded, spect_padded, quant, *, tile, seq_len,
             bytes_accessed = B * n_tiles * t_b * (C + S) * 2,
             transcendentals = B * n_tiles * ext * 2 * C * n_layers,
         ),
-    )(x_padded, spect_padded,
-      quant['w_cond'], quant['s_cond'],
-      quant['w_in'], quant['s_in'],
-      (quant['b_in'] + quant['b_cond']).astype(jnp.float32),
-      quant['w_rs'], quant['s_rs'], quant['b_rs'],
-      quant['w_rs_last'], quant['s_rs_last'], quant['b_rs_last'])
+    )
+    gs = (1. / 127.) if static_gate_scale else 1.   # pre-folded gate scale
+    return call(x_padded, spect_padded,
+                quant['w_cond'], quant['s_cond'],
+                quant['w_in'], quant['s_in'],
+                (quant['b_in'] + quant['b_cond']).astype(jnp.float32),
+                quant['w_rs'], quant['s_rs'] * gs, quant['b_rs'],
+                quant['w_rs_last'], quant['s_rs_last'] * gs,
+                quant['b_rs_last'])
 
 
 def wn_block_pad_int8(n_layers):
@@ -769,7 +787,7 @@ def quantize_wn_weights(packed):
     }
 
 
-def wn_block_int8_reference(x, spect, quant):
+def wn_block_int8_reference(x, spect, quant, static_gate_scale = False):
     """Pure-XLA simulation of `fused_wn_block_int8`'s exact arithmetic
     (per-row activation quant, per-channel weight scales, f32 accumulate)
     for numeric verification of the kernel."""
@@ -814,18 +832,28 @@ def wn_block_int8_reference(x, spect, quant):
         acts = (acc * quant['s_in'][i] + cond * quant['s_cond'][i]
                 + (quant['b_in'][i] + quant['b_cond'][i]))
         gated = jnp.tanh(acts[..., :C]) * jax.nn.sigmoid(acts[..., C:])
-        g_q, g_s = row_q(gated)
+        if static_gate_scale:
+            # mirror the kernel: fixed 1/127 activation scale pre-folded
+            # into the weight scales (same multiply order bit-for-bit)
+            g_q = jnp.clip(jnp.round(gated * 127.), -127., 127.).astype(jnp.int8)
+            s_last = quant['s_rs_last'] * (1. / 127.)
+            s_rs_i = quant['s_rs'] * (1. / 127.)
+            g_s = 1.
+        else:
+            g_q, g_s = row_q(gated)
+            s_last = quant['s_rs_last']
+            s_rs_i = quant['s_rs']
         if last:
             skip = jnp.einsum(
                 'btc,cd->btd', g_q.astype(jnp.int32),
                 quant['w_rs_last'].astype(jnp.int32),
-            ).astype(jnp.float32) * g_s * quant['s_rs_last'] + quant['b_rs_last']
+            ).astype(jnp.float32) * g_s * s_last + quant['b_rs_last']
             skip_sum = skip_sum + skip
         else:
             rs = jnp.einsum(
                 'btc,cd->btd', g_q.astype(jnp.int32),
                 quant['w_rs'][i].astype(jnp.int32),
-            ).astype(jnp.float32) * g_s * quant['s_rs'][i] + quant['b_rs'][i]
+            ).astype(jnp.float32) * g_s * s_rs_i[i] + quant['b_rs'][i]
             # like the kernel, the residual base is the true stream
             x = x + rs[..., :C]
             skip_sum = skip_sum + rs[..., C:]
