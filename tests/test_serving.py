@@ -238,3 +238,61 @@ class TestContinuousTacotron:
         np.testing.assert_allclose(
             out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
         reset_instances()
+
+
+class TestStreamingAudio:
+    def test_incremental_audio_stream(self, tmp_path, monkeypatch):
+        """stream_audio=True: audio chunks arrive via on_audio at decode
+        chunk boundaries, concatenate to the final result, and the emitted
+        interior matches the offline postnet+vocode path (context covers
+        the receptive fields)."""
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'stream_taco',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1          # run to max_steps
+        # sigma=0 zeroes the flow noise so windows of different lengths are
+        # comparable sample-for-sample (z otherwise depends on window shape)
+        vocoder = WaveGlow(
+            name = 'stream_wg', n_flows = 2, wn_layers = 2, wn_channels = 16,
+            upsample_width = 64, upsample_stride = 16, sigma = 0.)
+
+        chunks = []
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 12,
+            deterministic = True, vocoder = vocoder, stream_audio = True,
+            stream_context = 4, stream_lookahead = 1)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            req = engine.submit('hello world streaming',
+                                on_audio = chunks.append)
+            out = req.result.get(timeout = 300)
+
+        rate = getattr(vocoder, 'upsample_rate', 16)
+        assert out['steps'] == 12
+        assert len(chunks) >= 2                      # truly incremental
+        assert out['first_audio_s'] > 0.
+        total = np.concatenate(chunks)
+        np.testing.assert_array_equal(total, out['audio'])
+        assert total.shape[0] == 12 * rate           # sample-exact coverage
+        # offline path on the same mel: the final emission (full context)
+        # must agree exactly; earlier chunks vocode with bounded context
+        offline = np.asarray(vocoder(out['mel']))
+        offline = offline[0] if offline.ndim == 2 else offline
+        tail = chunks[-1]
+        np.testing.assert_allclose(
+            tail[-rate:], offline[12 * rate - rate: 12 * rate], atol = 1e-3)
+        reset_instances()

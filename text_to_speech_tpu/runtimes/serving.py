@@ -269,7 +269,9 @@ class ContinuousServingEngine:
 
 
 def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
-                          max_steps = None, vocoder = None, ** infer_kwargs):
+                          max_steps = None, vocoder = None,
+                          stream_audio = False, stream_context = 32,
+                          stream_lookahead = None, ** infer_kwargs):
     """(start_fn, step_fn, finish_fn) driving a `Tacotron2` task model
     through `arch.decode_chunk`: per-request encode at admission, shared
     padded decode chunks, gate-based completion, postnet (+ optional
@@ -278,7 +280,21 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     Rows pad to a common token bucket; a longer request admitted mid-flight
     re-buckets the running rows by zero-padding their memory/alignments
     (cumulative attention over padded positions is masked, so this is
-    exact)."""
+    exact).
+
+    ``stream_audio=True`` (requires ``vocoder``) emits AUDIO INCREMENTALLY:
+    at every decode chunk boundary the newly completed mel frames are
+    postnet-ed and vocoded with `stream_context` frames of left context
+    (covering the postnet + WaveGlow receptive fields) and handed to the
+    request's ``on_audio(chunk_ndarray)`` callback — time-to-first-audio is
+    one encode + one decode chunk + one small vocode instead of the whole
+    utterance.  Non-final emissions hold back `stream_lookahead` frames
+    (default: the postnet half receptive field) so every emitted frame has
+    full future context; the final flush emits the exact remainder.  The
+    finished result carries ``audio`` (the concatenated stream) and
+    ``first_audio_s`` (wall seconds from admission to first audio).
+    Beyond the reference, whose streaming granularity is whole text chunks
+    (``/root/reference/models/tts/tacotron2.py:103-209``)."""
     import jax
     import jax.numpy as jnp
 
@@ -286,6 +302,13 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     n_mel = arch.hp.n_mel_channels
     limit = max_steps or arch.hp.max_decoder_steps
     threshold = arch.hp.gate_threshold
+    if stream_audio and vocoder is None:
+        raise ValueError('stream_audio requires a vocoder')
+    if stream_lookahead is None:
+        # postnet half receptive field: each emitted frame must have its
+        # full future context before its audio is finalized
+        stream_lookahead = arch.hp.get('postnet_n_conv', 5) \
+            * (arch.hp.get('postnet_kernel_size', 5) // 2)
 
     decode = jax.jit(
         lambda p, frame, cell, mem, pm, mask, off: arch.decode_chunk(
@@ -294,79 +317,158 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         static_argnums = (),
     )
 
-    def start_fn(text, ** kwargs):
+    def _encode(p, s, tokens):
+        enc_out, mask, _ = arch.encode(p, s, tokens, train = False)
+        memory, pm = arch.process_memory(p['decoder'], enc_out, mask)
+        return memory, pm, mask
+
+    encode_jit = jax.jit(_encode)
+    postnet_jit = jax.jit(
+        lambda p, s, dec: arch.postnet(p, s, dec, train = False)[0])
+
+    # The ACTIVE BATCH lives on device between chunks (frame, cell state,
+    # memory/pm/mask stacks) and is restacked only on admission / removal /
+    # re-bucket events — the steady-state chunk is ONE jitted decode call
+    # plus two small device→host reads (frames, gates).  Keeping the
+    # per-chunk path free of eager per-row ops matters doubly over remote
+    # device transports where every eager op pays round-trip latency.
+    batch = {'ids': (), 's': 0, 'frame': None, 'cell': None,
+             'mem': None, 'pm': None, 'mask': None}
+
+    def start_fn(text, on_audio = None, ** kwargs):
         tokens = np.asarray(model.encode_text(text))[None, :]
         s = -(-tokens.shape[1] // token_multiple) * token_multiple
         tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
                         constant_values = model.blank_token_idx)
-        enc_out, mask, _ = arch.encode(
-            model.params, model.state, jnp.asarray(tokens), train = False)
-        memory, pm = arch.process_memory(model.params['decoder'], enc_out, mask)
+        memory, pm, mask = encode_jit(
+            model.params, model.state, jnp.asarray(tokens))
         return {
             'text': text,
-            'memory': np.asarray(memory)[0], 'pm': np.asarray(pm)[0],
-            'mask': np.asarray(mask)[0],
-            'frame': np.zeros((n_mel,), np.float32),
-            'cell': None,             # lazily built at the common bucket
+            'memory': memory[0], 'pm': pm[0], 'mask': mask[0],   # device rows
             'frames': [], 'steps': 0,
+            'on_audio': on_audio, 'emitted': 0, 'audio_parts': [],
+            't_start': time.perf_counter(), 't_first_audio': None,
         }
 
-    def _pad_rows(arr, s):
-        return np.pad(arr, ((0, s - arr.shape[0]),) + ((0, 0),) * (arr.ndim - 1))
+    def _postnet_mel(decoder_output):
+        # window lengths bucket to ×chunk so postnet compiles a few programs;
+        # SAME-conv zero padding makes pad-then-slice exact
+        n = decoder_output.shape[0]
+        b = -(-n // chunk) * chunk
+        padded = np.pad(decoder_output, ((0, b - n), (0, 0)))
+        post = postnet_jit(model.params, model.state,
+                           jnp.asarray(padded[None]))
+        return decoder_output + np.asarray(post)[0, :n]
 
-    def _pad_cell(cell, s):
-        """Zero-pad the (S,)-shaped alignment maps of a cell state."""
-        attn_rnn, dec_rnns, context, (prev, cum) = cell
-        pad = lambda a: np.pad(a, ((0, s - a.shape[0]),))
+    def _emit(st, final):
+        """Vocode and hand out the mel frames completed since last emission
+        (left context covers the postnet/WaveGlow receptive fields; a
+        lookahead margin is held back until it has future context)."""
+        if not stream_audio:
+            return
+        hi = st['steps'] if final else st['steps'] - stream_lookahead
+        if hi <= st['emitted'] or (not final and hi - st['emitted'] < chunk):
+            return
+        dec = np.concatenate(st['frames'], axis = 0)
+        lo = max(0, st['emitted'] - stream_context)
+        mel = _postnet_mel(dec[lo: hi])
+        audio = np.asarray(vocoder(mel))
+        if audio.ndim == 2:
+            audio = audio[0]
+        rate = getattr(vocoder, 'upsample_rate', 256)
+        part = audio[(st['emitted'] - lo) * rate: (hi - lo) * rate]
+        st['audio_parts'].append(part)
+        st['emitted'] = hi
+        if st['t_first_audio'] is None:
+            st['t_first_audio'] = time.perf_counter()
+        if st['on_audio'] is not None:
+            try:
+                st['on_audio'](part)
+            except Exception:
+                logger.exception('on_audio callback failed')
+
+    def _pad_row(arr, s):
+        pad = s - arr.shape[0]
+        if pad == 0:
+            return arr
+        return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+
+    def _extract_cell(cell, i, s_old, s_new):
+        """One row of a stacked cell state, alignment maps re-padded."""
+        row = jax.tree_util.tree_map(lambda leaf: leaf[i], cell)
+        if s_new == s_old:
+            return row
+        attn_rnn, dec_rnns, context, (prev, cum) = row
+        pad = lambda a: jnp.pad(a, ((0, s_new - s_old),))
         return (attn_rnn, dec_rnns, context, (pad(prev), pad(cum)))
 
-    def step_fn(states):
-        s = max(st['memory'].shape[0] for st in states)
-        b = len(states)
-        memory = np.stack([_pad_rows(st['memory'], s) for st in states])
-        pm = np.stack([_pad_rows(st['pm'], s) for st in states])
-        mask = np.stack([_pad_rows(st['mask'], s) for st in states])
-        frame = np.stack([st['frame'] for st in states])
-
-        cells = []
+    def _rebuild(states, s):
+        """Restack the device batch (admission / removal / re-bucket):
+        surviving rows carry their post-step frame/cell out of the old
+        stack; new rows start from zeros.  Event-rate cost only."""
+        old = {sid: i for i, sid in enumerate(batch['ids'])}
+        rows_f, rows_c = [], []
         for st in states:
-            if st['cell'] is None:
-                one = arch.init_cell_state(1, s)
-                cells.append(jax.tree_util.tree_map(
-                    lambda leaf: np.asarray(leaf)[0], one))
+            i = old.get(id(st))
+            if i is not None:
+                rows_f.append(batch['frame'][i])
+                rows_c.append(_extract_cell(batch['cell'], i, batch['s'], s))
             else:
-                cells.append(_pad_cell(st['cell'], s))
-        cell = jax.tree_util.tree_map(lambda * rows: np.stack(rows), * cells)
+                rows_f.append(jnp.zeros((n_mel,), jnp.float32))
+                one = arch.init_cell_state(1, s)
+                rows_c.append(jax.tree_util.tree_map(
+                    lambda leaf: leaf[0], one))
+        batch['frame'] = jnp.stack([
+            r.astype(jnp.float32) for r in rows_f])
+        batch['cell'] = jax.tree_util.tree_map(
+            lambda * rows: jnp.stack(rows), * rows_c)
+        batch['mem'] = jnp.stack([_pad_row(st['memory'], s) for st in states])
+        batch['pm'] = jnp.stack([_pad_row(st['pm'], s) for st in states])
+        batch['mask'] = jnp.stack([_pad_row(st['mask'], s) for st in states])
+        batch['ids'] = tuple(id(st) for st in states)
+        batch['s'] = s
+
+    def step_fn(states):
+        s = max(int(st['memory'].shape[0]) for st in states)
+        ids = tuple(id(st) for st in states)
+        if ids != batch['ids'] or s != batch['s']:
+            _rebuild(states, s)
 
         off = min(st['steps'] for st in states)
         frames, gates, (frame, cell) = decode(
-            model.params, jnp.asarray(frame), cell,
-            jnp.asarray(memory), jnp.asarray(pm), jnp.asarray(mask),
+            model.params, batch['frame'], batch['cell'],
+            batch['mem'], batch['pm'], batch['mask'],
             jnp.asarray(off, jnp.int32))
-        frames = np.asarray(frames)
-        gates = np.asarray(gates)
-        frame = np.asarray(frame)
-        cell = jax.tree_util.tree_map(np.asarray, cell)
+        batch['frame'] = frame
+        batch['cell'] = cell
+        frames_h = np.asarray(frames)        # one bulk d2h per chunk
+        gates_h = np.asarray(gates)
 
         new_states, done = [], []
         for i, st in enumerate(states):
-            fired = np.nonzero(gates[i] > threshold)[0]
+            fired = np.nonzero(gates_h[i] > threshold)[0]
             keep = int(fired[0]) + 1 if fired.size else chunk
-            st['frames'].append(frames[i, :keep])
+            st['frames'].append(frames_h[i, :keep])
             st['steps'] += keep
-            st['frame'] = frame[i]
-            st['cell'] = jax.tree_util.tree_map(lambda leaf: leaf[i], cell)
+            is_done = bool(fired.size) or st['steps'] >= limit
+            if not is_done:
+                _emit(st, final = False)
             new_states.append(st)
-            done.append(bool(fired.size) or st['steps'] >= limit)
+            done.append(is_done)
         return new_states, done
 
     def finish_fn(st):
-        decoder_output = np.concatenate(st['frames'], axis = 0)[None]
-        post, _ = arch.postnet(model.params, model.state,
-                               jnp.asarray(decoder_output), train = False)
-        mel = np.asarray(decoder_output + np.asarray(post))[0]
+        decoder_output = np.concatenate(st['frames'], axis = 0)
+        mel = _postnet_mel(decoder_output)
         result = {'text': st['text'], 'mel': mel, 'steps': st['steps']}
-        if vocoder is not None:
+        if stream_audio:
+            _emit(st, final = True)
+            result['audio'] = np.concatenate(st['audio_parts']) \
+                if st['audio_parts'] else np.zeros((0,), np.float32)
+            result['rate'] = model.rate
+            if st['t_first_audio'] is not None:
+                result['first_audio_s'] = st['t_first_audio'] - st['t_start']
+        elif vocoder is not None:
             audio = np.asarray(vocoder(mel))
             result['audio'] = audio[0] if audio.ndim == 2 else audio
             result['rate'] = model.rate
