@@ -23,6 +23,9 @@ def main():
     parser.add_argument('--fused', action = 'store_true',
                         help = 'fused decoder-step Pallas kernel '
                                '(ops/decoder_kernel.py)')
+    parser.add_argument('--int8-lstm', action = 'store_true',
+                        help = 'int8 LSTM weights inside the fused kernel '
+                               '(halves the weight stream, the B=1 bound)')
     args = parser.parse_args()
 
     import numpy as np
@@ -38,7 +41,8 @@ def main():
     if args.fused:
         infer = jax.jit(lambda p, s, t, r: jnp.sum(arch.infer_fused(
             p, s, t, rng = r, max_length = args.steps,
-            early_stopping = False, dtype = dtype).mel))
+            early_stopping = False, dtype = dtype,
+            int8_lstm = args.int8_lstm).mel))
     else:
         infer = jax.jit(lambda p, s, t, r: jnp.sum(arch.infer(
             p, s, t, rng = r, max_length = args.steps,

@@ -11,8 +11,14 @@ if 'xla_force_host_platform_device_count' not in _flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
-# The axon TPU plugin ignores JAX_PLATFORMS, so pin the default device to CPU
-# explicitly; mesh tests build their Mesh from jax.devices('cpu') (8 virtual).
+# The axon TPU plugin ignores the JAX_PLATFORMS env var (its register() call
+# forces jax_platforms="axon,cpu" through jax.config), so any jax.devices()
+# call — even jax.devices('cpu') — would initialize the TPU client and hang
+# if the tunnel is down.  Re-override through jax.config BEFORE any backend
+# init: the suite is CPU-only by design (TPU tests opt in via TTS_TEST_TPU,
+# which skips this pin through tests that manage their own devices).
+if os.environ.get('TTS_TEST_TPU') != '1':
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_device', jax.devices('cpu')[0])
 
 # The suite is XLA-compile-dominated on this 1-core host; the persistent

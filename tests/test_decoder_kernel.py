@@ -76,6 +76,34 @@ class TestInferFusedTiny:
         assert float(jnp.abs(got.mel - ref.mel).max()) < 5e-4
         assert float(jnp.abs(got.stop_tokens - ref.stop_tokens).max()) < 5e-4
 
+    def test_int8_lstm_close_to_fused(self):
+        # int8 LSTM weights (the serving latency mode): per-output-channel
+        # weight scales + per-row activation quant keep the AR decode within
+        # ~1% of the unquantized fused path at this horizon
+        arch, params, state, tokens = _setup(
+            2, 32, vocab = 24, ** _tiny_hp(max_decoder_steps = 16))
+        ref = arch.infer_fused(params, state, tokens, deterministic = True,
+                               early_stopping = False, max_length = 16,
+                               chunk = 8, interpret = True)
+        got = arch.infer_fused(params, state, tokens, deterministic = True,
+                               early_stopping = False, max_length = 16,
+                               chunk = 8, interpret = True, int8_lstm = True)
+        scale = float(jnp.abs(ref.mel).mean())
+        assert float(jnp.abs(got.mel - ref.mel).max()) < 0.05 * scale
+        assert float(jnp.abs(got.stop_tokens - ref.stop_tokens).max()) < 1e-2
+
+    def test_short_memory(self):
+        # S <= LOC_PAD (15): location-conv taps with no valid rows must be
+        # skipped, not emitted as out-of-bound scratch slices (regression)
+        arch, params, state, tokens = _setup(
+            2, 8, vocab = 24, ** _tiny_hp(max_decoder_steps = 16))
+        ref = arch.infer(params, state, tokens, deterministic = True,
+                         early_stopping = False, max_length = 16)
+        got = arch.infer_fused(params, state, tokens, deterministic = True,
+                               early_stopping = False, max_length = 16,
+                               chunk = 8, interpret = True)
+        assert float(jnp.abs(got.mel - ref.mel).max()) < 5e-4
+
     def test_lengths_clamped_to_max_length(self):
         # max_length not divisible by chunk: reported lengths stay <= max
         arch, params, state, tokens = _setup(

@@ -611,14 +611,21 @@ class Tacotron2:
                     deterministic = None,
                     dtype = None,
                     chunk = 64,
+                    int8_lstm = False,
                     interpret = False):
         """`infer` on the fused decoder-step Pallas kernel
         (`ops.decoder_kernel`): all decoder weights stay VMEM-resident for
         `chunk` steps per launch; a `lax.while_loop` chains launches with
         early stopping on the gate.  Same contract as `infer` (dropout draws
-        from a different PRNG stream; use ``deterministic`` to compare)."""
+        from a different PRNG stream; use ``deterministic`` to compare).
+
+        ``int8_lstm=True`` additionally quantizes the two LSTM matmul
+        weights (the step's ~36 MB weight-streaming bound) to int8 with
+        per-output-channel scales + per-row activation quant — see
+        `ops.decoder_kernel.quantize_lstm_weights`."""
         from ..ops.decoder_kernel import (
-            pack_decoder_weights, decoder_steps, init_decoder_state)
+            pack_decoder_weights, quantize_lstm_weights, decoder_steps,
+            init_decoder_state)
 
         hp = self.hp
         if rng is None: rng = jax.random.PRNGKey(0)
@@ -662,6 +669,8 @@ class Tacotron2:
 
         weights = pack_decoder_weights(
             params['decoder'], n_mel = hp.n_mel_channels, dtype = compute_dtype)
+        if int8_lstm:
+            weights = quantize_lstm_weights(weights)
         # fold the speaker-concat prenet input into a per-row pre-activation
         # addend: layer0([mel | spk]) = layer0_mel(mel) + in0[n_mel:] · spk
         P0 = weights['w1'].shape[0]

@@ -43,6 +43,37 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def quantize_lstm_weights(weights):
+    """int8-quantize the two LSTM matmul weights of a packed decoder
+    (`pack_decoder_weights` output).  Symmetric per-output-channel scales;
+    activations quantize per row inside the kernel.  All other (small)
+    weights stay in bf16.
+
+    MEASURED (1x v5e, B=1): 126.6 vs 128 us/step — NO speedup.  The
+    serial-step floor is MXU weight-LOAD CYCLES, not bytes: the systolic
+    array loads one weight element per cell per cycle regardless of dtype
+    (~1088 128x128 weight tiles per step across att_w+dec_w), so halving
+    weight bytes buys nothing at M=8 activation rows.  Kept as a memory
+    optimization (halves the decoder's VMEM weight footprint) and as the
+    documented probe result; quality cost ~1% on the AR mel at short
+    horizons (see tests/test_decoder_kernel.py)."""
+    out = dict(weights)
+    for key in ('att_w', 'dec_w'):
+        w = jnp.asarray(weights[key], jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis = 0), 1e-8) / 127.
+        out[key] = jnp.clip(jnp.round(w / scale), -127., 127.).astype(jnp.int8)
+        out['s_' + key] = scale
+    return out
+
+
+def _row_quant8(x_f32):
+    """Per-row symmetric int8 quant of an (8, K) activation block."""
+    amax = jnp.max(jnp.abs(x_f32), axis = -1, keepdims = True)
+    scale = jnp.maximum(amax, 1e-8) * (1. / 127.)
+    q = jnp.clip(jnp.round(x_f32 / scale), -127., 127.).astype(jnp.int8)
+    return q, scale
+
+
 def pack_decoder_weights(dec, *, n_mel = 80, dtype = jnp.bfloat16):
     """Re-lay `params['decoder']` for the fused kernel.
 
@@ -125,6 +156,7 @@ def _decoder_kernel(seed_ref,
                     q_w_ref, loc_w_ref, v_w_ref,
                     dec_w_ref, dec_b_ref,
                     proj_w_ref, proj_b_ref,
+                    s_att_ref, s_dec_ref,
                     frame_ref, h_att_ref, c_att_ref, h_dec_ref, c_dec_ref,
                     ctx_ref, prev_ref, cum_ref, main_ref,
                     frame_o, h_att_o, c_att_o, h_dec_o, c_dec_o,
@@ -133,7 +165,7 @@ def _decoder_kernel(seed_ref,
                     win_scratch,
                     *, S, D, U, P, A, drop_threshold, drop_scale,
                     deterministic, use_window, win_len, win_offset,
-                    gate_lane, ablate = ()):
+                    gate_lane, int8_lstm = False, ablate = ()):
     g = pl.program_id(0)
     dt = mem_ref.dtype                     # compute (matmul) dtype
     # f32 parity runs want true-f32 matmuls (the MXU's default for f32
@@ -161,9 +193,21 @@ def _decoder_kernel(seed_ref,
         bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
         x = jnp.where(bits >= jnp.uint32(drop_threshold), x * drop_scale, 0.)
 
+    def lstm_matmul(xin, w_ref, s_ref, b_ref):
+        """(8, K) @ (K, 4U) — int8 mode streams the (large) LSTM weight
+        through the MXU at the 2x int8 rate: per-row activation quant,
+        per-output-channel weight scales, f32 accumulate/dequant (the VPU
+        cost at 8 rows is negligible next to the weight stream)."""
+        if int8_lstm:
+            q, sx = _row_quant8(xin.astype(jnp.float32))
+            z = jnp.dot(q, w_ref[:], preferred_element_type = jnp.int32)
+            return (z.astype(jnp.float32) * sx
+                    * s_ref[:].astype(jnp.float32)) + b_ref[:]
+        return dot(xin, w_ref[:]) + b_ref[:]
+
     # ---- attention LSTM -----------------------------------------------------
     xin = jnp.concatenate([x.astype(dt), ctx_o[:], h_att_o[:]], axis = -1)
-    z = dot(xin, att_w_ref[:]) + att_b_ref[:]               # (8, 4U)
+    z = lstm_matmul(xin, att_w_ref, s_att_ref, att_b_ref)   # (8, 4U)
     i_g = jax.nn.sigmoid(z[:, :U])
     f_g = jax.nn.sigmoid(z[:, U: 2 * U])
     g_g = jnp.tanh(z[:, 2 * U: 3 * U])
@@ -186,6 +230,8 @@ def _decoder_kernel(seed_ref,
                 shift = k - LOC_PAD
                 src_lo, dst_lo = max(0, shift), max(0, -shift)
                 n = S - abs(shift)
+                if n <= 0:      # short memory (S <= LOC_PAD): tap has no
+                    continue    # valid rows; scratch stays zeroed
                 col = (c * LOC_KERNEL + k) * 8
                 win_scratch[dst_lo: dst_lo + n, col: col + 8] = \
                     a_t[src_lo: src_lo + n, :]
@@ -233,7 +279,7 @@ def _decoder_kernel(seed_ref,
     # ---- decoder LSTM ---------------------------------------------------------
     yin = jnp.concatenate(
         [h_att.astype(dt), ctx.astype(dt), h_dec_o[:]], axis = -1)
-    z = dot(yin, dec_w_ref[:]) + dec_b_ref[:]               # (8, 4U)
+    z = lstm_matmul(yin, dec_w_ref, s_dec_ref, dec_b_ref)   # (8, 4U)
     i_g = jax.nn.sigmoid(z[:, :U])
     f_g = jax.nn.sigmoid(z[:, U: 2 * U])
     g_g = jnp.tanh(z[:, 2 * U: 3 * U])
@@ -290,6 +336,15 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
     A = weights['q_w'].shape[1]
     assert S % 8 == 0, S
 
+    # int8 LSTM serving mode is carried by the packed weights themselves
+    # (see `quantize_lstm_weights`) — dtype is a trace-time constant
+    int8_lstm = jnp.dtype(weights['att_w'].dtype) == jnp.int8
+    s_att = weights.get('s_att_w')
+    s_dec = weights.get('s_dec_w')
+    if not int8_lstm:
+        s_att = jnp.ones((4 * U,), jnp.float32) if s_att is None else s_att
+        s_dec = jnp.ones((4 * U,), jnp.float32) if s_dec is None else s_dec
+
     assert 0. <= drop_rate < 1., drop_rate
     kernel = functools.partial(
         _decoder_kernel, S = S, D = D, U = U, P = P, A = A,
@@ -298,6 +353,7 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
         drop_scale = 1. / (1. - drop_rate),
         deterministic = deterministic, use_window = use_window,
         win_len = win_len, win_offset = win_offset, gate_lane = gate_lane,
+        int8_lstm = int8_lstm,
         ablate = tuple(ablate),   # perf-bisection switches; () in production
     )
 
@@ -312,7 +368,7 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
         jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state_in)
     state_specs = tuple(whole(s.shape) for s in state_in)
 
-    n_inputs = 19 + len(state_in)
+    n_inputs = 21 + len(state_in)
     outs = pl.pallas_call(
         kernel,
         grid = (n_steps,),
@@ -327,6 +383,7 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
             whole(w['v_w'].shape),
             whole(w['dec_w'].shape), whole(w['dec_b'].shape),
             whole(w['proj_w'].shape), whole(w['proj_b'].shape),
+            whole(s_att.shape), whole(s_dec.shape),
         ] + list(state_specs),
         out_specs = tuple(state_specs) + (
             pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0),
@@ -354,6 +411,7 @@ def decoder_steps(weights, mem_t, pm_t, mask_t, enc_len, extra, state, seed,
       w['q_w'], w['loc_w'], w['v_w'],
       w['dec_w'], w['dec_b'],
       w['proj_w'], w['proj_b'],
+      s_att, s_dec,
       * state_in)
 
     new_state = dict(zip(
