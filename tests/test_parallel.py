@@ -73,6 +73,97 @@ class TestWaveGlowTensorParallel:
         assert abs(got - ref) < 1e-5 * max(1., abs(ref))
 
 
+class TestWaveGlowPipelineParallel:
+    """GPipe pipeline over the flow stack (parallel/pipeline.py): the
+    pipelined NLL and its gradients must match the single-device loss."""
+
+    WG_PP = dict(n_flows = 4, n_early_every = 2, n_early_size = 1,
+                 n_group = 4, wn_layers = 2, wn_channels = 16,
+                 upsample_width = 16, upsample_stride = 8)
+
+    def _setup(self):
+        arch = WaveGlow(** self.WG_PP)
+        params = arch.init(jax.random.PRNGKey(0))
+        mel = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 80)) * 2. - 6.
+        audio = jax.random.normal(jax.random.PRNGKey(2), (4, 16 * 8))
+        return arch, params, mel, audio
+
+    def test_pp_loss_and_grad_parity(self):
+        from text_to_speech_tpu.parallel.pipeline import WaveGlowPipeline
+        devices = get_devices('cpu')
+        arch, params, mel, audio = self._setup()
+
+        ref_loss, ref_grads = jax.jit(jax.value_and_grad(arch.loss))(
+            params, mel, audio)
+
+        mesh = create_mesh({'pp': 4}, devices = devices[:4])
+        pipe = WaveGlowPipeline(arch, mesh, n_micro = 2)
+        got_loss, got_grads = jax.jit(jax.value_and_grad(pipe.loss))(
+            params, mel, audio)
+
+        assert abs(float(got_loss) - float(ref_loss)) \
+            < 1e-5 * max(1., abs(float(ref_loss)))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol = 1e-4, rtol = 1e-4),
+            got_grads, ref_grads)
+
+    def test_pp_dp_composed_train_step(self):
+        """pp=4 stages x dp=2 batch shards in one mesh; one optimizer step
+        must match the single-device step."""
+        import optax
+        from text_to_speech_tpu.parallel.pipeline import WaveGlowPipeline
+        devices = get_devices('cpu')
+        arch, params, mel, audio = self._setup()
+        tx = optax.sgd(1e-3)
+
+        def ref_step(p, o, mel, audio):
+            loss, g = jax.value_and_grad(arch.loss)(p, mel, audio)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), o, loss
+
+        p1, _, ref_loss = jax.jit(ref_step)(
+            params, tx.init(params), mel, audio)
+
+        mesh = create_mesh({'dp': 2, 'pp': 4}, devices = devices[:8])
+        pipe = WaveGlowPipeline(arch, mesh, dp_axis = 'dp', n_micro = 2)
+        p2, _, got_loss = jax.jit(pipe.train_step(tx))(
+            params, tx.init(params), mel, audio)
+
+        assert abs(float(got_loss) - float(ref_loss)) \
+            < 1e-5 * max(1., abs(float(ref_loss)))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol = 1e-5),
+            p2, p1)
+
+    def test_stage_bounds(self):
+        from text_to_speech_tpu.parallel.pipeline import stage_bounds
+        assert stage_bounds(12, 4) == [0, 3, 6, 9, 12]
+        assert stage_bounds(12, 3) == [0, 4, 8, 12]
+        assert stage_bounds(5, 2) == [0, 3, 5]
+        with pytest.raises(ValueError):
+            stage_bounds(2, 3)
+
+
+class TestSequenceParallelVocoding:
+    def test_sp_infer_parity(self):
+        """Vocoder inference with the TIME axis sharded (sp): GSPMD inserts
+        the conv halo exchanges; output must match single-device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        devices = get_devices('cpu')
+        arch, params, mel = _wg_setup()
+
+        run = lambda p, m: arch.infer(p, m, deterministic = True)
+        ref = jax.jit(run)(params, mel)
+
+        mesh = create_mesh({'sp': 4}, devices = devices[:4])
+        m_sp = jax.device_put(mel, NamedSharding(mesh, P(None, 'sp', None)))
+        out = jax.jit(run)(shard_params(params, mesh), m_sp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol = 1e-5)
+
+
 class TestDataParallelInference:
     def test_waveglow_dp_infer_parity(self):
         devices = get_devices('cpu')
