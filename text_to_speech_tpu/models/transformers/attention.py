@@ -59,6 +59,7 @@ def mha(params,
         cache = None,
         positions = None,
         use_rope = False,
+        rope_base = 10000.0,
         rel_bias = None,
         scale = None):
     """Attention.  query (B, Tq, D); key_value defaults to query (self-attn).
@@ -88,10 +89,10 @@ def mha(params,
             start = cache['index'] if cache is not None else 0
             positions = start + jnp.arange(Tq)[None, :]
             positions = jnp.broadcast_to(positions, (B, Tq))
-        q = rope(q, positions)
+        q = rope(q, positions, base = rope_base)
         kv_positions = positions if key_value is None else jnp.broadcast_to(
             jnp.arange(kv.shape[1])[None, :], (B, kv.shape[1]))
-        k = rope(k, kv_positions)
+        k = rope(k, kv_positions, base = rope_base)
 
     new_cache = None
     if cache is not None:

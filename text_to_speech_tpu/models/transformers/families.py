@@ -184,6 +184,20 @@ def convert_bert_state_dict(sd):
 
 # -- Mistral / Llama-style -----------------------------------------------------
 
+def _interleave_rope_columns(kernel, n_heads):
+    """HF llama/mistral RoPE rotates pairs (x[i], x[i+d/2]) per head
+    ("rotate_half"); this framework's `rope` rotates interleaved pairs
+    (x[2i], x[2i+1]).  Permuting the q/k projection output columns —
+    new[2i] = old[i], new[2i+1] = old[i + d/2] — maps one convention onto
+    the other exactly (the q·k dot product is invariant to applying the
+    same permutation to both)."""
+    d_in, d_out = kernel.shape
+    head_dim = d_out // n_heads
+    w = kernel.reshape(d_in, n_heads, 2, head_dim // 2)
+    w = np.ascontiguousarray(np.swapaxes(w, 2, 3))
+    return w.reshape(d_in, d_out)
+
+
 def mistral_config(hf_config = None, ** kwargs):
     cfg = dict(
         vocab_size = 32000, dim = 4096, n_layers = 32, n_heads = 32,
@@ -200,12 +214,24 @@ def mistral_config(hf_config = None, ** kwargs):
             n_kv_heads = hf_config.num_key_value_heads,
             ffn_dim = hf_config.intermediate_size,
             epsilon = hf_config.rms_norm_eps,
+            rope_theta = getattr(hf_config, 'rope_theta', 10000.0),
         )
     cfg.update(kwargs)
     return cfg
 
 
-def convert_mistral_state_dict(sd):
+def _rope_attn_params(sd, p, *, n_heads, n_kv_heads):
+    q = _interleave_rope_columns(_t(sd[p + 'self_attn.q_proj.weight']), n_heads)
+    k = _interleave_rope_columns(_t(sd[p + 'self_attn.k_proj.weight']), n_kv_heads)
+    return {
+        'query': {'kernel': q},
+        'key': {'kernel': k},
+        'value': {'kernel': _t(sd[p + 'self_attn.v_proj.weight'])},
+        'output': {'kernel': _t(sd[p + 'self_attn.o_proj.weight'])},
+    }
+
+
+def convert_mistral_state_dict(sd, n_heads = None, n_kv_heads = None):
     sd = {k.replace('model.', ''): v for k, v in sd.items()}
     params = {
         'embedding': {'embeddings': np.asarray(sd['embed_tokens.weight'])},
@@ -216,19 +242,76 @@ def convert_mistral_state_dict(sd):
     i = 0
     while 'layers.{}.input_layernorm.weight'.format(i) in sd:
         p = 'layers.{}.'.format(i)
+        if n_heads is None:
+            raise ValueError('convert_mistral_state_dict needs n_heads (the '
+                             'RoPE column interleave is per-head)')
         params['layer_{}'.format(i)] = {
             'attention_norm': _norm_params(p + 'input_layernorm', sd, norm = 'rms'),
-            'attention': {
-                'query': {'kernel': _t(sd[p + 'self_attn.q_proj.weight'])},
-                'key': {'kernel': _t(sd[p + 'self_attn.k_proj.weight'])},
-                'value': {'kernel': _t(sd[p + 'self_attn.v_proj.weight'])},
-                'output': {'kernel': _t(sd[p + 'self_attn.o_proj.weight'])},
-            },
+            'attention': _rope_attn_params(
+                sd, p, n_heads = n_heads,
+                n_kv_heads = n_kv_heads or n_heads),
             'ffn_norm': _norm_params(p + 'post_attention_layernorm', sd, norm = 'rms'),
             'ffn': {
                 'gate': {'kernel': _t(sd[p + 'mlp.gate_proj.weight'])},
                 'up': {'kernel': _t(sd[p + 'mlp.up_proj.weight'])},
                 'down': {'kernel': _t(sd[p + 'mlp.down_proj.weight'])},
+            },
+        }
+        i += 1
+    return params
+
+
+def mixtral_config(hf_config = None, ** kwargs):
+    """Mistral attention + Mixtral sparse-MoE FFN (8 experts, top-2).
+    Capability extension beyond the reference's Mistral family
+    (`/root/reference/architectures/transformers/mistral_arch.py`); the
+    expert axis is the framework's ``ep`` parallelism carrier
+    (`parallel.moe_param_specs`)."""
+    cfg = mistral_config(hf_config, ** kwargs)
+    cfg.setdefault('n_experts', 8)
+    cfg.setdefault('n_experts_per_token', 2)
+    if hf_config is not None:
+        cfg.update(
+            n_experts = hf_config.num_local_experts,
+            n_experts_per_token = hf_config.num_experts_per_tok,
+        )
+    cfg.update(kwargs)
+    return cfg
+
+
+def convert_mixtral_state_dict(sd, n_heads = None, n_kv_heads = None):
+    sd = {k.replace('model.', ''): v for k, v in sd.items()}
+    params = {
+        'embedding': {'embeddings': np.asarray(sd['embed_tokens.weight'])},
+        'final_norm': _norm_params('norm', sd, norm = 'rms'),
+    }
+    if 'lm_head.weight' in sd:
+        params['lm_head'] = {'kernel': _t(sd['lm_head.weight'])}
+    i = 0
+    while 'layers.{}.input_layernorm.weight'.format(i) in sd:
+        p = 'layers.{}.'.format(i)
+        moe = p + 'block_sparse_moe.'
+        n_experts = 0
+        while moe + 'experts.{}.w1.weight'.format(n_experts) in sd:
+            n_experts += 1
+        # HF expert m: w1 = gate (F, D), w3 = up (F, D), w2 = down (D, F)
+        stack = lambda w: {'kernel': np.stack([
+            _t(sd[moe + 'experts.{}.{}.weight'.format(m, w)])
+            for m in range(n_experts)])}
+        if n_heads is None:
+            raise ValueError('convert_mixtral_state_dict needs n_heads (the '
+                             'RoPE column interleave is per-head)')
+        params['layer_{}'.format(i)] = {
+            'attention_norm': _norm_params(p + 'input_layernorm', sd, norm = 'rms'),
+            'attention': _rope_attn_params(
+                sd, p, n_heads = n_heads,
+                n_kv_heads = n_kv_heads or n_heads),
+            'ffn_norm': _norm_params(p + 'post_attention_layernorm', sd, norm = 'rms'),
+            'ffn': {
+                'router': {'kernel': _t(sd[moe + 'gate.weight'])},
+                'experts': {
+                    'gate': stack('w1'), 'up': stack('w3'), 'down': stack('w2'),
+                },
             },
         }
         i += 1
@@ -418,6 +501,7 @@ _FAMILIES = {
     'gpt2': (gpt2_config, convert_gpt2_state_dict),
     'bert': (bert_config, convert_bert_state_dict),
     'xlm-roberta': (xlm_roberta_config, convert_bert_state_dict),
+    'mixtral': (mixtral_config, convert_mixtral_state_dict),
     'mistral': (mistral_config, convert_mistral_state_dict),
     'bart': (build_bart, convert_bart_state_dict),
     'mbart': (build_bart, convert_bart_state_dict),
@@ -457,7 +541,13 @@ def from_hf_pretrained(name_or_model, family = None, ** kwargs):
     else:
         model = Transformer(** config_fn(hf.config, ** kwargs))
     sd = {k: v.detach().cpu().numpy() for k, v in hf.state_dict().items()}
-    params = convert_fn(sd)
+    import inspect
+    if 'n_heads' in inspect.signature(convert_fn).parameters:
+        params = convert_fn(
+            sd, n_heads = hf.config.num_attention_heads,
+            n_kv_heads = getattr(hf.config, 'num_key_value_heads', None))
+    else:
+        params = convert_fn(sd)
     import jax.numpy as jnp
     import jax
     params = jax.tree_util.tree_map(jnp.asarray, params)

@@ -33,6 +33,7 @@ HParamsTransformer = HParams(
     epsilon = 1e-5,
     max_position = 2048,
     positional = 'learned',            # 'learned' | 'sinusoidal' | 'rope' | 'none'
+    rope_theta = 10000.0,
     pad_token = 0,
     use_bias = True,
     scale_embedding = False,
@@ -40,6 +41,8 @@ HParamsTransformer = HParams(
     tie_embeddings = True,
     use_cross_attention = False,
     use_token_type = False,
+    n_experts = 0,                     # >0: Mixtral-style sparse MoE FFN
+    n_experts_per_token = 2,
     attention_scale = None,            # None = 1/sqrt(head_dim); T5 uses 1.0
     use_relative_bias = False,         # T5-style bucketed relative positions
     rel_buckets = 32,
@@ -71,6 +74,20 @@ def t5_relative_buckets(relative_position, *, bidirectional, num_buckets = 32,
     ).astype(jnp.int32)
     val_large = jnp.minimum(val_large, num_buckets - 1)
     return ret + jnp.where(is_small, n, val_large)
+
+
+def moe_load_balancing_loss(router_logits, n_experts, k):
+    """Switch/Mixtral auxiliary load-balancing loss over a list of per-layer
+    router logits (collected via ``decode(..., aux=[])``): E * sum_e
+    (fraction of tokens routed to e) * (mean router prob of e), averaged
+    over layers.  1.0 == perfectly balanced."""
+    total = 0.
+    for logits in router_logits:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis = -1)
+        _, top_i = jax.lax.top_k(probs, k)
+        frac = jnp.mean(jax.nn.one_hot(top_i, n_experts), axis = (0, 1, 2))
+        total = total + n_experts * jnp.sum(frac * jnp.mean(probs, axis = (0, 1)))
+    return total / max(len(router_logits), 1)
 
 
 def sinusoidal_embedding(max_position, dim):
@@ -109,7 +126,24 @@ class Transformer:
             'attention_norm': self._init_norm(hp.dim),
             'ffn_norm': self._init_norm(hp.dim),
         }
-        if hp.gated_ffn:
+        if hp.n_experts:
+            # experts stacked on a leading axis — the ep-shardable layout
+            # (parallel.moe_param_specs shards it; the expert einsums then
+            # compute locally per shard and the combine psum-reduces)
+            ekeys = nn.split_keys(next(keys), 3 * hp.n_experts)
+            stack = lambda d_in, d_out: {'kernel': jnp.stack([
+                nn.init_dense(next(ekeys), d_in, d_out, use_bias = False)['kernel']
+                for _ in range(hp.n_experts)])}
+            block['ffn'] = {
+                'router': nn.init_dense(next(keys), hp.dim, hp.n_experts,
+                                        use_bias = False),
+                'experts': {
+                    'gate': stack(hp.dim, hp.ffn_dim),
+                    'up': stack(hp.dim, hp.ffn_dim),
+                    'down': stack(hp.ffn_dim, hp.dim),
+                },
+            }
+        elif hp.gated_ffn:
             block['ffn'] = {
                 'gate': nn.init_dense(next(keys), hp.dim, hp.ffn_dim, use_bias = False),
                 'up': nn.init_dense(next(keys), hp.dim, hp.ffn_dim, use_bias = False),
@@ -157,12 +191,49 @@ class Transformer:
 
     # -- blocks ----------------------------------------------------------------
 
-    def _ffn(self, params, x):
+    def _ffn(self, params, x, aux = None):
         act = get_activation(self.hp.ffn_activation)
+        if self.hp.n_experts:
+            return self._moe_ffn(params, x, aux = aux)
         if self.hp.gated_ffn:
             return nn.dense(params['down'],
                             act(nn.dense(params['gate'], x)) * nn.dense(params['up'], x))
         return nn.dense(params['down'], act(nn.dense(params['up'], x)))
+
+    def _moe_ffn(self, params, x, aux = None):
+        """Mixtral-style sparse MoE: softmax router, top-k experts per token,
+        weights renormalized over the selected k.
+
+        Evaluation is DENSE over experts (every expert runs on every token,
+        the router weights zero out the unselected ones): with the expert
+        axis sharded over an ``ep`` mesh axis (`parallel.moe_param_specs`)
+        each device computes only its local experts and the final combine
+        contracts the expert axis — XLA inserts the psum, which is exactly
+        the expert-parallel all-reduce.  At E/k = 4 the extra FLOPs are the
+        price of static shapes (no capacity overflow, no sorting); a
+        token-dropping all_to_all dispatch only pays off at much larger E.
+
+        ``aux``: optional list collecting per-layer router logits for the
+        load-balancing loss (`moe_load_balancing_loss`)."""
+        hp = self.hp
+        k = hp.n_experts_per_token
+        act = get_activation(hp.ffn_activation)
+
+        logits = nn.dense(params['router'], x)                 # (B, T, E)
+        if aux is not None:
+            aux.append(logits)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis = -1)
+        top_w, top_i = jax.lax.top_k(probs, k)                 # (B, T, k)
+        top_w = top_w / jnp.sum(top_w, axis = -1, keepdims = True)
+        # scatter the renormalized top-k weights back to a dense (B, T, E)
+        one_hot = jax.nn.one_hot(top_i, hp.n_experts, dtype = top_w.dtype)
+        w_full = jnp.einsum('btk,btke->bte', top_w, one_hot).astype(x.dtype)
+
+        we = params['experts']
+        g = jnp.einsum('btd,edf->ebtf', x, we['gate']['kernel'])
+        u = jnp.einsum('btd,edf->ebtf', x, we['up']['kernel'])
+        y = jnp.einsum('ebtf,efd->ebtd', act(g) * u, we['down']['kernel'])
+        return jnp.einsum('ebtd,bte->btd', y, w_full)
 
     def _relative_bias(self, params, q_len, k_len, *, bidirectional, offset = 0):
         """(1, H, Tq, Tk) additive attention bias (T5)."""
@@ -178,15 +249,15 @@ class Transformer:
 
     def block(self, params, x, *, mask = None, cache = None,
               encoder_output = None, encoder_mask = None, positions = None,
-              rel_bias = None):
+              rel_bias = None, aux = None):
         hp = self.hp
         use_rope = hp.positional == 'rope'
 
         def attn(x_in):
             return mha(params['attention'], x_in, n_heads = hp.n_heads,
                        mask = mask, cache = cache, positions = positions,
-                       use_rope = use_rope, rel_bias = rel_bias,
-                       scale = hp.attention_scale)
+                       use_rope = use_rope, rope_base = hp.rope_theta,
+                       rel_bias = rel_bias, scale = hp.attention_scale)
 
         if hp.norm_first:
             h, new_cache = attn(self._norm(params['attention_norm'], x))
@@ -206,9 +277,11 @@ class Transformer:
                 x = self._norm(params['cross_norm'], x + cross(x))
 
         if hp.norm_first:
-            x = x + self._ffn(params['ffn'], self._norm(params['ffn_norm'], x))
+            x = x + self._ffn(params['ffn'], self._norm(params['ffn_norm'], x),
+                              aux = aux)
         else:
-            x = self._norm(params['ffn_norm'], x + self._ffn(params['ffn'], x))
+            x = self._norm(params['ffn_norm'],
+                           x + self._ffn(params['ffn'], x, aux = aux))
         return x, new_cache
 
     # -- embeddings ------------------------------------------------------------
@@ -280,7 +353,7 @@ class Transformer:
 
     def decode(self, params, tokens, *, caches = None, offset = None,
                encoder_output = None, encoder_mask = None, positions = None,
-               valid_length = None):
+               valid_length = None, aux = None):
         """Causal decoder pass.  With `caches` (per-layer KV caches) the pass
         processes `tokens` (usually one step) against the full cache.
         Returns (logits, new_caches)."""
@@ -313,7 +386,7 @@ class Transformer:
             x, new_cache = self.block(
                 params['layer_{}'.format(i)], x, mask = mask, cache = cache_i,
                 encoder_output = encoder_output, encoder_mask = encoder_mask,
-                positions = positions, rel_bias = rel_bias,
+                positions = positions, rel_bias = rel_bias, aux = aux,
             )
             new_caches.append(new_cache)
         if hp.use_final_norm:

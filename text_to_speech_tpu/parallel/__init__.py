@@ -144,6 +144,24 @@ def waveglow_param_specs(params, axis = 'tp'):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def moe_param_specs(params, axis = 'ep'):
+    """PartitionSpec tree for a MoE transformer (`n_experts > 0`): every
+    stacked expert tensor (leading expert axis) sharded over `axis`, all
+    other leaves replicated.  Each device then computes only its local
+    experts in the dense-eval einsums and XLA psum-reduces the combine —
+    expert parallelism.  Compose with dp by sharding the batch."""
+    from jax.sharding import PartitionSpec as P
+    import jax
+
+    def spec_for(path, leaf):
+        names = [getattr(p, 'key', str(p)) for p in path]
+        if 'experts' in names and leaf.ndim == 3:
+            return P(axis, None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def tacotron2_param_specs(params, axis = 'tp'):
     """PartitionSpec tree for Tacotron-2: the big decoder LSTM kernels and
     projection matmuls sharded on their output dim.
