@@ -1,4 +1,6 @@
 import time
+import threading
+
 import numpy as np
 import pytest
 
@@ -296,3 +298,108 @@ class TestStreamingAudio:
         np.testing.assert_allclose(
             tail[-rate:], offline[12 * rate - rate: 12 * rate], atol = 1e-3)
         reset_instances()
+
+
+class TestRequestScheduler:
+    """The C++ serving scheduler core (native/serving_native.cpp) and its
+    Python fallback: identical semantics (parametrized over both)."""
+
+    @pytest.fixture(params = ['native', 'python'])
+    def sched(self, request):
+        from text_to_speech_tpu.native.scheduler import (
+            RequestScheduler, available)
+        if request.param == 'native' and not available():
+            pytest.skip('no compiler for the native scheduler')
+        s = RequestScheduler(force_python = request.param == 'python')
+        assert s.native == (request.param == 'native')
+        yield s
+        s.close()
+
+    def test_fifo_within_priority(self, sched):
+        ids = [sched.submit() for _ in range(4)]
+        assert sched.collect(8, first_timeout = 0.1, batch_wait = 0.) == ids
+
+    def test_priority_order(self, sched):
+        a = sched.submit(priority = 0)
+        b = sched.submit(priority = 5)
+        c = sched.submit(priority = 5)
+        d = sched.submit(priority = 1)
+        assert sched.collect(8, 0.1, 0.) == [b, c, d, a]
+
+    def test_collect_respects_max_out(self, sched):
+        ids = [sched.submit() for _ in range(5)]
+        assert sched.collect(2, 0.1, 0.) == ids[:2]
+        assert sched.pending() == 3
+        assert sched.collect_nowait(8) == ids[2:]
+
+    def test_collect_times_out_empty(self, sched):
+        t0 = time.perf_counter()
+        assert sched.collect(4, first_timeout = 0.05, batch_wait = 0.) == []
+        assert time.perf_counter() - t0 >= 0.04
+
+    def test_batch_window_gathers_late_arrivals(self, sched):
+        first = sched.submit()
+        late = []
+
+        def arrive_late():
+            time.sleep(0.05)
+            late.append(sched.submit())
+
+        t = threading.Thread(target = arrive_late)
+        t.start()
+        got = sched.collect(2, first_timeout = 0.5, batch_wait = 0.5)
+        t.join()
+        assert got == [first] + late     # window held open for the 2nd
+
+    def test_abort_queued_only(self, sched):
+        a = sched.submit()
+        b = sched.submit()
+        assert sched.abort(a) is True
+        assert sched.collect(8, 0.1, 0.) == [b]
+        assert sched.abort(b) is False   # already collected
+        stats = sched.stats
+        assert stats['aborted'] == 1 and stats['collected'] == 1
+
+    def test_latency_stats(self, sched):
+        a = sched.submit()
+        time.sleep(0.01)
+        assert sched.collect(1, 0.1, 0.) == [a]
+        sched.complete(a)
+        stats = sched.stats
+        assert stats['completed'] == 1
+        assert stats['mean_queue_wait_s'] >= 0.008
+        assert stats['mean_latency_s'] >= stats['mean_queue_wait_s']
+
+    def test_wake_unblocks_collect(self, sched):
+        out = []
+
+        def collector():
+            out.append(sched.collect(1, first_timeout = 5., batch_wait = 0.))
+
+        t = threading.Thread(target = collector)
+        t.start()
+        time.sleep(0.05)
+        sched.wake()
+        t.join(timeout = 1.)
+        assert not t.is_alive() or sched.pending() == 0
+
+
+class TestServingEnginePriority:
+    def test_high_priority_jumps_queue(self):
+        import text_to_speech_tpu.runtimes.serving as serving
+        order = []
+
+        def batch_fn(items):
+            order.extend(items)
+            return items
+
+        engine = serving.ServingEngine(batch_fn, max_batch_size = 2,
+                                       max_wait_ms = 30.)
+        # submit before start so the queue orders them without a race
+        engine.submit('low-1', priority = 0)
+        engine.submit('low-2', priority = 0)
+        engine.submit('high', priority = 9)
+        with engine:
+            engine.submit('low-3', priority = 0).result.get(timeout = 10)
+        assert order[0] == 'high'
+        assert engine.scheduler_stats['completed'] >= 4

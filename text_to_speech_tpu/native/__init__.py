@@ -24,12 +24,14 @@ _lib_lock = threading.Lock()
 _build_failed = False
 
 
-def _build_library():
-    with open(_SRC, 'rb') as f:
+def build_native_library(src, name):
+    """Compile `src` (self-building, content-hash-cached) → .so path or
+    None.  Shared by the DSP and serving scheduler modules."""
+    with open(src, 'rb') as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
 
     for cache_dir in (_HERE, os.path.expanduser('~/.cache/tts_tpu_native')):
-        so_path = os.path.join(cache_dir, 'audio_native-{}.so'.format(digest))
+        so_path = os.path.join(cache_dir, '{}-{}.so'.format(name, digest))
         if os.path.exists(so_path):
             return so_path
         try:
@@ -37,7 +39,7 @@ def _build_library():
             tmp = so_path + '.tmp'
             subprocess.run(
                 ['g++', '-O3', '-march=native', '-shared', '-fPIC',
-                 '-o', tmp, _SRC],
+                 '-o', tmp, src],
                 check = True, capture_output = True, timeout = 120,
             )
             os.replace(tmp, so_path)
@@ -46,6 +48,10 @@ def _build_library():
             logger.debug('native build failed in %s: %s', cache_dir, e)
             continue
     return None
+
+
+def _build_library():
+    return build_native_library(_SRC, 'audio_native')
 
 
 def get_library():

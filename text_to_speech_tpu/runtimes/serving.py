@@ -14,12 +14,12 @@ import time
 import logging
 import threading
 import itertools
-import queue as _queue
 
 import numpy as np
 
 from ..utils.stream import AsyncResult
 from ..utils.sequence_utils import pad_batch
+from ..native.scheduler import RequestScheduler
 
 logger = logging.getLogger(__name__)
 
@@ -34,30 +34,76 @@ class InferenceRequest:
         self.kwargs = kwargs
         self.result = AsyncResult()
         self.aborted = threading.Event()
+        self._on_abort = None
 
     def abort(self):
         self.aborted.set()
+        if self._on_abort is not None:
+            self._on_abort(self)
 
 
-class ServingEngine:
+class _SchedulerMixin:
+    """Shared request bookkeeping over the C++ `RequestScheduler`
+    (`native/serving_native.cpp`; Python fallback with identical
+    semantics).  Queue order, the dynamic-batching window, priorities,
+    queued-abort and latency accounting run native-side; the id→request
+    map stays here."""
+
+    def _init_scheduler(self, force_python = False):
+        self._sched = RequestScheduler(force_python = force_python)
+        self._pending = {}                  # scheduler id -> request
+        self._pending_lock = threading.Lock()
+
+    def _enqueue(self, request, priority = 0):
+        rid = self._sched.submit(priority)
+        request.request_id = rid
+        with self._pending_lock:
+            self._pending[rid] = request
+        request._on_abort = self._abort_queued
+        return request
+
+    def _abort_queued(self, request):
+        """Queued requests are removed scheduler-side and failed now; a
+        collected request is handled by the engine loop."""
+        if self._sched.abort(request.request_id):
+            with self._pending_lock:
+                self._pending.pop(request.request_id, None)
+            self.stats['aborted'] += 1
+            request.result.set_exception(
+                RuntimeError('request {} aborted'.format(request.request_id)))
+
+    def _resolve(self, ids):
+        with self._pending_lock:
+            return [self._pending.pop(rid) for rid in ids
+                    if rid in self._pending]
+
+    @property
+    def scheduler_stats(self):
+        """Native-side counters: mean queue wait / end-to-end latency."""
+        return self._sched.stats
+
+
+class ServingEngine(_SchedulerMixin):
     """Dynamic-batching engine around a ``batch_fn``.
 
     ``batch_fn(list_of_inputs, **kwargs) -> list_of_outputs`` — typically a
     closure over a task model's `compiled_infer` with padded batching.
 
-    - requests accumulate up to `max_batch_size` or `max_wait_ms`;
+    - requests accumulate up to `max_batch_size` or `max_wait_ms` (the
+      window is kept by the C++ scheduler core);
+    - higher-``priority`` requests dequeue first (FIFO within a priority);
     - per-request callbacks stream results as they complete;
     - `submit` returns the request (with an AsyncResult); `abort()`able while
       queued.
     """
 
     def __init__(self, batch_fn, *, max_batch_size = 8, max_wait_ms = 10.,
-                 name = 'serving'):
+                 name = 'serving', native_scheduler = True):
         self.batch_fn = batch_fn
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
         self.name = name
-        self._queue = _queue.Queue()
+        self._init_scheduler(force_python = not native_scheduler)
         self._thread = None
         self._running = threading.Event()
         self.stats = {'requests': 0, 'batches': 0, 'aborted': 0}
@@ -74,6 +120,7 @@ class ServingEngine:
 
     def stop(self):
         self._running.clear()
+        self._sched.wake()
         if self._thread:
             self._thread.join(timeout = 10)
 
@@ -85,11 +132,10 @@ class ServingEngine:
 
     # -- API -------------------------------------------------------------------
 
-    def submit(self, inputs, *, callback = None, ** kwargs):
+    def submit(self, inputs, *, callback = None, priority = 0, ** kwargs):
         request = InferenceRequest(inputs, callback = callback, ** kwargs)
         self.stats['requests'] += 1
-        self._queue.put(request)
-        return request
+        return self._enqueue(request, priority)
 
     def infer(self, inputs, *, timeout = None, ** kwargs):
         """Blocking convenience wrapper."""
@@ -98,20 +144,9 @@ class ServingEngine:
     # -- engine loop -----------------------------------------------------------
 
     def _collect_batch(self):
-        try:
-            first = self._queue.get(timeout = 0.1)
-        except _queue.Empty:
-            return []
-        batch = [first]
-        deadline = time.perf_counter() + self.max_wait_ms / 1000.
-        while len(batch) < self.max_batch_size:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0: break
-            try:
-                batch.append(self._queue.get(timeout = remaining))
-            except _queue.Empty:
-                break
-        return batch
+        ids = self._sched.collect(self.max_batch_size, first_timeout = 0.1,
+                                  batch_wait = self.max_wait_ms / 1000.)
+        return self._resolve(ids)
 
     def _loop(self):
         while self._running.is_set():
@@ -142,10 +177,11 @@ class ServingEngine:
                         request.callback(output, request.request_id)
                     except Exception:
                         logger.exception('request callback failed')
+                self._sched.complete(request.request_id)
                 request.result.set_result(output)
 
 
-class ContinuousServingEngine:
+class ContinuousServingEngine(_SchedulerMixin):
     """In-flight (continuous) batching: the decode advances in bounded
     chunks, and NEW requests are admitted into free batch rows at every
     chunk boundary — a request submitted mid-decode does not wait for the
@@ -163,13 +199,14 @@ class ContinuousServingEngine:
     (see docs/SERVING.md)."""
 
     def __init__(self, start_fn, step_fn, finish_fn = None, *,
-                 max_batch_size = 8, name = 'serving-cb'):
+                 max_batch_size = 8, name = 'serving-cb',
+                 native_scheduler = True):
         self.start_fn = start_fn
         self.step_fn = step_fn
         self.finish_fn = finish_fn or (lambda state: state)
         self.max_batch_size = max_batch_size
         self.name = name
-        self._queue = _queue.Queue()
+        self._init_scheduler(force_python = not native_scheduler)
         self._thread = None
         self._running = threading.Event()
         self.stats = {'requests': 0, 'chunks': 0, 'aborted': 0,
@@ -185,6 +222,7 @@ class ContinuousServingEngine:
 
     def stop(self):
         self._running.clear()
+        self._sched.wake()
         if self._thread:
             self._thread.join(timeout = 10)
 
@@ -194,23 +232,28 @@ class ContinuousServingEngine:
     def __exit__(self, *exc):
         self.stop()
 
-    def submit(self, inputs, *, callback = None, ** kwargs):
+    def submit(self, inputs, *, callback = None, priority = 0, ** kwargs):
         request = InferenceRequest(inputs, callback = callback, ** kwargs)
         request.submitted_at = time.perf_counter()
         self.stats['requests'] += 1
-        self._queue.put(request)
-        return request
+        return self._enqueue(request, priority)
 
     def infer(self, inputs, *, timeout = None, ** kwargs):
         return self.submit(inputs, ** kwargs).result.get(timeout = timeout)
 
     def _admit(self, slots, block):
-        """Fill free slots from the queue; blocks briefly only when idle."""
-        while len(slots) < self.max_batch_size:
-            try:
-                request = self._queue.get(timeout = 0.05 if block else 0.)
-            except _queue.Empty:
-                return
+        """Fill free slots from the scheduler; blocks briefly only when
+        idle (otherwise admission is the non-blocking chunk-boundary
+        variant)."""
+        free = self.max_batch_size - len(slots)
+        if free <= 0:
+            return
+        if block:
+            ids = self._sched.collect(free, first_timeout = 0.05,
+                                      batch_wait = 0.)
+        else:
+            ids = self._sched.collect_nowait(free)
+        for request in self._resolve(ids):
             if request.aborted.is_set():
                 self.stats['aborted'] += 1
                 request.result.set_exception(
@@ -223,7 +266,6 @@ class ContinuousServingEngine:
                 request.result.set_exception(e)
                 continue
             slots.append((request, state))
-            block = False
 
     def _loop(self):
         slots = []          # [(request, state)] — the active batch rows
@@ -257,6 +299,7 @@ class ContinuousServingEngine:
                     logger.exception('finish_fn failed')
                     request.result.set_exception(e)
                     continue
+                self._sched.complete(request.request_id)
                 self.stats['latencies'].append(
                     time.perf_counter() - getattr(request, 'submitted_at',
                                                   time.perf_counter()))
