@@ -97,6 +97,22 @@ class TestFitWaveGlow:
 
 
 class TestFitOnMesh:
+    def test_waveglow_pp_mesh_fit(self):
+        """model.fit on a dp x pp mesh routes through the GPipe pipelined
+        train step (parallel/pipeline.py) end-to-end."""
+        devices = get_devices('cpu')
+        mesh = create_mesh({'dp': 2, 'pp': 2}, devices = devices[:4])
+        model = WaveGlow(
+            name = 'fit_wg_pp', n_flows = 2, n_group = 4, wn_layers = 2,
+            wn_channels = 8, upsample_width = 16, upsample_stride = 8,
+        )
+        history = model.fit(
+            synthetic_rows(8), epochs = 1, batch_size = 8, valid_size = 0.,
+            mesh = mesh, frame_multiple = 16,
+        )
+        assert history.epochs == 1
+        assert np.isfinite(history.get_metric('loss')[0])
+
     def test_dp_mesh_train_step(self):
         """Full train step jitted over an 8-device CPU mesh (dp sharding)."""
         devices = get_devices('cpu')

@@ -70,10 +70,13 @@ def batch_sharding(mesh, axis = 'dp'):
 
 def shard_batch(batch, mesh, axis = 'dp'):
     """device_put every leaf of `batch` with its leading axis sharded on
-    `axis` (leaves whose leading dim doesn't divide stay replicated)."""
+    `axis` (leaves whose leading dim doesn't divide — or meshes without
+    the axis at all — stay replicated)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if axis not in mesh.shape:
+        return jax.device_put(batch, replicated(mesh))
     n = mesh.shape[axis]
 
     def put(leaf):
@@ -85,11 +88,13 @@ def shard_batch(batch, mesh, axis = 'dp'):
     return jax.tree_util.tree_map(put, batch)
 
 
-def pad_batch_to_devices(batch, mesh, axis = 'dp'):
+def pad_batch_to_devices(batch, mesh, axis = 'dp', multiple = None):
     """Pad the leading axis of every array leaf so it divides the dp size
-    (repeating the last row) — keeps ragged final batches shardable."""
+    (repeating the last row) — keeps ragged final batches shardable.
+    `multiple` overrides the divisor (e.g. dp x microbatches for the
+    pipeline-parallel train step)."""
     import jax
-    n = mesh.shape[axis]
+    n = multiple if multiple is not None else mesh.shape.get(axis, 1)
 
     def pad(leaf):
         leaf = np.asarray(leaf)

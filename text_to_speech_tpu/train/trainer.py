@@ -65,10 +65,34 @@ def model_forward(model, params, state, inputs, *, rng, train = True):
     raise ValueError('No forward dispatch for {}'.format(type(model).__name__))
 
 
-def make_train_step(model, loss_fn, optimizer, *, mesh = None):
+def make_train_step(model, loss_fn, optimizer, *, mesh = None,
+                    pp_microbatches = None):
     import jax
     import jax.numpy as jnp
     import optax
+
+    from ..models.tts.waveglow import WaveGlow as WGTask
+    if mesh is not None and 'pp' in mesh.shape and isinstance(model, WGTask):
+        # pipeline-parallel flow training: GPipe microbatch schedule over
+        # the pp axis (parallel/pipeline.py), composing with dp batch shards
+        from ..parallel.pipeline import WaveGlowPipeline
+        pipe = WaveGlowPipeline(
+            model.arch, mesh,
+            dp_axis = 'dp' if 'dp' in mesh.shape else None,
+            n_micro = pp_microbatches or 2 * mesh.shape['pp'],
+        )
+        sigma = getattr(loss_fn, 'sigma', None)
+
+        def pp_train_step(params, state, opt_state, rng, inputs, targets):
+            mel, audio = inputs
+            loss, grads = jax.value_and_grad(
+                lambda p: pipe.loss(p, mel, audio, sigma = sigma))(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {'loss': loss, 'grad_norm': optax.global_norm(grads)}
+            return params, state, opt_state, metrics
+
+        return jax.jit(pp_train_step, donate_argnums = (0, 2))
 
     def train_step(params, state, opt_state, rng, inputs, targets):
         def loss_of(p):
@@ -194,7 +218,17 @@ def fit(model,
         batch_size = batch_size, shuffle = False,
     ) if valid_data else None
 
-    train_step = make_train_step(model, loss_fn, tx, mesh = mesh)
+    pp_microbatches = None
+    batch_multiple = None
+    if mesh is not None:
+        batch_multiple = mesh.shape.get('dp', 1)
+        if 'pp' in mesh.shape:
+            pp_microbatches = kwargs.get('pp_microbatches') \
+                or 2 * mesh.shape['pp']
+            batch_multiple *= pp_microbatches
+
+    train_step = make_train_step(
+        model, loss_fn, tx, mesh = mesh, pp_microbatches = pp_microbatches)
     eval_step = make_eval_step(model, loss_fn, mesh = mesh)
 
     params, state = model.params, model.state
@@ -230,8 +264,10 @@ def fit(model,
                     frame_multiple = frame_multiple,
                 )
                 if mesh is not None:
-                    inputs = pad_batch_to_devices(inputs, mesh)
-                    targets = pad_batch_to_devices(targets, mesh)
+                    inputs = pad_batch_to_devices(
+                        inputs, mesh, multiple = batch_multiple)
+                    targets = pad_batch_to_devices(
+                        targets, mesh, multiple = batch_multiple)
                     inputs = shard_batch(inputs, mesh)
                     targets = shard_batch(targets, mesh)
                 rng, step_rng = jax.random.split(rng)
