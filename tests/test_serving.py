@@ -379,9 +379,48 @@ class TestRequestScheduler:
         t = threading.Thread(target = collector)
         t.start()
         time.sleep(0.05)
+        t0 = time.perf_counter()
         sched.wake()
-        t.join(timeout = 1.)
-        assert not t.is_alive() or sched.pending() == 0
+        t.join(timeout = 2.)
+        assert not t.is_alive(), 'wake() must unblock a pending collect'
+        assert time.perf_counter() - t0 < 1., 'collect returned via timeout'
+        assert out == [[]]
+
+    def test_enqueue_race_resolved(self):
+        """A collected id whose payload registration is slightly delayed
+        must still resolve (the submit->register window)."""
+        import text_to_speech_tpu.runtimes.serving as serving
+        engine = serving.ServingEngine(lambda items: items,
+                                       max_batch_size = 4, max_wait_ms = 1.)
+        seen = []
+        orig_submit = engine._sched.submit
+
+        def slow_submit(priority = 0):
+            rid = orig_submit(priority)
+            time.sleep(0.05)        # widen the submit->register window
+            return rid
+
+        engine._sched.submit = slow_submit
+        with engine:
+            req = engine.submit('payload')
+            seen.append(req.result.get(timeout = 10))
+        assert seen == ['payload']
+
+    def test_complete_covers_failures(self):
+        """Failed batches must still stamp completion (no in-flight leak)."""
+        import text_to_speech_tpu.runtimes.serving as serving
+
+        def failing(items):
+            raise ValueError('boom')
+
+        engine = serving.ServingEngine(failing, max_batch_size = 2,
+                                       max_wait_ms = 1.)
+        with engine:
+            req = engine.submit('x')
+            with pytest.raises(ValueError):
+                req.result.get(timeout = 10)
+        stats = engine.scheduler_stats
+        assert stats['completed'] == stats['collected'] == 1
 
 
 class TestServingEnginePriority:

@@ -166,6 +166,7 @@ class _PyScheduler:
         self._queue = {}                 # (-prio, id) -> submitted_s
         self._in_flight = {}
         self._next_id = 0
+        self._woken = False
         self._counters = dict.fromkeys(RequestScheduler.STATS, 0)
         self._wait_s = 0.
         self._latency_s = 0.
@@ -202,17 +203,23 @@ class _PyScheduler:
         return taken
 
     def collect(self, max_out, first_timeout = 0.1, batch_wait = 0.01):
+        ready = lambda: bool(self._queue) or self._woken
         with self._cv:
             if not self._queue:
-                self._cv.wait_for(lambda: bool(self._queue), first_timeout)
+                self._cv.wait_for(ready, first_timeout)
+                if self._woken:
+                    self._woken = False
+                    return []
                 if not self._queue:
                     return []
             taken = self._take(max_out)
             deadline = self._time() + batch_wait
             while len(taken) < max_out:
                 remaining = deadline - self._time()
-                if remaining <= 0 or not self._cv.wait_for(
-                        lambda: bool(self._queue), remaining):
+                if remaining <= 0 or not self._cv.wait_for(ready, remaining):
+                    break
+                if self._woken:
+                    self._woken = False
                     break
                 taken.extend(self._take(max_out - len(taken)))
             if taken:
@@ -237,6 +244,7 @@ class _PyScheduler:
 
     def wake(self):
         with self._cv:
+            self._woken = True      # consumed by the next (or current) collect
             self._cv.notify_all()
 
     def stats(self):

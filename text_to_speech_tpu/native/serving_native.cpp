@@ -54,6 +54,7 @@ struct Engine {
     std::map<std::pair<int64_t, int64_t>, Request> queue;  // (-prio, id) -> req
     std::unordered_map<int64_t, double> in_flight;         // id -> submitted_s
     std::atomic<int64_t> next_id{0};
+    bool woken = false;   // wake(): abandons in-progress collect waits
 
     // stats
     int64_t n_submitted = 0, n_collected = 0, n_aborted = 0, n_completed = 0;
@@ -118,10 +119,11 @@ int serving_engine_collect(void* h, int64_t* out_ids, int max_out,
                            double first_timeout_s, double batch_wait_s) {
     Engine* e = static_cast<Engine*>(h);
     std::unique_lock<std::mutex> lock(e->mu);
+    auto ready = [e] { return !e->queue.empty() || e->woken; };
     if (e->queue.empty()) {
         e->cv.wait_for(lock,
-                       std::chrono::duration<double>(first_timeout_s),
-                       [e] { return !e->queue.empty(); });
+                       std::chrono::duration<double>(first_timeout_s), ready);
+        if (e->woken) { e->woken = false; return 0; }
         if (e->queue.empty()) return 0;
     }
     int n = take_locked(e, out_ids, max_out);
@@ -129,9 +131,9 @@ int serving_engine_collect(void* h, int64_t* out_ids, int max_out,
     auto deadline = clk::now() + std::chrono::duration_cast<clk::duration>(
         std::chrono::duration<double>(batch_wait_s));
     while (n < max_out) {
-        if (!e->cv.wait_until(lock, deadline,
-                              [e] { return !e->queue.empty(); }))
+        if (!e->cv.wait_until(lock, deadline, ready))
             break;
+        if (e->woken) { e->woken = false; break; }
         n += take_locked(e, out_ids + n, max_out - n);
     }
     if (n > 0) e->n_batches += 1;
@@ -184,7 +186,12 @@ double serving_engine_mean_s(void* h, int which) {
 }
 
 void serving_engine_wake(void* h) {
-    static_cast<Engine*>(h)->cv.notify_all();
+    Engine* e = static_cast<Engine*>(h);
+    {
+        std::lock_guard<std::mutex> lock(e->mu);
+        e->woken = true;     // consumed by the next (or current) collect
+    }
+    e->cv.notify_all();
 }
 
 }  // extern "C"

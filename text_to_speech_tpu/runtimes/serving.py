@@ -52,13 +52,14 @@ class _SchedulerMixin:
     def _init_scheduler(self, force_python = False):
         self._sched = RequestScheduler(force_python = force_python)
         self._pending = {}                  # scheduler id -> request
-        self._pending_lock = threading.Lock()
+        self._pending_cv = threading.Condition()
 
     def _enqueue(self, request, priority = 0):
         rid = self._sched.submit(priority)
         request.request_id = rid
-        with self._pending_lock:
+        with self._pending_cv:
             self._pending[rid] = request
+            self._pending_cv.notify_all()
         request._on_abort = self._abort_queued
         return request
 
@@ -66,16 +67,36 @@ class _SchedulerMixin:
         """Queued requests are removed scheduler-side and failed now; a
         collected request is handled by the engine loop."""
         if self._sched.abort(request.request_id):
-            with self._pending_lock:
+            with self._pending_cv:
                 self._pending.pop(request.request_id, None)
             self.stats['aborted'] += 1
             request.result.set_exception(
                 RuntimeError('request {} aborted'.format(request.request_id)))
 
     def _resolve(self, ids):
-        with self._pending_lock:
-            return [self._pending.pop(rid) for rid in ids
-                    if rid in self._pending]
+        """id -> request.  A collected id may briefly precede its map entry
+        (submit() makes the id collectable before the submitting thread
+        registers the payload), so missing ids are awaited — the entry is
+        guaranteed to arrive because only queued requests can be aborted."""
+        out = []
+        with self._pending_cv:
+            for rid in ids:
+                if self._pending_cv.wait_for(
+                        lambda: rid in self._pending, timeout = 5.):
+                    out.append(self._pending.pop(rid))
+                else:                       # defensive: never expected
+                    logger.error('collected id %s has no pending request', rid)
+        return out
+
+    def _finish(self, request, output = None, error = None):
+        """Terminal bookkeeping for a COLLECTED request: latency stamp on
+        every path (success, failure, late abort), then resolve the
+        AsyncResult."""
+        self._sched.complete(request.request_id)
+        if error is not None:
+            request.result.set_exception(error)
+        else:
+            request.result.set_result(output)
 
     @property
     def scheduler_stats(self):
@@ -156,8 +177,8 @@ class ServingEngine(_SchedulerMixin):
             for request in batch:
                 if request.aborted.is_set():
                     self.stats['aborted'] += 1
-                    request.result.set_exception(
-                        RuntimeError('request {} aborted'.format(request.request_id)))
+                    self._finish(request, error = RuntimeError(
+                        'request {} aborted'.format(request.request_id)))
                 else:
                     live.append(request)
             if not live: continue
@@ -168,7 +189,7 @@ class ServingEngine(_SchedulerMixin):
             except Exception as e:
                 logger.exception('batch_fn failed')
                 for request in live:
-                    request.result.set_exception(e)
+                    self._finish(request, error = e)
                 continue
 
             for request, output in zip(live, outputs):
@@ -177,8 +198,7 @@ class ServingEngine(_SchedulerMixin):
                         request.callback(output, request.request_id)
                     except Exception:
                         logger.exception('request callback failed')
-                self._sched.complete(request.request_id)
-                request.result.set_result(output)
+                self._finish(request, output)
 
 
 class ContinuousServingEngine(_SchedulerMixin):
@@ -256,14 +276,14 @@ class ContinuousServingEngine(_SchedulerMixin):
         for request in self._resolve(ids):
             if request.aborted.is_set():
                 self.stats['aborted'] += 1
-                request.result.set_exception(
-                    RuntimeError('request {} aborted'.format(request.request_id)))
+                self._finish(request, error = RuntimeError(
+                    'request {} aborted'.format(request.request_id)))
                 continue
             try:
                 state = self.start_fn(request.inputs, ** request.kwargs)
             except Exception as e:
                 logger.exception('start_fn failed')
-                request.result.set_exception(e)
+                self._finish(request, error = e)
                 continue
             slots.append((request, state))
 
@@ -278,14 +298,14 @@ class ContinuousServingEngine(_SchedulerMixin):
             for request, _ in slots:
                 if request.aborted.is_set():
                     self.stats['aborted'] += 1
-                    request.result.set_exception(
-                        RuntimeError('request {} aborted'.format(request.request_id)))
+                    self._finish(request, error = RuntimeError(
+                        'request {} aborted'.format(request.request_id)))
             try:
                 states, done = self.step_fn([s for _, s in live])
             except Exception as e:
                 logger.exception('step_fn failed')
                 for request, _ in live:
-                    request.result.set_exception(e)
+                    self._finish(request, error = e)
                 slots = []
                 continue
             slots = []
@@ -297,9 +317,8 @@ class ContinuousServingEngine(_SchedulerMixin):
                     output = self.finish_fn(state)
                 except Exception as e:
                     logger.exception('finish_fn failed')
-                    request.result.set_exception(e)
+                    self._finish(request, error = e)
                     continue
-                self._sched.complete(request.request_id)
                 self.stats['latencies'].append(
                     time.perf_counter() - getattr(request, 'submitted_at',
                                                   time.perf_counter()))
@@ -308,7 +327,7 @@ class ContinuousServingEngine(_SchedulerMixin):
                         request.callback(output, request.request_id)
                     except Exception:
                         logger.exception('request callback failed')
-                request.result.set_result(output)
+                self._finish(request, output)
 
 
 def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,

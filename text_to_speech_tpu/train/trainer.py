@@ -72,7 +72,17 @@ def make_train_step(model, loss_fn, optimizer, *, mesh = None,
     import optax
 
     from ..models.tts.waveglow import WaveGlow as WGTask
-    if mesh is not None and 'pp' in mesh.shape and isinstance(model, WGTask):
+    from .losses import WaveGlowLoss
+    use_pp = mesh is not None and 'pp' in mesh.shape and isinstance(model, WGTask)
+    if use_pp and not isinstance(loss_fn, WaveGlowLoss):
+        # the pipelined path computes the NLL itself — a custom loss cannot
+        # ride it; fall back to the standard (replicated) step rather than
+        # silently training a different objective
+        logger.warning('pp mesh requested with a non-WaveGlowLoss loss (%s); '
+                       'falling back to the unpipelined train step',
+                       type(loss_fn).__name__)
+        use_pp = False
+    if use_pp:
         # pipeline-parallel flow training: GPipe microbatch schedule over
         # the pp axis (parallel/pipeline.py), composing with dp batch shards
         from ..parallel.pipeline import WaveGlowPipeline
