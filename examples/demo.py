@@ -102,6 +102,72 @@ def demo_clone():
     print('cloned-voice mel frames:', out['mel'][0].shape)
 
 
+def demo_serving():
+    """Continuous-batching request server with incremental audio streaming:
+    requests admitted at decode chunk boundaries, waveform chunks handed to
+    per-request callbacks as they complete (docs/SERVING.md)."""
+    from text_to_speech_tpu.runtimes.serving import (
+        ContinuousServingEngine, make_tacotron_stepper)
+
+    synthesizer, vocoder = get_models()
+    # max_steps bounds the demo with random weights (an untrained gate may
+    # never fire); drop it when serving trained checkpoints
+    stepper = make_tacotron_stepper(
+        synthesizer, chunk = 32, vocoder = vocoder, stream_audio = True,
+        max_steps = 96)
+
+    chunks = []
+    with ContinuousServingEngine(* stepper, max_batch_size = 4) as engine:
+        request = engine.submit('Streaming speech, chunk by chunk.',
+                                on_audio = chunks.append)
+        urgent = engine.submit('High priority request.', priority = 9)
+        out = request.result.get(timeout = 300)
+        urgent.result.get(timeout = 300)
+    print('streamed {} audio chunks; first audio after {:.0f} ms'.format(
+        len(chunks), 1000 * out.get('first_audio_s', 0.)))
+    print('scheduler:', engine.scheduler_stats)
+
+
+def demo_parallel():
+    """Multi-chip scaling recipes on a virtual CPU mesh (dp / tp / pp / sp):
+    the same code drives real TPU meshes.  Run with
+    XLA_FLAGS=--xla_force_host_platform_device_count=8."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from text_to_speech_tpu.models.waveglow_arch import WaveGlow as WGArch
+    from text_to_speech_tpu.parallel import (
+        create_mesh, shard_params, shard_batch, waveglow_param_specs)
+    from text_to_speech_tpu.parallel.pipeline import WaveGlowPipeline
+
+    jax.config.update('jax_platforms', 'cpu')
+    devices = jax.devices('cpu')
+    arch = WGArch(n_flows = 4, n_group = 4, wn_layers = 2, wn_channels = 32,
+                  upsample_width = 16, upsample_stride = 8)
+    params = arch.init(jax.random.PRNGKey(0))
+    mel = np.random.randn(4, 16, 80).astype(np.float32) * 2. - 6.
+    audio = np.random.randn(4, 16 * 8).astype(np.float32)
+
+    # dp x tp inference: batch rows over dp, WN channels over tp
+    mesh = create_mesh({'dp': 2, 'tp': 2}, devices = devices[:4])
+    wave = jax.jit(lambda p, m: arch.infer(p, m, deterministic = True))(
+        shard_params(params, mesh, waveglow_param_specs(params)),
+        shard_batch(mel, mesh))
+    print('dp x tp waveform:', wave.shape)
+
+    # dp x pp training: GPipe microbatch pipeline over the flow stack
+    pp_mesh = create_mesh({'dp': 2, 'pp': 2}, devices = devices[:4])
+    pipe = WaveGlowPipeline(arch, pp_mesh, dp_axis = 'dp', n_micro = 2)
+    loss = jax.jit(pipe.loss)(params, mel, audio)
+    print('pipelined NLL:', float(loss))
+
+    # sp inference: time axis sharded, GSPMD inserts the conv halo exchange
+    sp_mesh = create_mesh({'sp': 4}, devices = devices[:4])
+    wave = jax.jit(lambda p, m: arch.infer(p, m, deterministic = True))(
+        shard_params(params, sp_mesh),
+        jax.device_put(mel, NamedSharding(sp_mesh, P(None, 'sp', None))))
+    print('sp waveform:', wave.shape)
+
+
 if __name__ == '__main__':
     mode = sys.argv[1] if len(sys.argv) > 1 else 'quick'
     {
@@ -110,4 +176,6 @@ if __name__ == '__main__':
         'stream': demo_stream,
         'train': demo_train,
         'clone': demo_clone,
+        'serving': demo_serving,
+        'parallel': demo_parallel,
     }[mode]()
