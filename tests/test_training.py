@@ -166,3 +166,24 @@ class TestDatasets:
         assert all(len(group) == 3 for group in batch)
         for group in batch:
             assert len({r['speaker'] for r in group}) == 1
+
+
+class TestParallelMap:
+    """Dataset num_parallel_calls (the tf.data analog): identical results
+    to the serial map, including filter + exception-skip semantics."""
+
+    def test_matches_serial(self):
+        from text_to_speech_tpu.train.datasets import Dataset
+
+        def mapper(row):
+            if row == 3:
+                raise ValueError('bad row')
+            return row * 10
+
+        rows = list(range(8))
+        kw = dict(map_fn = mapper, filter_fn = lambda x: x != 50,
+                  batch_size = 3, shuffle = False, prefetch = 0)
+        serial = [b for b in Dataset(rows, ** kw)]
+        parallel = [b for b in Dataset(rows, num_parallel_calls = 4, ** kw)]
+        assert serial == parallel
+        assert [x for b in parallel for x in b] == [0, 10, 20, 40, 60, 70]

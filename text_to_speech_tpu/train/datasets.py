@@ -81,7 +81,7 @@ class Dataset:
     def __init__(self, rows, *, map_fn = None, filter_fn = None, cache = True,
                  shuffle = False, batch_size = 1, collate_fn = None,
                  drop_remainder = False, prefetch = 2, seed = 0,
-                 length_bucket_fn = None):
+                 length_bucket_fn = None, num_parallel_calls = None):
         self.rows = as_rows(rows)
         self.map_fn = map_fn
         self.filter_fn = filter_fn
@@ -93,18 +93,35 @@ class Dataset:
         self.prefetch = prefetch
         self.seed = seed
         self.length_bucket_fn = length_bucket_fn
+        self.num_parallel_calls = num_parallel_calls
         self._cached = None
         self._epoch = 0
+
+    def _map_one(self, row):
+        try:
+            return True, (self.map_fn(row) if self.map_fn else row)
+        except Exception:
+            logger.exception('map_fn failed on a row; skipping it')
+            return False, None
 
     def _materialize(self):
         if self._cached is not None:
             return self._cached
+        rows = list(self.rows)
+        n_workers = self.num_parallel_calls or 1
+        if self.map_fn is not None and n_workers > 1 and len(rows) > 1:
+            # parallel map (tf.data num_parallel_calls analog): audio
+            # read + resample + mel extraction release the GIL in numpy /
+            # the native DSP, so threads overlap the first-epoch cost;
+            # order is preserved
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(n_workers, len(rows))) as pool:
+                mapped = list(pool.map(self._map_one, rows))
+        else:
+            mapped = [self._map_one(row) for row in rows]
         out = []
-        for row in self.rows:
-            try:
-                item = self.map_fn(row) if self.map_fn else row
-            except Exception:
-                logger.exception('map_fn failed on a row; skipping it')
+        for ok, item in mapped:
+            if not ok:
                 continue
             if self.filter_fn and not self.filter_fn(* item if isinstance(item, tuple) else (item,)):
                 continue

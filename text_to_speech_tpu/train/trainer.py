@@ -219,6 +219,7 @@ def fit(model,
         collate_fn = getattr(model, 'collate', None),
         batch_size = batch_size, shuffle = shuffle,
         length_bucket_fn = lambda item: _item_length(item),
+        num_parallel_calls = kwargs.get('num_parallel_calls'),
     )
     valid_ds = valid_data if isinstance(valid_data, (Dataset, GE2EDataset)) \
         else prepare_dataset(
