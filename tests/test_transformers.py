@@ -281,3 +281,25 @@ class TestMixtralMoE:
             ref = hf(torch.tensor(tokens)).logits.numpy()
         mine, _ = model.decode(params, jnp.asarray(tokens, jnp.int32))
         np.testing.assert_allclose(np.asarray(mine), ref, atol = 3e-4)
+
+    def test_llama_hf_parity(self):
+        """Llama rides the mistral layout (family alias); verified at the
+        logits level including tied embeddings."""
+        import torch
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size = 64, hidden_size = 32, intermediate_size = 64,
+            num_hidden_layers = 2, num_attention_heads = 4,
+            num_key_value_heads = 4, max_position_embeddings = 64,
+            rope_theta = 500000.0,
+        )
+        hf = LlamaForCausalLM(cfg).eval()
+        model, params = from_hf_pretrained(hf, family = 'llama')
+        assert model.hp.rope_theta == 500000.0
+
+        tokens = np.array([[5, 9, 13, 2, 7]], dtype = np.int64)
+        with torch.no_grad():
+            ref = hf(torch.tensor(tokens)).logits.numpy()
+        mine, _ = model.decode(params, jnp.asarray(tokens, jnp.int32))
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 3e-4)

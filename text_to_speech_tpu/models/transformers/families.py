@@ -503,6 +503,9 @@ _FAMILIES = {
     'xlm-roberta': (xlm_roberta_config, convert_bert_state_dict),
     'mixtral': (mixtral_config, convert_mixtral_state_dict),
     'mistral': (mistral_config, convert_mistral_state_dict),
+    # llama shares the mistral layout exactly (GQA + rotate_half RoPE +
+    # SwiGLU + RMSNorm); config differences ride the hf_config fields
+    'llama': (mistral_config, convert_mistral_state_dict),
     'bart': (build_bart, convert_bart_state_dict),
     'mbart': (build_bart, convert_bart_state_dict),
     'whisper': (build_whisper, convert_whisper_state_dict),
