@@ -217,6 +217,46 @@ class TestTokenizer:
         assert len(fr_symbols) == 70
 
 
+class TestClipTokenizer:
+    MERGES = [('h', 'e'), ('l', 'l'), ('he', 'll'), ('hell', 'o</w>'),
+              ('w', 'o'), ('r', 'l'), ('wo', 'rl'), ('worl', 'd</w>'),
+              ('o', '</w>')]
+
+    def test_encode_decode_roundtrip(self):
+        tok = Tokenizer.from_clip_pretrained(self.MERGES)
+        ids = tok.encode('Hello  world')
+        assert tok.decode(ids) == 'hello world'
+        # sos/eos wrap the sequence
+        assert ids[0] == tok.sos_token_idx and ids[-1] == tok.eos_token_idx
+
+    def test_end_of_word_merges_distinct(self):
+        tok = Tokenizer.from_clip_pretrained(self.MERGES)
+        units = tok.split_text('hello world')
+        assert 'hello</w>' in units and 'world</w>' in units
+
+    def test_vocab_layout(self):
+        tok = Tokenizer.from_clip_pretrained(self.MERGES)
+        # 256 byte units + 256 '</w>' variants + merges + 2 specials
+        assert tok.vocab_size == 512 + len(self.MERGES) + 2
+        assert tok.vocab[-2:] == ['<|startoftext|>', '<|endoftext|>']
+
+    def test_json_roundtrip(self, tmp_path):
+        tok = Tokenizer.from_clip_pretrained(self.MERGES)
+        path = tok.save(str(tmp_path / 'clip.json'))
+        tok2 = Tokenizer.load_from_file(path)
+        text = 'hello world'
+        assert np.array_equal(tok.encode(text), tok2.encode(text))
+        assert tok2.bpe_end_of_word == '</w>'
+
+    def test_from_merges_file(self, tmp_path):
+        path = str(tmp_path / 'bpe_merges.txt')
+        with open(path, 'w') as f:
+            f.write('#version: test\n')
+            f.write('\n'.join(' '.join(p) for p in self.MERGES))
+        tok = Tokenizer.from_clip_pretrained(filename = path)
+        assert tok.decode(tok.encode('hello world')) == 'hello world'
+
+
 class TestCTCBeam:
     def test_beam_matches_greedy_on_clean_logits(self):
         tok = Tokenizer(list('_abc'), level = 'char', blank_token = '_')

@@ -96,6 +96,29 @@ class TestFileUtils:
         with pytest.raises(FileNotFoundError):
             load_data('/nonexistent/file.json')
 
+    def test_yaml_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'x.yaml')
+        dump_data(path, {'a': 1, 'b': ['x', 'y'], 'c': {'d': 2.5}})
+        assert load_data(path) == {'a': 1, 'b': ['x', 'y'], 'c': {'d': 2.5}}
+
+    def test_h5_roundtrip(self, tmp_path):
+        path = str(tmp_path / 'x.h5')
+        dump_data(path, {'w': np.arange(6.).reshape(2, 3), 'grp/b': np.ones(4)})
+        out = load_data(path)
+        assert np.allclose(out['w'], np.arange(6.).reshape(2, 3))
+        assert np.allclose(out['grp/b'], np.ones(4))
+
+    def test_download_file_local_cache(self, tmp_path):
+        from text_to_speech_tpu.utils.file_utils import download_file
+        src = tmp_path / 'src.txt'
+        src.write_text('payload')
+        dest_dir = str(tmp_path / 'cache')
+        out = download_file('file://' + str(src), directory = dest_dir)
+        assert open(out).read() == 'payload'
+        # cached: source removal does not break a second call
+        src.unlink()
+        assert download_file('file://' + str(src), directory = dest_dir) == out
+
 
 class TestTimeToString:
     def test_formats(self):

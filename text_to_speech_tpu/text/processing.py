@@ -120,14 +120,25 @@ def get_pairs(word):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
-def bpe(token, merge_ranks, cache = None):
-    """Apply byte-pair merges to `token` given a {pair: rank} table."""
+def bpe(token, merge_ranks, cache = None, end_of_word = None):
+    """Apply byte-pair merges to `token` given a {pair: rank} table.
+
+    `end_of_word` (CLIP-style, e.g. ``'</w>'``) is appended to the last
+    unit before merging so word-final merges are distinct from word-internal
+    ones and decode can restore spaces.
+    """
     if cache is not None and token in cache:
         return cache[token]
-    word = tuple(token)
+    if end_of_word and token:
+        word = tuple(token[:-1]) + (token[-1] + end_of_word,)
+    else:
+        word = tuple(token)
     pairs = get_pairs(word)
     if not pairs:
-        return (token,)
+        word = (token + end_of_word,) if end_of_word and token else (token,)
+        if cache is not None:
+            cache[token] = word
+        return word
     while True:
         best = min(pairs, key = lambda p: merge_ranks.get(p, float('inf')))
         if best not in merge_ranks:

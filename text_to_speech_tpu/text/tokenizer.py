@@ -129,6 +129,7 @@ class Tokenizer:
                  lstrip = False,
                  rstrip = False,
                  split_pattern = None,
+                 bpe_end_of_word = None,
                  ** kwargs
                 ):
         self.level = TokenizerLevel.normalize(level)
@@ -149,6 +150,7 @@ class Tokenizer:
         self.lstrip = lstrip
         self.rstrip = rstrip
         self.split_pattern = split_pattern
+        self.bpe_end_of_word = bpe_end_of_word
 
         self._token_to_idx = {tok: i for i, tok in enumerate(self.vocab)}
         self.bpe_ranks = None
@@ -223,7 +225,8 @@ class Tokenizer:
         tokens = []
         for word in re.findall(self.split_pattern or r'\S+|\s', text):
             encoded = ''.join(self._byte_encoder[b] for b in word.encode('utf-8'))
-            tokens.extend(bpe(encoded, self.bpe_ranks, self._bpe_cache))
+            tokens.extend(bpe(encoded, self.bpe_ranks, self._bpe_cache,
+                              end_of_word = self.bpe_end_of_word))
         return tokens
 
     # -- encode / decode -------------------------------------------------------
@@ -291,9 +294,13 @@ class Tokenizer:
             return ' '.join(units)
         if self.level == TokenizerLevel.BPE:
             text = ''.join(units)
-            return bytearray(
+            if self.bpe_end_of_word:
+                # word-boundary marker (CLIP-style) carries the spaces
+                text = text.replace(self.bpe_end_of_word, ' ')
+            out = bytearray(
                 self._byte_decoder.get(c, ord(' ')) for c in text
             ).decode('utf-8', 'replace')
+            return out.rstrip() if self.bpe_end_of_word else out
         return ''.join(units)
 
     def ctc_decode(self, ids_or_logits, blank_index = None, *,
@@ -346,6 +353,10 @@ class Tokenizer:
             config['bpe_ranks'] = [list(pair) for pair in sorted(
                 self.bpe_ranks, key = self.bpe_ranks.get
             )]
+        if self.bpe_end_of_word:
+            config['bpe_end_of_word'] = self.bpe_end_of_word
+        if self.split_pattern:
+            config['split_pattern'] = self.split_pattern
         return config
 
     def save(self, filename):
@@ -392,3 +403,61 @@ class Tokenizer:
             mask_token = hf.mask_token,
             ** kwargs,
         )
+
+    @classmethod
+    def from_clip_pretrained(cls, merges = None, *, filename = None,
+                             url = None, directory = None, ** kwargs):
+        """Build the CLIP BPE tokenizer (``</w>`` end-of-word marker).
+
+        The vocabulary is derived from the merge table exactly as CLIP does
+        (reference ``utils/text/tokenizer.py:818``): 256 byte units, the same
+        units with ``</w>`` appended, one entry per merge pair, then the
+        start/end specials.  `merges` may be given directly as a list of
+        pairs; otherwise `filename` (a local ``bpe_*.txt[.gz]``) or `url`
+        (cached via ``download_file``) provides it.
+        """
+        if merges is None:
+            if filename is None and url is not None:
+                from ..utils.file_utils import download_file
+                filename = download_file(url, directory = directory)
+            if filename is None:
+                raise ValueError('from_clip_pretrained needs `merges`, `filename` or `url`')
+            if str(filename).endswith('.gz'):
+                import gzip
+                with gzip.open(filename) as file:
+                    lines = file.read().decode('utf-8').split('\n')
+            else:
+                with open(filename, encoding = 'utf-8') as file:
+                    lines = file.read().split('\n')
+            # first line is a version header; table capped at CLIP's size
+            merges = [tuple(line.split()) for line in lines[1: 49152 - 256 - 2 + 1]
+                      if len(line.split()) == 2]
+        merges = [tuple(pair) for pair in merges]
+
+        byte_units = list(bytes_to_unicode().values())
+        vocab = byte_units + [u + '</w>' for u in byte_units]
+        vocab += [''.join(pair) for pair in merges]
+        vocab += ['<|startoftext|>', '<|endoftext|>']
+
+        kwargs.setdefault('cleaners', ['lowercase', 'collapse_whitespace'])
+        kwargs.setdefault(
+            'split_pattern',
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+            r"|[A-Za-zÀ-ɏ]+|[0-9]|[^\sA-Za-zÀ-ɏ0-9]+",
+        )
+        return cls(
+            vocab,
+            level = 'bpe',
+            bpe_ranks = {pair: i for i, pair in enumerate(merges)},
+            bpe_end_of_word = '</w>',
+            use_sos_and_eos = True,
+            sos_token = '<|startoftext|>',
+            eos_token = '<|endoftext|>',
+            ** kwargs,
+        )
+
+    @classmethod
+    def from_whisper_pretrained(cls, name = 'openai/whisper-base', ** kwargs):
+        """Whisper's byte-level BPE, via the HF import path
+        (reference ``utils/text/tokenizer.py:854``)."""
+        return cls.from_transformers_pretrained(name, ** kwargs)

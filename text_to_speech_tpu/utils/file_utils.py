@@ -164,5 +164,91 @@ def _dump_csv(filename, data, ** kwargs):
     pd.DataFrame(data).to_csv(filename, sep = kwargs.pop('sep', sep), index = False, ** kwargs)
 
 
+@register_loader('yaml', 'yml')
+def _load_yaml(filename, ** kwargs):
+    import yaml
+    with open(filename, encoding = 'utf-8') as file:
+        return yaml.safe_load(file)
+
+
+@register_dumper('yaml', 'yml')
+def _dump_yaml(filename, data, ** kwargs):
+    import yaml
+    with open(filename, 'w', encoding = 'utf-8') as file:
+        yaml.safe_dump(data, file, ** kwargs)
+
+
+@register_loader('h5', 'hdf5')
+def _load_h5(filename, ** kwargs):
+    """Read an HDF5 file as {dataset name: ndarray} (groups flattened by path)."""
+    import h5py
+    out = {}
+    with h5py.File(filename, 'r') as file:
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                value = obj[()]
+                if isinstance(value, bytes): value = value.decode('utf-8')
+                out[name] = value
+        file.visititems(visit)
+    return out
+
+
+@register_dumper('h5', 'hdf5')
+def _dump_h5(filename, data, ** kwargs):
+    import h5py
+    with h5py.File(filename, 'w') as file:
+        for key, value in data.items():
+            file.create_dataset(key, data = value)
+
+
+@register_loader('xlsx', 'xls')
+def _load_xlsx(filename, ** kwargs):
+    import pandas as pd
+    return pd.read_excel(filename, ** kwargs)
+
+
+@register_dumper('xlsx', 'xls')
+def _dump_xlsx(filename, data, ** kwargs):
+    import pandas as pd
+    pd.DataFrame(data).to_excel(filename, index = False, ** kwargs)
+
+
+def download_file(url, directory = None, filename = None, *, overwrite = False):
+    """Fetch `url` into `directory` (cached: skips when the file exists).
+
+    The capability of reference ``utils/file_utils.py:132``.  Local paths and
+    ``file://`` URLs are served from disk; http(s) uses urllib.  Returns the
+    local path.
+    """
+    import urllib.parse
+    import urllib.request
+
+    parsed = urllib.parse.urlparse(str(url))
+    if parsed.scheme in ('', 'file'):
+        source = parsed.path if parsed.scheme == 'file' else str(url)
+        if directory is None and filename is None:
+            return source
+    else:
+        source = None
+
+    if filename is None:
+        filename = os.path.basename(parsed.path) or 'download'
+    if directory:
+        os.makedirs(directory, exist_ok = True)
+        filename = os.path.join(directory, filename)
+
+    if os.path.exists(filename) and not overwrite:
+        return filename
+
+    if source is not None:
+        import shutil
+        shutil.copyfile(source, filename)
+    else:
+        tmp = filename + '.part'
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, filename)
+    return filename
+
+
 def expand_path(path):
     return os.path.abspath(os.path.expanduser(os.path.expandvars(path)))
