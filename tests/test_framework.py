@@ -122,6 +122,16 @@ class TestEmbeddings:
         np.testing.assert_allclose(table['embedding'], emb)
         assert list(table['speaker']) == ['a', 'a', 'b', 'b']
 
+    def test_h5_roundtrip(self, tmp_path):
+        emb = np.random.randn(4, 8).astype(np.float32)
+        path = save_embeddings(str(tmp_path / 'e.h5'), emb, speaker = ['a', 'a', 'b', 'b'])
+        table = load_embeddings(path)
+        np.testing.assert_allclose(table['embedding'], emb)
+        assert list(table['speaker']) == ['a', 'a', 'b', 'b']
+        # selection over the restored metadata column works
+        np.testing.assert_allclose(
+            select_embedding(table, 'mean', label = 'b'), emb[2:].mean(0))
+
     def test_select_modes(self):
         emb = np.arange(8, dtype = np.float32).reshape(4, 2)
         table = {'embedding': emb, 'speaker': np.array(['a', 'a', 'b', 'b'])}

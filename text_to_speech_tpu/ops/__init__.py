@@ -10,4 +10,5 @@ from .audio_processing import (
 )
 from .audio_io import (
     read_audio, write_audio, load_audio, load_mel, play_audio, display_audio,
+    record_audio,
 )

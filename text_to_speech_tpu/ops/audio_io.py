@@ -200,6 +200,19 @@ def play_audio(audio, rate = 22050, *, blocking = True, ** kwargs):
         if blocking and os.path.exists(path): os.remove(path)
 
 
+def record_audio(seconds, rate = 16000, *, filename = None, ** kwargs):
+    """Capture `seconds` of microphone audio (reference ``audio_io.py:76``).
+
+    Uses the pyaudio-backed AudioRecorder when the package is present;
+    optionally writes the capture to `filename`.
+    """
+    from .audio_stream import AudioRecorder
+    audio = AudioRecorder(rate = rate, ** kwargs).record(seconds)
+    if filename is not None:
+        write_audio(filename, audio, rate)
+    return audio
+
+
 def display_audio(audio, rate = 22050, ** kwargs):
     """Render an IPython audio widget in notebooks, else fall back to playback."""
     try:

@@ -1,7 +1,7 @@
 """Speaker-embedding storage and selection.
 
 Capability parity with ``/root/reference/utils/embeddings.py``
-(`save_embeddings:119`/`load_embeddings:77` over npy/csv/pkl dataframes,
+(`save_embeddings:119`/`load_embeddings:77` over npy/npz/csv/pkl/h5 dataframes,
 `select_embedding:249` with random/mean/label modes, `compute_centroids:289`).
 Embeddings are stored as a table: ``{'embedding': (N, D) array, ...metadata
 columns (e.g. 'id'/'speaker': (N,) lists)}``.
@@ -18,7 +18,7 @@ logger = logging.getLogger(__name__)
 
 
 def save_embeddings(filename, embeddings, ** metadata):
-    """Save an (N, D) array (+ aligned metadata columns) to .npz/.npy/.csv/.pkl."""
+    """Save an (N, D) array (+ aligned metadata columns) to .npz/.npy/.csv/.pkl/.h5."""
     embeddings = np.asarray(embeddings)
     ext = os.path.splitext(filename)[1].lower()
     d = os.path.dirname(filename)
@@ -40,9 +40,23 @@ def save_embeddings(filename, embeddings, ** metadata):
         import pickle
         with open(filename, 'wb') as f:
             pickle.dump({'embedding': embeddings, ** metadata}, f)
+    elif ext in ('.h5', '.hdf5'):
+        from .file_utils import dump_data
+        dump_data(filename, {
+            'embedding': embeddings,
+            ** {k: _h5_column(v) for k, v in metadata.items()},
+        })
     else:
         raise ValueError('Unsupported embeddings format: {}'.format(ext))
     return filename
+
+
+def _h5_column(values):
+    arr = np.asarray(values)
+    # h5py cannot store unicode object arrays directly; utf-8 byte strings can
+    if arr.dtype.kind in ('U', 'O'):
+        arr = np.asarray([str(v).encode('utf-8') for v in values])
+    return arr
 
 
 def load_embeddings(filename):
@@ -72,6 +86,13 @@ def load_embeddings(filename):
         import pickle
         with open(filename, 'rb') as f:
             return pickle.load(f)
+    if ext in ('.h5', '.hdf5'):
+        from .file_utils import load_data
+        out = load_data(filename)
+        for key, value in out.items():
+            if isinstance(value, np.ndarray) and value.dtype.kind == 'S':
+                out[key] = np.asarray([v.decode('utf-8') for v in value])
+        return out
     raise ValueError('Unsupported embeddings format: {}'.format(ext))
 
 
