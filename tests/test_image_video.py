@@ -28,6 +28,26 @@ class TestLayoutCombination:
         assert groups[0] == [0, 1] and groups[1] == [2]
         assert rows[0].shape == (2, 4)
 
+    def test_horizontal_merge_is_order_independent(self):
+        from text_to_speech_tpu.utils.image.boxes import \
+            combine_boxes_horizontal
+        # same two words on a line, given in non-reading order: the gap
+        # must be the interval gap (60px), not a direction-dependent span
+        boxes = np.array([[100, 0, 140, 10], [0, 0, 40, 10]], np.float32)
+        merged, groups, _ = combine_boxes_horizontal(boxes, x_threshold = 65)
+        assert len(merged) == 1
+        assert np.allclose(merged[0], [0, 0, 140, 10])
+        merged2, _, _ = combine_boxes_horizontal(boxes[::-1], x_threshold = 65)
+        assert np.allclose(merged2, merged)
+
+    def test_vertical_merge_is_order_independent(self):
+        from text_to_speech_tpu.utils.image.boxes import \
+            combine_boxes_vertical
+        boxes = np.array([[0, 20, 40, 30], [0, 0, 38, 10]], np.float32)
+        merged, _, _ = combine_boxes_vertical(boxes, y_threshold = 11)
+        assert len(merged) == 1
+        assert np.allclose(merged[0], [0, 0, 40, 30])
+
     def test_horizontal_respects_y_overlap(self):
         from text_to_speech_tpu.utils.image.boxes import \
             combine_boxes_horizontal

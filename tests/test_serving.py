@@ -190,6 +190,38 @@ class TestContinuousServingEngine:
             with pytest.raises(RuntimeError):
                 aborted.result.get(timeout = 10)
 
+    def test_all_aborted_boundary_skips_step(self):
+        """When every active slot aborts at the same chunk boundary the
+        engine must not call step_fn on an empty batch (it would crash a
+        real stepper's max()-over-rows) and must keep serving."""
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        in_flight = threading.Event()
+        min_rows = [99]
+
+        def step_fn(states):
+            min_rows[0] = min(min_rows[0], len(states))
+            max(len(st) for st in states)     # crashes on an empty batch
+            in_flight.set()
+            time.sleep(0.01)
+            out = [dict(st, n = st['n'] - 1) for st in states]
+            return out, [st['n'] <= 0 for st in out]
+
+        with ContinuousServingEngine(
+                lambda n: {'n': n}, step_fn, lambda st: 'done') as engine:
+            a = engine.submit(50)
+            b = engine.submit(50)
+            assert in_flight.wait(timeout = 10)
+            a.abort(); b.abort()
+            for req in (a, b):
+                with pytest.raises(RuntimeError):
+                    req.result.get(timeout = 10)
+            # the engine survives the all-aborted boundary
+            c = engine.submit(2)
+            assert c.result.get(timeout = 10) == 'done'
+        assert min_rows[0] >= 1
+
 
 class TestContinuousTacotron:
     def test_chunked_decode_matches_infer(self, tmp_path, monkeypatch):
@@ -239,6 +271,62 @@ class TestContinuousTacotron:
             deterministic = True, early_stopping = False, max_length = 12)
         np.testing.assert_allclose(
             out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
+        reset_instances()
+
+
+class TestBucketShrink:
+    def test_surviving_row_outlives_longer_bucket(self, tmp_path, monkeypatch):
+        """A short-bucket request admitted mid-flight must survive the
+        longer request finishing: the batch re-buckets DOWN (alignment
+        maps sliced, not negatively padded) and still matches the one-shot
+        decode."""
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'shrink_taco',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1          # run to max_steps
+
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 8,
+            deterministic = True)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            # long text → token bucket 16
+            a = engine.submit('hello world this is a long one')
+            # admit the short request (bucket 8) once A is in flight, so B
+            # is still decoding when A completes and the bucket shrinks
+            deadline = time.time() + 60
+            while engine.stats['chunks'] < 1 and time.time() < deadline:
+                time.sleep(0.01)
+            b = engine.submit('test')
+            out_a = a.result.get(timeout = 120)
+            out_b = b.result.get(timeout = 120)
+
+        assert out_a['steps'] == 8 and out_b['steps'] == 8
+
+        # B matches the one-shot while_loop decode at its own bucket
+        tokens = np.asarray(model.encode_text('test'))[None, :]
+        s = -(-tokens.shape[1] // 8) * 8
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        ref = model.arch.infer(
+            model.params, model.state, jnp.asarray(tokens),
+            deterministic = True, early_stopping = False, max_length = 8)
+        np.testing.assert_allclose(
+            out_b['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
         reset_instances()
 
 

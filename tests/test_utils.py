@@ -295,3 +295,13 @@ class TestProcess:
             if got: break
             time.sleep(0.02)
         assert got == [5]
+
+    def test_run_in_thread_callback_failure_keeps_result(self):
+        from text_to_speech_tpu.utils.process import run_in_thread
+
+        @run_in_thread(callback = lambda out: 1 / 0)
+        def add(a, b):
+            return a + b
+
+        # a crashing completion callback must not poison the stored result
+        assert add(2, 3).get(timeout = 5) == 5

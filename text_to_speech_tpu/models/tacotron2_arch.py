@@ -423,7 +423,9 @@ class Tacotron2:
         per chunk and may admit new requests into free batch rows between
         calls (the in-flight batching the reference's TRT-LLM runner
         provides, ``custom_model_runner_cpp.py:26-40``).  ``step_offset``
-        keeps the prenet-dropout PRNG stream aligned across chunks.
+        selects the prenet-dropout key indices for this chunk; callers must
+        pass a fresh (monotonically advanced) offset per chunk so no row
+        re-consumes keys it drew in an earlier chunk.
 
         Returns (frames (B, K, n_mel), gates (B, K), (frame, cell_state)).
         """

@@ -229,8 +229,10 @@ class ContinuousServingEngine(_SchedulerMixin):
         self._init_scheduler(force_python = not native_scheduler)
         self._thread = None
         self._running = threading.Event()
+        import collections
+        # bounded: a long-running server must not grow per-request state
         self.stats = {'requests': 0, 'chunks': 0, 'aborted': 0,
-                      'latencies': []}
+                      'latencies': collections.deque(maxlen = 10_000)}
 
     def start(self):
         if self._running.is_set(): return self
@@ -293,13 +295,16 @@ class ContinuousServingEngine(_SchedulerMixin):
             self._admit(slots, block = not slots)
             if not slots:
                 continue
-            self.stats['chunks'] += 1
             live = [(r, s) for r, s in slots if not r.aborted.is_set()]
             for request, _ in slots:
                 if request.aborted.is_set():
                     self.stats['aborted'] += 1
                     self._finish(request, error = RuntimeError(
                         'request {} aborted'.format(request.request_id)))
+            if not live:
+                slots = []
+                continue
+            self.stats['chunks'] += 1
             try:
                 states, done = self.step_fn([s for _, s in live])
             except Exception as e:
@@ -395,7 +400,11 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     # per-chunk path free of eager per-row ops matters doubly over remote
     # device transports where every eager op pays round-trip latency.
     batch = {'ids': (), 's': 0, 'frame': None, 'cell': None,
-             'mem': None, 'pm': None, 'mask': None}
+             'mem': None, 'pm': None, 'mask': None,
+             # monotone PRNG offset: every chunk folds fresh key indices, so
+             # no row ever re-consumes a prenet-dropout key from an earlier
+             # chunk regardless of how far along its batch-mates are
+             'rng_off': 0}
 
     def start_fn(text, on_audio = None, ** kwargs):
         tokens = np.asarray(model.encode_text(text))[None, :]
@@ -456,13 +465,20 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         return jnp.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
 
     def _extract_cell(cell, i, s_old, s_new):
-        """One row of a stacked cell state, alignment maps re-padded."""
+        """One row of a stacked cell state, alignment maps re-bucketed.
+
+        Growth zero-pads; shrink (the batch's longest request finished)
+        slices — exact either way, because positions beyond a row's real
+        tokens carry zero attention under the masked softmax."""
         row = jax.tree_util.tree_map(lambda leaf: leaf[i], cell)
         if s_new == s_old:
             return row
         attn_rnn, dec_rnns, context, (prev, cum) = row
-        pad = lambda a: jnp.pad(a, ((0, s_new - s_old),))
-        return (attn_rnn, dec_rnns, context, (pad(prev), pad(cum)))
+        if s_new > s_old:
+            fit = lambda a: jnp.pad(a, ((0, s_new - s_old),))
+        else:
+            fit = lambda a: a[:s_new]
+        return (attn_rnn, dec_rnns, context, (fit(prev), fit(cum)))
 
     def _rebuild(states, s):
         """Restack the device batch (admission / removal / re-bucket):
@@ -496,7 +512,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         if ids != batch['ids'] or s != batch['s']:
             _rebuild(states, s)
 
-        off = min(st['steps'] for st in states)
+        off = batch['rng_off']
+        batch['rng_off'] += chunk
         frames, gates, (frame, cell) = decode(
             model.params, batch['frame'], batch['cell'],
             batch['mem'], batch['pm'], batch['mask'],

@@ -320,10 +320,11 @@ def combine_boxes_horizontal(boxes, *, indices = None, h_factor = 1.5,
     h = boxes[:, 3] - boxes[:, 1]
     if x_threshold is None:
         x_threshold = np.median(h) * h_factor
-    gap = np.abs(boxes[:, None, 2] - boxes[None, :, 0])
-    overlap_x = (np.minimum(boxes[:, None, 2], boxes[None, :, 2])
-                 - np.maximum(boxes[:, None, 0], boxes[None, :, 0])) > 0.
-    gap = gap * ~overlap_x          # touching/overlapping → distance 0
+    # symmetric interval gap (0 when overlapping) — adjacency must not
+    # depend on input index order since compute_groups reads the triangle
+    gap = np.maximum(0., np.maximum(
+        boxes[None, :, 0] - boxes[:, None, 2],
+        boxes[:, None, 0] - boxes[None, :, 2]))
     overlap_y = np.maximum(0., (
         np.minimum(boxes[:, None, 3], boxes[None, :, 3])
         - np.maximum(boxes[:, None, 1], boxes[None, :, 1])))
@@ -352,10 +353,10 @@ def combine_boxes_vertical(boxes, *, indices = None, y_threshold = None,
     if y_threshold is None:
         y_threshold = max(np.median(h) / 4., 1e-2)
     h_diff = np.abs(h[:, None] - h[None, :])
-    gap = np.abs(boxes[:, None, 3] - boxes[None, :, 1])
-    overlap_y = (np.minimum(boxes[:, None, 3], boxes[None, :, 3])
-                 - np.maximum(boxes[:, None, 1], boxes[None, :, 1])) > 0.
-    gap = gap * ~overlap_y
+    # symmetric vertical gap (0 when overlapping), order-independent
+    gap = np.maximum(0., np.maximum(
+        boxes[None, :, 1] - boxes[:, None, 3],
+        boxes[:, None, 1] - boxes[None, :, 3]))
 
     shifted_w = (boxes[:, 2] - boxes[:, 0]) * shift_factor
     shifted_x_max = boxes[:, 2] - shifted_w

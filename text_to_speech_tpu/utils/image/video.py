@@ -441,8 +441,13 @@ def stream_camera(source = 0, *, max_time = None, nb_frames = -1,
     import threading
 
     if isinstance(source, str) and output_fps is None:
-        output_fps = FFMPEGReader(source).framerate \
-            if _ffprobe_available() else fps or 25.
+        # probe only — instantiating FFMPEGReader here would leak a live
+        # decode subprocess just to read the frame rate
+        if _ffprobe_available():
+            num, den = get_video_info(source)['avg_frame_rate'].split('/')
+            output_fps = float(num) / max(float(den), 1.)
+        else:
+            output_fps = fps or 25.
     if output_fps is None:
         output_fps = fps or 25.
 

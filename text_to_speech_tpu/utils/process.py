@@ -35,11 +35,16 @@ def run_in_thread(fn = None, *, name = None, callback = None, daemon = True):
         def run():
             try:
                 out = fn(* args, ** kwargs)
-                result.set_result(out)
-                if callback is not None:
-                    callback(out)
             except Exception as e:
                 result.set_exception(e)
+                return
+            result.set_result(out)
+            # callback failures must not turn the stored success into an error
+            if callback is not None:
+                try:
+                    callback(out)
+                except Exception:
+                    logger.exception('run_in_thread callback failed')
 
         threading.Thread(target = run, daemon = daemon,
                          name = name or fn.__name__).start()
