@@ -155,6 +155,22 @@ class TestEmbeddings:
         m = distance(np.eye(2), np.eye(2), 'euclidean', as_matrix = True)
         assert np.asarray(m).shape == (2, 2)
 
+    def test_dice(self):
+        x = np.array([1., 1., 0., 0.])
+        y = np.array([1., 0., 1., 0.])
+        assert abs(float(distance(x, y, 'dice')) - 0.5) < 1e-6
+        assert abs(float(distance(x, x, 'dice')) - 1.) < 1e-6
+
+    def test_knn(self):
+        from text_to_speech_tpu.utils.distances import knn
+        emb = np.array([[0., 0.], [0.1, 0.], [5., 5.], [5.1, 5.]])
+        ids = np.array([0, 0, 1, 1])
+        pred = knn([[0.05, 0.], [5.05, 5.]], emb, ids, k = 2)
+        assert pred.tolist() == [0, 1]
+        pred_w, scores = knn([0.05, 0.], emb, ids, k = 4,
+                             weighted = True, return_scores = True)
+        assert pred_w.tolist() == [0] and scores[0] > 0.
+
 
 class TestWeightsConverter:
     def test_exact_transfer(self):

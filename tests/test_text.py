@@ -217,6 +217,50 @@ class TestTokenizer:
         assert len(fr_symbols) == 70
 
 
+class TestPunctuationCleaners:
+    def test_detach_attach_roundtrip(self):
+        from text_to_speech_tpu.text.cleaners import (
+            detach_punctuation, attach_punctuation)
+        text = 'Hello, world (yes)!'
+        detached = detach_punctuation(text)
+        assert ' , ' in detached and ' ( ' in detached
+        assert attach_punctuation(detached) == 'Hello, world (yes)!'
+
+    def test_expand_tremas(self):
+        from text_to_speech_tpu.text.cleaners import expand_tremas
+        assert expand_tremas('maïs') == 'mahis'
+        assert expand_tremas('aï') == 'aille'
+
+    def test_convert_to_alnum(self):
+        from text_to_speech_tpu.text.cleaners import convert_to_alnum
+        assert convert_to_alnum('a&b #c!') == 'a b  c!'
+
+    def test_registered_by_name(self):
+        from text_to_speech_tpu.text.cleaners import get_cleaners_fn
+        fns = get_cleaners_fn(['detach_punctuation', 'convert_to_alnum',
+                               'expand_tremas', 'attach_punctuation',
+                               'collapse_repetitions', 'remove_tokens'])
+        assert len(fns) == 6
+
+
+class TestJinjaChatTemplate:
+    TEMPLATE = ('{% for m in messages %}<{{ m.role }}>{{ m.content }}</s>\n'
+                '{% endfor %}{% if add_generation_prompt %}<assistant>{% endif %}')
+
+    def test_render(self):
+        from text_to_speech_tpu.text.tokenizer import render_chat_template
+        out = render_chat_template(
+            [{'role': 'user', 'content': 'hi'}], self.TEMPLATE)
+        assert out == '<user>hi</s>\n<assistant>'
+
+    def test_no_generation_prompt(self):
+        from text_to_speech_tpu.text.tokenizer import render_chat_template
+        out = render_chat_template(
+            [{'role': 'system', 'content': 'a'}, {'role': 'user', 'content': 'b'}],
+            self.TEMPLATE, add_generation_prompt = False)
+        assert out == '<system>a</s>\n<user>b</s>\n'
+
+
 class TestClipTokenizer:
     MERGES = [('h', 'e'), ('l', 'l'), ('he', 'll'), ('hell', 'o</w>'),
               ('w', 'o'), ('r', 'l'), ('wo', 'rl'), ('worl', 'd</w>'),

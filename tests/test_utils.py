@@ -108,6 +108,14 @@ class TestFileUtils:
         assert np.allclose(out['w'], np.arange(6.).reshape(2, 3))
         assert np.allclose(out['grp/b'], np.ones(4))
 
+    def test_hash_file(self, tmp_path):
+        from text_to_speech_tpu.utils.file_utils import hash_file
+        p = tmp_path / 'x.bin'
+        p.write_bytes(b'abc')
+        # sha256('abc') is a published constant
+        assert hash_file(str(p)) == (
+            'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad')
+
     def test_download_file_local_cache(self, tmp_path):
         from text_to_speech_tpu.utils.file_utils import download_file
         src = tmp_path / 'src.txt'

@@ -198,6 +198,35 @@ def remove_punctuation(text, punctuation = '_!?.,’“”‚‘—–()[]{}:;\'
     return ''.join(c for c in text if c not in punctuation)
 
 
+def detach_punctuation(text, punctuation = '!?.,:;()[]{}', ** kwargs):
+    """Surround punctuation with spaces (word-level tokenization prep)."""
+    for punct in punctuation:
+        text = text.replace(punct, ' {} '.format(punct))
+    return text.strip()
+
+
+def attach_punctuation(text, ** kwargs):
+    """Re-attach punctuation to adjacent words (inverse of detach)."""
+    text = collapse_whitespace(text)
+    for punct in '([{':
+        text = text.replace('{} '.format(punct), punct)
+    for punct in ')]},.!?:;':
+        text = text.replace(' {}'.format(punct), punct)
+    return text
+
+
+def expand_tremas(text, ** kwargs):
+    """French diaeresis verbalization (aï → aille, ï → hi)."""
+    return replace_patterns(text, {r'(aï)\b': 'aille', r'(ï)': 'hi'})
+
+
+def convert_to_alnum(text, allowed_char = '.,?! ', replace_char = ' ', ** kwargs):
+    """Replace all non-alphanumeric characters by `replace_char`."""
+    return ''.join(
+        c if c.isalnum() or c in allowed_char else replace_char for c in text
+    )
+
+
 def remove_tokens(text, tokens = (), ** kwargs):
     if not tokens: return text
     return replace_words(text, {tok: '' for tok in tokens})
@@ -272,6 +301,12 @@ _CLEANERS = {
     'expand_abbreviations': expand_abbreviations,
     'expand_acronyms': expand_acronyms,
     'expand_special_symbols': expand_special_symbols,
+    'detach_punctuation': detach_punctuation,
+    'attach_punctuation': attach_punctuation,
+    'expand_tremas': expand_tremas,
+    'convert_to_alnum': convert_to_alnum,
+    'collapse_repetitions': collapse_repetitions,
+    'remove_tokens': remove_tokens,
 }
 
 

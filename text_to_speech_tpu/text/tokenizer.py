@@ -89,12 +89,24 @@ DEFAULT_CHAT_TEMPLATE = '<|{role}|>\n{content}\n'
 def render_chat_template(messages, template = None, *,
                          add_generation_prompt = True,
                          generation_role = 'assistant'):
-    """Render chat messages to a single prompt string."""
+    """Render chat messages to a single prompt string.
+
+    `template` may be a callable, a ``{role}``/``{content}`` format string,
+    or a Jinja template (detected by ``{%``/``{{`` — the format HF
+    tokenizers ship, reference ``tokenizer.py:463``)."""
     if callable(template):
         return template(messages, add_generation_prompt)
-    fmt = template or DEFAULT_CHAT_TEMPLATE
     if isinstance(messages, str):
         messages = [{'role': 'user', 'content': messages}]
+    if isinstance(template, str) and ('{%' in template or '{{' in template):
+        import jinja2
+        env = jinja2.Environment(trim_blocks = True, lstrip_blocks = True)
+        env.globals['raise_exception'] = _jinja_raise
+        return env.from_string(template).render(
+            messages = messages,
+            add_generation_prompt = add_generation_prompt,
+        )
+    fmt = template or DEFAULT_CHAT_TEMPLATE
     text = ''.join(
         fmt.format(role = m.get('role', 'user'), content = m.get('content', ''))
         for m in messages
@@ -102,6 +114,10 @@ def render_chat_template(messages, template = None, *,
     if add_generation_prompt:
         text += fmt.split('{content}')[0].format(role = generation_role)
     return text
+
+
+def _jinja_raise(message):
+    raise ValueError(message)
 
 
 def pretty_print_template(template = None):

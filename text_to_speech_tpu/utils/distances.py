@@ -67,6 +67,51 @@ def cosine_distance(x, y, ** kwargs):
     return 1. - cosine_similarity(x, y, ** kwargs)
 
 
+@register_metric('dice')
+def dice_coeff(x, y, as_matrix = False, ** kwargs):
+    """Dice coefficient 2|x∩y| / (|x|+|y|) for mask-like vectors."""
+    xp, x, y = _prepare(x, y, as_matrix)
+    inter = xp.sum(x * y, axis = -1)
+    union = xp.sum(x, axis = -1) + xp.sum(y, axis = -1)
+    return xp.where(union > 0, 2. * inter / xp.maximum(union, 1e-9), 0.)
+
+
+def knn(query, embeddings, ids, *, k = 5, method = 'euclidean',
+        weighted = False, return_scores = False, ** kwargs):
+    """k-nearest-neighbour vote (reference ``utils/distances.py:134``).
+
+    query (Q, D) or (D,), embeddings (N, D), ids (N,) numeric labels →
+    predicted id per query (majority among the k nearest under `method`;
+    `weighted` scores each neighbour by 1/distance).
+    """
+    import numpy as np
+    query = np.atleast_2d(np.asarray(query))
+    embeddings = np.asarray(embeddings)
+    ids = np.asarray(ids)
+    scores_qn = np.asarray(distance(
+        query, embeddings, method = method, as_matrix = True, ** kwargs))
+    similarity = method in ('cosine', 'dot', 'dice')   # larger = closer
+    order = -scores_qn if similarity else scores_qn
+    k = min(int(k), embeddings.shape[0])
+    nearest = np.argsort(order, axis = -1)[:, :k]
+    out, scores = [], []
+    for q in range(query.shape[0]):
+        votes = {}
+        for j in nearest[q]:
+            if not weighted:
+                w = 1.
+            elif similarity:
+                w = max(float(scores_qn[q, j]), 1e-9)
+            else:
+                w = 1. / (1e-9 + max(float(scores_qn[q, j]), 0.))
+            votes[ids[j]] = votes.get(ids[j], 0.) + w
+        best = max(votes, key = votes.get)
+        out.append(best)
+        scores.append(votes[best])
+    out = np.asarray(out)
+    return (out, np.asarray(scores)) if return_scores else out
+
+
 def distance(x, y, method = 'euclidean', ** kwargs):
     """Compute a registered metric.  `as_matrix=True` → pairwise (N, M)."""
     if method not in _METRICS:

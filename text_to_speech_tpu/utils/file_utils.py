@@ -250,5 +250,17 @@ def download_file(url, directory = None, filename = None, *, overwrite = False):
     return filename
 
 
+def hash_file(filename, algorithm = 'sha256', chunk_size = 1 << 20):
+    """Streaming content hash of a file → hex digest."""
+    import hashlib
+    h = hashlib.new(algorithm)
+    with open(filename, 'rb') as file:
+        while True:
+            block = file.read(chunk_size)
+            if not block: break
+            h.update(block)
+    return h.hexdigest()
+
+
 def expand_path(path):
     return os.path.abspath(os.path.expanduser(os.path.expandvars(path)))
