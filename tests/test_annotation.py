@@ -34,6 +34,41 @@ class TestSubtitles:
         assert segments[0]['start'] == 0.5
 
 
+class TestMediaExtraction:
+    def test_gated_without_ffmpeg(self, tmp_path):
+        import shutil
+        from text_to_speech_tpu.ops.audio_annotation import (
+            extract_audio, extract_subtitles, process_media)
+        if shutil.which('ffmpeg'):
+            pytest.skip('ffmpeg present: the gated path is not reachable')
+        out = extract_audio(str(tmp_path / 'x.mkv'))
+        assert out is None
+        assert extract_subtitles(str(tmp_path / 'x.mkv')) is None
+        info = process_media(str(tmp_path / 'x.mkv'))
+        assert info['audio_filename'] is None and 'alignment' not in info
+
+    def test_cached_output_short_circuits(self, tmp_path):
+        from text_to_speech_tpu.ops.audio_annotation import extract_audio
+        cached = tmp_path / 'x_audio.wav'
+        cached.write_bytes(b'RIFF')
+        # an existing output is returned without invoking ffmpeg
+        assert extract_audio(str(tmp_path / 'x.mkv')) == str(cached)
+
+    def test_roundtrip_with_ffmpeg(self, tmp_path):
+        import shutil
+        import subprocess
+        if not shutil.which('ffmpeg'):
+            pytest.skip('ffmpeg not available')
+        from text_to_speech_tpu.ops.audio_io import write_audio, read_audio
+        from text_to_speech_tpu.ops.audio_annotation import extract_audio
+        wav = str(tmp_path / 'src.wav')
+        write_audio(wav, np.sin(np.linspace(0, 100, 22050)).astype(np.float32), 22050)
+        mkv = str(tmp_path / 'src.mka')
+        subprocess.run(['ffmpeg', '-y', '-i', wav, mkv], capture_output = True)
+        out = extract_audio(mkv)
+        assert out and read_audio(out)[1].shape[0] > 0
+
+
 class TestSegmentation:
     def test_segments_on_silence(self):
         rate = 16000

@@ -52,6 +52,63 @@ def parse_subtitles(filename):
     return segments
 
 
+# -- media stream extraction (ffmpeg) -------------------------------------------
+
+def _ffmpeg_extract(path, output_file, mode, stream = 0, overwrite = False):
+    """Extract stream `mode` ('a' audio / 's' subtitles) #`stream` from a
+    media container (mkv/mp4/...) via ffmpeg; cached when the output exists.
+    Returns the output path, or None on failure / missing ffmpeg."""
+    import shutil
+    import subprocess
+    if os.path.exists(output_file) and not overwrite:
+        return output_file
+    if shutil.which('ffmpeg') is None:
+        logger.warning('ffmpeg is not available; cannot extract streams')
+        return None
+    rc = subprocess.run(
+        ['ffmpeg', '-y', '-i', path,
+         '-map', '0:{}:{}'.format(mode, stream), output_file],
+        capture_output = True,
+    ).returncode
+    return output_file if rc == 0 else None
+
+
+def extract_audio(path, output_file = None, stream = 0, ** kwargs):
+    """Extract an audio track from a media container
+    (reference ``utils/audio/mkv_utils.py:98``)."""
+    if output_file is None:
+        output_file = os.path.splitext(path)[0] + '_audio.wav'
+    return _ffmpeg_extract(path, output_file, 'a', stream, ** kwargs)
+
+
+def extract_subtitles(path, output_file = None, stream = 0, ** kwargs):
+    """Extract a subtitle track as .srt
+    (reference ``utils/audio/mkv_utils.py:109``)."""
+    if output_file is None:
+        output_file = os.path.splitext(path)[0] + '_subs.srt'
+    return _ffmpeg_extract(path, output_file, 's', stream, ** kwargs)
+
+
+def process_media(path, *, audio_stream = 0, subs_stream = 0, ** kwargs):
+    """Extract audio + subtitles from a media file (or every mkv/mp4 in a
+    directory) → {'filename', 'audio_filename', 'subs_filename', 'alignment'}
+    (the ``process_mkv`` capability, ``mkv_utils.py:24``)."""
+    if isinstance(path, (list, tuple)) or os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(('.mkv', '.mp4', '.webm'))
+        ) if os.path.isdir(path) else list(path)
+        return [process_media(f, audio_stream = audio_stream,
+                              subs_stream = subs_stream, ** kwargs)
+                for f in files]
+    audio = extract_audio(path, stream = audio_stream)
+    subs = extract_subtitles(path, stream = subs_stream)
+    info = {'filename': path, 'audio_filename': audio, 'subs_filename': subs}
+    if subs:
+        info['alignment'] = parse_subtitles(subs)
+    return info
+
+
 # -- segmentation --------------------------------------------------------------
 
 def segment_audio(audio, rate, *, min_segment = 0.5, max_segment = 12.,

@@ -252,11 +252,22 @@ def fit(model,
         state = jax.device_put(state, repl)
         opt_state = jax.device_put(opt_state, repl)
 
+    def _ds_summary(ds):
+        # dataset summary recorded into the training history (the reference
+        # behavior at base_model.py:596-601)
+        if ds is None:
+            return None
+        try:
+            return {'batches': len(ds), 'batch_size': batch_size}
+        except TypeError:
+            return {'batches': None, 'batch_size': batch_size}
+
     history = model.history
     history.set_config({
         'epochs': epochs, 'batch_size': batch_size, 'optimizer': str(optimizer),
         'lr': lr, 'loss': getattr(loss_fn, 'name', str(loss_fn)),
         'mesh': str(mesh.shape) if mesh is not None else None,
+        'dataset': _ds_summary(train_ds), 'valid_dataset': _ds_summary(valid_ds),
     })
 
     initial_epoch = model.epochs
