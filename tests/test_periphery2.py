@@ -7,7 +7,8 @@ import pytest
 from text_to_speech_tpu.train.metrics import get_metric, list_metrics
 from text_to_speech_tpu.train.losses import get_loss
 from text_to_speech_tpu.utils.databases import (
-    JSONDatabase, SQLiteDatabase, VectorDatabase, build_database,
+    JSONDatabase, JSONDirDatabase, SQLiteDatabase, VectorDatabase,
+    build_database,
 )
 from text_to_speech_tpu.text.parsers import parse_document, parse_text, list_parsers
 from text_to_speech_tpu.text.web import get_search_engine, SearchEngine
@@ -84,6 +85,36 @@ class TestDatabases:
         db.save(path)
         db2 = VectorDatabase(path)
         assert db2.search(np.eye(4)[1], k = 1)[0]['name'] == 'b'
+
+    def test_json_dir_db(self, tmp_path):
+        db = build_database('json_dir', str(tmp_path / 'entries'))
+        db.insert({'id': 'spk/1', 'lang': 'en'})
+        db.insert({'id': 'spk/2', 'lang': 'fr'})
+        assert db['spk/1'] == {'lang': 'en'}
+        assert 'spk/2' in db and len(db) == 2
+        # reload from disk recovers exact (sanitized) keys
+        db2 = JSONDirDatabase(str(tmp_path / 'entries'))
+        assert sorted(db2.keys()) == ['spk/1', 'spk/2']
+        assert db2['spk/2'] == {'lang': 'fr'}
+        del db2['spk/1']
+        assert len(db2) == 1 and 'spk/1' not in db2
+        with pytest.raises(KeyError):
+            db2['spk/1']
+
+    def test_multi_ops(self, tmp_path):
+        db = JSONDatabase(str(tmp_path / 'db.json'))
+        db.multi_insert([{'id': i, 'v': i * 10} for i in range(4)])
+        assert db.multi_get([0, 3, 9]) == [{'v': 0}, {'v': 30}, None]
+        db.insert_or_update({'id': 1, 'extra': 'y'})
+        assert db[1] == {'v': 10, 'extra': 'y'}
+        db.insert_or_update({'id': 9, 'v': 90})
+        assert db[9] == {'v': 90}
+        db.multi_update([0, 2], {'flag': True})
+        assert db[0]['flag'] and db[2]['flag']
+        db.multi_update([0, 2], [{'n': 1}, {'n': 2}])
+        assert (db[0]['n'], db[2]['n']) == (1, 2)
+        popped = db.multi_pop([3, 3])
+        assert popped == [{'v': 30}, None] and 3 not in db
 
     def test_vector_db_jax_index(self):
         db = VectorDatabase(metric = 'cosine', index = 'jax')

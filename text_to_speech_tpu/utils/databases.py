@@ -7,6 +7,7 @@ vector search runs as a jit-able matmul (numpy or JAX backend).
 """
 
 import os
+import re
 import json
 import logging
 import sqlite3
@@ -79,6 +80,43 @@ class Database:
         entry.update(fields)
         self[key] = entry
 
+    def insert_or_update(self, row):
+        """Insert the row, or merge its fields into the existing entry
+        (reference ``utils/databases/json_file.py`` behavior)."""
+        key = row[self.primary_key]
+        if key in self:
+            self.update(key, ** {
+                k: v for k, v in row.items() if k != self.primary_key
+            })
+        else:
+            self.insert(row)
+
+    def multi_get(self, keys, default = None):
+        return [self.get(k, default) for k in keys]
+
+    def multi_insert(self, rows):
+        with self._lock:
+            for row in rows:
+                self.insert(row)
+
+    def multi_update(self, keys, fields):
+        """Update many entries; `fields` is one dict (applied to all) or a
+        list aligned with `keys`."""
+        if isinstance(fields, dict):
+            fields = [fields] * len(keys)
+        with self._lock:
+            for key, f in zip(keys, fields):
+                self.update(key, ** f)
+
+    def multi_pop(self, keys):
+        out = []
+        with self._lock:
+            for key in keys:
+                out.append(self.get(key))
+                if key in self:
+                    del self[key]
+        return out
+
 
 @register_database('json')
 class JSONDatabase(Database):
@@ -118,6 +156,73 @@ class JSONDatabase(Database):
 
     def items(self):
         return list(self._data.items())
+
+
+@register_database('json_dir')
+class JSONDirDatabase(Database):
+    """One JSON file per entry under a directory — scales to stores too
+    large for a single file and allows concurrent writers per key
+    (the ``utils/databases/json_dir.py`` capability)."""
+
+    _SAFE = re.compile(r'[^A-Za-z0-9._-]')
+
+    def _file(self, key):
+        name = self._SAFE.sub('_', str(key))
+        return os.path.join(self.path, name + '.json')
+
+    def load(self):
+        os.makedirs(self.path, exist_ok = True)
+        # keys live on disk; keep a name→key map for exact key recovery
+        self._keys = {}
+        for f in os.listdir(self.path):
+            if not f.endswith('.json'): continue
+            try:
+                with open(os.path.join(self.path, f), encoding = 'utf-8') as fh:
+                    entry = json.load(fh)
+                self._keys[f[:-5]] = entry.get('__key__', f[:-5])
+            except (json.JSONDecodeError, OSError):
+                logger.warning('skipping unreadable entry %s', f)
+
+    def save(self):
+        pass                                    # every write is persistent
+
+    def __getitem__(self, key):
+        try:
+            with open(self._file(key), encoding = 'utf-8') as f:
+                entry = json.load(f)
+        except FileNotFoundError:
+            raise KeyError(key)
+        entry.pop('__key__', None)
+        return entry
+
+    def __setitem__(self, key, value):
+        with self._lock:
+            tmp = self._file(key) + '.tmp'
+            with open(tmp, 'w', encoding = 'utf-8') as f:
+                json.dump({** value, '__key__': key}, f,
+                          indent = 2, ensure_ascii = False)
+            os.replace(tmp, self._file(key))
+            self._keys[self._SAFE.sub('_', str(key))] = key
+
+    def __delitem__(self, key):
+        with self._lock:
+            try:
+                os.remove(self._file(key))
+            except FileNotFoundError:
+                raise KeyError(key)
+            self._keys.pop(self._SAFE.sub('_', str(key)), None)
+
+    def __contains__(self, key):
+        return os.path.exists(self._file(key))
+
+    def __len__(self):
+        return len(self._keys)
+
+    def keys(self):
+        return list(self._keys.values())
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
 
 
 @register_database('sqlite')
