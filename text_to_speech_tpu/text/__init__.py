@@ -12,6 +12,15 @@ from .cleaners import (
 from .processing import (
     split_text, split_sentences, split_paragraphs, merge_texts, format_text,
 )
+from .paragraphs import (
+    chunks_from_paragraphs, group_paragraphs, merge_paragraphs,
+    paragraph_to_text,
+)
+from .metrics import text_distance, edit_distance, hamming_distance
+from .tokens import (
+    filter_texts, mask_tokens, mask_batch_tokens, mask_slice_tokens,
+    process_model_output,
+)
 from .tokenizer import Tokenizer, TokenizerLevel
 
 _pad = '_'

@@ -30,19 +30,47 @@ def split_paragraphs(text):
     return [p.strip() for p in re.split(r'\n\s*\n', text) if p.strip()]
 
 
-def merge_texts(parts, max_length, sep = ' ', tokenizer = None):
-    """Greedily merge consecutive `parts` while staying under `max_length`."""
-    merged, current = [], ''
-    for part in parts:
-        if not current:
-            current = part
-        elif _measure(current, tokenizer) + len(sep) + _measure(part, tokenizer) <= max_length:
-            current = current + sep + part
+def merge_texts(parts, max_length, sep = ' ', tokenizer = None,
+                max_overlap = 0, max_overlap_len = 0.2,
+                return_indices = False):
+    """Greedily merge consecutive `parts` while staying under `max_length`.
+
+    When `max_overlap > 0`, each new chunk is prefixed with up to
+    `max_overlap` trailing parts of the previous chunk whose cumulated
+    length stays under `max_overlap_len` (absolute, or relative to
+    `max_length` when a float) — overlapping context for retrieval /
+    document chunking (reference ``text_processing.py:146-217``).
+
+    `return_indices` additionally returns, per merged chunk, the list of
+    input part indices it was built from (overlapped parts repeat).
+    """
+    if isinstance(max_overlap_len, float):
+        max_overlap_len = int(max_overlap_len * max_length)
+    lens = [_measure(p, tokenizer) for p in parts]
+    sep_len = len(sep) if tokenizer is None else 0
+
+    groups, indices = [], []
+    cur, cur_idx, cur_len = [], [], 0
+    for i, (part, n) in enumerate(zip(parts, lens)):
+        extra = n if not cur else n + sep_len
+        if not cur or cur_len + extra <= max_length:
+            cur.append(part); cur_idx.append(i); cur_len += extra
         else:
-            merged.append(current)
-            current = part
-    if current: merged.append(current)
-    return merged
+            groups.append(cur); indices.append(cur_idx)
+            prev, prev_idx = cur, cur_idx
+            cur, cur_idx, cur_len = [part], [i], n
+            if max_overlap > 0 and n < max_length:
+                budget = min(max_overlap_len, max_length - n)
+                overlap_len = 0
+                for k in range(1, 1 + min(max_overlap, len(prev))):
+                    ln = lens[prev_idx[-k]] + sep_len
+                    if overlap_len + ln > budget: break
+                    cur.insert(0, prev[-k]); cur_idx.insert(0, prev_idx[-k])
+                    overlap_len += ln; cur_len += ln
+    if cur:
+        groups.append(cur); indices.append(cur_idx)
+    merged = [sep.join(g) for g in groups]
+    return (merged, indices) if return_indices else merged
 
 
 def _split_level(parts, max_length, splitters, tokenizer):
@@ -63,10 +91,11 @@ def _split_level(parts, max_length, splitters, tokenizer):
     return out
 
 
-def split_text(text, max_length = 150, tokenizer = None):
+def split_text(text, max_length = 150, tokenizer = None, ** merge_kwargs):
     """Split `text` into chunks of at most `max_length` units (characters, or
     tokens when a `tokenizer` is given), breaking at the largest possible
-    linguistic boundary and merging back greedily."""
+    linguistic boundary and merging back greedily.  Extra kwargs
+    (`max_overlap`, `max_overlap_len`) are forwarded to `merge_texts`."""
     if _measure(text, tokenizer) <= max_length:
         stripped = text.strip()
         return [stripped] if stripped else []
@@ -78,7 +107,7 @@ def split_text(text, max_length = 150, tokenizer = None):
         _WORD_SPLIT_RE.split,
     ]
     parts = _split_level([text], max_length, splitters, tokenizer)
-    return merge_texts(parts, max_length, tokenizer = tokenizer)
+    return merge_texts(parts, max_length, tokenizer = tokenizer, ** merge_kwargs)
 
 
 def format_text(text, title = None, max_line_length = None):
