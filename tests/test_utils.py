@@ -313,3 +313,91 @@ class TestProcess:
 
         # a crashing completion callback must not poison the stored result
         assert add(2, 3).get(timeout = 5) == 5
+
+
+class TestRequestManager:
+    def test_roundtrip_and_routing(self):
+        import threading
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+
+        parent, child = StreamRequestManager()
+        ra, buf_a = parent.open_request()
+        rb, buf_b = parent.open_request('named')
+        assert rb == 'named'
+
+        def producer():
+            child.wait_finalize  # attribute exists
+            child(1, request_id = ra)
+            child('x', request_id = rb)
+            child(2, request_id = ra)
+            child.finalize(ra)
+            child('y', request_id = rb)
+            child.finalize(rb)
+
+        t = threading.Thread(target = producer)
+        t.start(); t.join(5)
+
+        assert list(parent.results(ra, timeout = 5)) == [1, 2]
+        assert list(parent.results(rb, timeout = 5)) == ['x', 'y']
+
+    def test_abort_observed_by_child(self):
+        import time
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+
+        parent, child = StreamRequestManager()
+        rid, buf = parent.open_request()
+        time.sleep(0.05)                     # let the child register the init
+        assert child(0, request_id = rid)    # active
+        parent.abort_request(rid)
+        for _ in range(100):                 # abort propagates asynchronously
+            if child.is_stopped(rid): break
+            time.sleep(0.01)
+        assert child.is_stopped(rid)
+        assert child(1, request_id = rid) is False
+        assert child.finalize(rid) is False  # aborted → finalize returns False
+
+    def test_wait_finalize(self):
+        import time, threading
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+
+        parent, child = StreamRequestManager()
+        rid, _ = parent.open_request()
+        time.sleep(0.05)
+        out = {}
+
+        def waiter():
+            out['finalized'] = child.wait_finalize(rid, timeout = 5)
+
+        t = threading.Thread(target = waiter); t.start()
+        parent.finalize_request(rid)
+        t.join(5)
+        assert out['finalized'] is True
+
+    def test_across_real_process(self):
+        import multiprocessing as mp
+        from text_to_speech_tpu.utils.request_manager import (
+            StreamRequestManager, ChildRequestManager,
+        )
+
+        parent_pipe, child_pipe = mp.Pipe()
+        from text_to_speech_tpu.utils.request_manager import ParentRequestManager
+        parent = ParentRequestManager(parent_pipe)
+        ra, buf_a = parent.open_request(0)
+        rb, buf_b = parent.open_request(1)
+
+        proc = mp.Process(
+            target = _rm_proc_main, args = (child_pipe,), daemon = True)
+        proc.start()
+        got_a = list(parent.results(0, timeout = 15))
+        got_b = list(parent.results(1, timeout = 15))
+        proc.join(10)
+        assert got_a == [0, 1, 4] and got_b == [0, 1, 4]
+
+
+def _rm_proc_main(pipe):
+    from text_to_speech_tpu.utils.request_manager import ChildRequestManager
+    child = ChildRequestManager(pipe)
+    for rid in (0, 1):
+        for i in range(3):
+            child(i * i, request_id = rid)
+        child.finalize(rid)

@@ -8,3 +8,7 @@ from .generic_utils import (
 from .sequence_utils import pad_batch, pad_to_multiple, truncate
 from .comparison_utils import is_equal, is_diff
 from .stream import Stream, AsyncResult, PriorityQueue, STOP, KEEP_ALIVE, IS_RUNNING
+from .request_manager import (
+    StreamRequestManager, ParentRequestManager, ChildRequestManager,
+    END_OF_STREAM,
+)
