@@ -346,3 +346,73 @@ class TestImageProcessing:
         u8 = convert_to_uint8(img)
         assert u8.dtype == np.uint8 and u8.max() <= 255
         assert convert_to_uint8(u8) is u8
+
+
+class TestBoxVisualization:
+    def test_draw_boxes_paints_border(self):
+        from text_to_speech_tpu.utils.image import draw_boxes
+        img = np.zeros((32, 32, 3), np.uint8)
+        out = draw_boxes(img, [[4, 4, 20, 20]], thickness = 2, show_text = False)
+        assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+        assert out[4, 10].any() and out[10, 4].any()    # top + left borders
+        assert not out[10, 10].any()                     # interior untouched
+        assert not img.any()                             # input not mutated
+
+    def test_draw_boxes_relative_and_labels(self):
+        from text_to_speech_tpu.utils.image import draw_boxes
+        img = np.zeros((40, 40, 3), np.float32)
+        out = draw_boxes(img, [[0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]],
+                         labels = ['a', 'b'], scores = [0.9, 0.5])
+        assert out.dtype == np.uint8 and out.any()
+
+    def test_draw_boxes_numpy_fallback(self, monkeypatch):
+        import builtins
+        from text_to_speech_tpu.utils.image import visualization
+        real_import = builtins.__import__
+
+        def no_cv2(name, *a, ** k):
+            if name == 'cv2': raise ImportError(name)
+            return real_import(name, *a, ** k)
+
+        monkeypatch.setattr(builtins, '__import__', no_cv2)
+        out = visualization.draw_boxes(
+            np.zeros((16, 16, 3), np.uint8), [[2, 2, 10, 10]],
+            labels = ['x'], shape = 'rectangle')
+        assert out[2, 5].any()
+
+    def test_show_boxes_returns_crops(self):
+        from text_to_speech_tpu.utils.image import show_boxes
+        img = np.arange(32 * 32 * 3, dtype = np.uint8).reshape(32, 32, 3)
+        crops = show_boxes(img, [[0, 0, 8, 8], [8, 8, 16, 24]])
+        assert len(crops) == 2
+        assert crops[0].shape == (8, 8, 3) and crops[1].shape == (16, 8, 3)
+
+
+class TestDisplayers:
+    def test_boxes_displayer(self):
+        from text_to_speech_tpu.utils.callbacks import BoxesDisplayer
+        cb = BoxesDisplayer()
+        out = {'image': np.zeros((16, 16, 3), np.uint8),
+               'boxes': np.array([[2, 2, 10, 10]])}
+        infos = cb({}, out)
+        assert 'drawn' in infos and infos['drawn'].any()
+
+    def test_boxes_displayer_crop_mode(self):
+        from text_to_speech_tpu.utils.callbacks import BoxesDisplayer
+        cb = BoxesDisplayer(crop = True)
+        infos = cb({}, {'image': np.ones((16, 16, 3), np.uint8),
+                        'boxes': np.array([[0, 0, 4, 4]])})
+        assert len(infos['crops']) == 1
+
+    def test_ocr_displayer(self):
+        from text_to_speech_tpu.utils.callbacks import OCRDisplayer
+        cb = OCRDisplayer()
+        infos = cb({}, {'image': np.zeros((8, 8, 3), np.uint8),
+                        'boxes': np.array([[1, 1, 6, 6]]),
+                        'text': ['hello', 'world']})
+        assert infos['ocr_text'] == 'hello\nworld'
+
+    def test_missing_keys_noop(self):
+        from text_to_speech_tpu.utils.callbacks import BoxesDisplayer
+        infos = BoxesDisplayer()({}, {'other': 1})
+        assert 'drawn' not in infos

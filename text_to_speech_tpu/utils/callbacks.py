@@ -174,6 +174,85 @@ class AudioPlayer(Callback):
         return infos
 
 
+class SpectrogramDisplayer(Callback):
+    """Plot the predicted mel (and attention when present) inline —
+    reference ``utils/callbacks/displayer.py`` `SpectrogramDisplayer`."""
+
+    def __init__(self, key = 'mel', ** kwargs):
+        super().__init__(** kwargs)
+        self.key = key
+
+    def apply(self, infos, output, ** kwargs):
+        if self.key not in output: return infos
+        from .plot_utils import plot_spectrogram
+        plot_spectrogram(output[self.key], show = True)
+        return infos
+
+
+class ImageDisplayer(Callback):
+    """Show the output image — reference `ImageDisplayer`."""
+
+    def __init__(self, key = 'image', ** kwargs):
+        super().__init__(** kwargs)
+        self.key = key
+
+    def apply(self, infos, output, ** kwargs):
+        if self.key not in output: return infos
+        from .plot_utils import plot
+        plot(output[self.key], plot_type = 'imshow', show = True)
+        return infos
+
+
+class BoxesDisplayer(Callback):
+    """Draw predicted boxes over the input image and show/return it —
+    reference ``displayer.py`` `BoxesDisplayer`.  `crop` switches to the
+    per-box crop grid (`show_boxes`) instead of the overlay."""
+
+    def __init__(self, image_key = 'image', boxes_key = 'boxes',
+                 labels_key = 'labels', scores_key = 'scores',
+                 crop = False, show = False, ** kwargs):
+        super().__init__(** kwargs)
+        self.image_key, self.boxes_key = image_key, boxes_key
+        self.labels_key, self.scores_key = labels_key, scores_key
+        self.crop = crop
+        self.show = show
+
+    def apply(self, infos, output, ** kwargs):
+        if self.image_key not in output or self.boxes_key not in output:
+            return infos
+        from .image.visualization import draw_boxes, show_boxes
+        image, boxes = output[self.image_key], output[self.boxes_key]
+        labels = output.get(self.labels_key)
+        if self.crop:
+            infos['crops'] = show_boxes(image, boxes, labels = labels)
+        else:
+            drawn = draw_boxes(image, boxes, labels = labels,
+                               scores = output.get(self.scores_key))
+            infos['drawn'] = drawn
+            if self.show:
+                from .plot_utils import plot
+                plot(drawn, plot_type = 'imshow', show = True)
+        return infos
+
+
+class OCRDisplayer(BoxesDisplayer):
+    """BoxesDisplayer variant that also prints the recognized text rows in
+    reading order — reference ``displayer.py`` `OCRDisplayer`."""
+
+    def __init__(self, text_key = 'text', ** kwargs):
+        super().__init__(** kwargs)
+        self.text_key = text_key
+
+    def apply(self, infos, output, ** kwargs):
+        infos = super().apply(infos, output, ** kwargs)
+        texts = output.get(self.text_key)
+        if texts is not None:
+            lines = texts if isinstance(texts, (list, tuple)) else [texts]
+            infos['ocr_text'] = '\n'.join(str(t) for t in lines)
+            logger.info('OCR:\n%s', infos['ocr_text'])
+        return infos
+
+
 class FunctionCallback(Callback):
     def __init__(self, fn, ** kwargs):
         super().__init__(** kwargs)

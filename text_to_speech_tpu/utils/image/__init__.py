@@ -9,6 +9,7 @@ from .boxes import (
     combine_boxes_horizontal, combine_boxes_vertical, combine_boxes_layout,
     filter_boxes, BoxFilter, SizeFilter, RegionFilter, RepetitionFilter,
 )
+from .visualization import draw_boxes, show_boxes
 from .video import (
     FFMPEGReader, FFMPEGWriter, OpenCVWriter, VideoWriter, HTTPScreenMirror,
     probe_video, get_video_info, set_video_audio, frame_generator,

@@ -128,7 +128,9 @@ def plot_multiple(* datas, ncols = 2, figsize = (12, 8), filename = None,
     for i, data in enumerate(datas):
         ax = axes[i // ncols][i % ncols]
         data = np.asarray(data)
-        if data.ndim == 2:
+        if data.ndim == 3:                      # RGB(A) image
+            ax.imshow(data)
+        elif data.ndim == 2:
             ax.imshow(data, aspect = 'auto', origin = 'lower')
         else:
             ax.plot(data)
