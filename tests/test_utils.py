@@ -401,3 +401,49 @@ def _rm_proc_main(pipe):
         for i in range(3):
             child(i * i, request_id = rid)
         child.finalize(rid)
+
+
+class TestGenericConversions:
+    def test_convert_to_str(self):
+        from text_to_speech_tpu.utils.generic_utils import convert_to_str
+        assert convert_to_str(b'abc') == 'abc'
+        assert convert_to_str(['a', b'b']) == ['a', 'b']
+        assert convert_to_str({b'k': b'v'}) == {'k': 'v'}
+        arr = np.array([1.0, 2.0])
+        assert convert_to_str(arr) is arr           # numeric passthrough
+        assert convert_to_str(np.array(b'z')) == 'z'
+
+    def test_get_enum_item(self):
+        import enum
+        from text_to_speech_tpu.utils.generic_utils import get_enum_item
+
+        class Color(enum.Enum):
+            RED = 'red'
+            BLUE = 'blue'
+
+        assert get_enum_item(Color.RED, Color) is Color.RED
+        assert get_enum_item('red', Color) is Color.RED     # by value
+        assert get_enum_item('BLUE', Color) is Color.BLUE   # by name
+        with pytest.raises(KeyError):
+            get_enum_item('green', Color)
+
+
+class TestModelInfos:
+    def test_get_model_infos_and_remove_ckpt(self, tmp_path, monkeypatch):
+        from text_to_speech_tpu.models import saving
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        assert saving.get_model_infos(None) == {}
+        assert saving.get_model_infos('missing') == {}
+        saving.save_model_config('m1', {'class_name': 'Tacotron2', 'config': {}})
+        assert saving.get_model_infos('m1')['class_name'] == 'Tacotron2'
+
+        class Dummy:
+            def get_config(self): return {'x': 1}
+        infos = saving.get_model_infos(Dummy())
+        assert infos == {'class_name': 'Dummy', 'config': {'x': 1}}
+
+        ckpt = tmp_path / 'm1' / 'saving' / 'checkpoint'
+        ckpt.mkdir(parents = True)
+        (ckpt / 'ckpt-1.npz').write_bytes(b'x')
+        removed = saving.remove_training_checkpoint('m1')
+        assert removed == ['ckpt-1.npz'] and not list(ckpt.iterdir())

@@ -46,8 +46,37 @@ def list_pretrained():
     )
 
 
+def get_model_infos(name):
+    """Full saved info for a model: its `config.json` content, or, for a
+    live model instance, its class + `get_config()` (reference
+    ``models/utils/saving.py:33``)."""
+    if name is None:
+        return {}
+    if not isinstance(name, str):
+        return {'class_name': name.__class__.__name__,
+                'config': name.get_config()}
+    try:
+        return load_json(get_model_dir(name, 'config.json'))
+    except FileNotFoundError:
+        return {}
+
+
 def get_model_config(name):
     return load_json(get_model_dir(name, 'config.json'))
+
+
+def remove_training_checkpoint(name):
+    """Delete every rotating training checkpoint of model `name`
+    (keeps config/history/tokenizer — reference ``saving.py:53``)."""
+    import shutil
+    ckpt_dir = get_model_dir(name, 'saving', 'checkpoint')
+    removed = []
+    if os.path.isdir(ckpt_dir):
+        for f in os.listdir(ckpt_dir):
+            path = os.path.join(ckpt_dir, f)
+            removed.append(f)
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+    return removed
 
 
 def save_model_config(name, config):

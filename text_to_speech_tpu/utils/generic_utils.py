@@ -7,6 +7,45 @@ import inspect
 import queue
 
 
+def convert_to_str(x):
+    """Normalize bytes / 0-d arrays / nested containers to plain `str`
+    (reference ``generic_utils.py:53``).  Numeric arrays pass through."""
+    if isinstance(x, str) or x is None:
+        return x
+    import numpy as np
+    if isinstance(x, np.ndarray):
+        if np.issubdtype(x.dtype, np.number):
+            return x
+        if x.ndim == 0:
+            x = x.item()
+        else:
+            return [convert_to_str(xi) for xi in x]
+    if isinstance(x, bytes):
+        return x.decode('utf-8')
+    if isinstance(x, (list, tuple, set)):
+        return [convert_to_str(xi) for xi in x]
+    if isinstance(x, dict):
+        return {convert_to_str(k): convert_to_str(v) for k, v in x.items()}
+    return x
+
+
+def get_enum_item(value, enum, upper_names = True):
+    """Resolve `value` (member / name / value) to an `enum` member
+    (reference ``generic_utils.py:194``)."""
+    if isinstance(value, enum):
+        return value
+    if isinstance(value, str):
+        name = value.upper() if upper_names else value
+        if name in enum.__members__:
+            return enum[name]
+        for member in enum:                     # fall back to value match
+            if member.value == value:
+                return member
+        raise KeyError('{!r} is not a valid {} : {}'.format(
+            value, enum.__name__, tuple(enum.__members__)))
+    return enum(value)
+
+
 def time_to_string(seconds):
     """Human-readable duration: '123 ms', '12.345 s', '2 min 03.1 s', '1h 02min'."""
     if seconds < 0.001: return '{:.3f} ms'.format(seconds * 1000.)
