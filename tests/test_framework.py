@@ -311,3 +311,36 @@ class TestKerasConverter:
         new_params, new_state = convert_keras_variables(tf_sd)
         got = dict(flatten_tree(new_params), ** flatten_tree(new_state))
         assert set(got) == set(target)
+
+
+class TestEmbeddingHelpers:
+    def test_embeddings_to_np_forms(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.embeddings import embeddings_to_np
+
+        assert embeddings_to_np([[1., 2.]]).shape == (1, 2)
+        assert np.allclose(embeddings_to_np('[1, 2, 3]'), [1, 2, 3])
+        two = embeddings_to_np('[[1, 2], [3, 4]]')
+        assert two.shape == (2, 2) and two[1, 0] == 3
+        table = {'embedding': np.eye(2), 'id': ['a', 'b']}
+        assert embeddings_to_np(table).shape == (2, 2)
+
+    def test_aggregate_embeddings(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.embeddings import aggregate_embeddings
+
+        table = {'embedding': np.array([[0., 0.], [2., 2.], [4., 4.]]),
+                 'speaker': ['a', 'a', 'b']}
+        out = aggregate_embeddings(table, column = 'speaker')
+        agg = out['speaker_embedding']
+        assert np.allclose(agg[0], [1., 1.]) and np.allclose(agg[1], [1., 1.])
+        assert np.allclose(agg[2], [4., 4.])
+
+    def test_get_embeddings_with_ids(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.embeddings import get_embeddings_with_ids
+
+        emb = np.arange(8.).reshape(4, 2)
+        assign = np.array([0, 1, 0, 2])
+        sub, ids = get_embeddings_with_ids(emb, assign, np.array([0]))
+        assert sub.shape == (2, 2) and ids.tolist() == [0, 0]

@@ -303,3 +303,24 @@ class TestMixtralMoE:
             ref = hf(torch.tensor(tokens)).logits.numpy()
         mine, _ = model.decode(params, jnp.asarray(tokens, jnp.int32))
         np.testing.assert_allclose(np.asarray(mine), ref, atol = 3e-4)
+
+
+class TestProcessLogits:
+    def test_length_temperature_and_filter(self):
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models.transformers.generation_utils import process_logits
+
+        logits = jnp.array([[1., 2., 3.], [3., 2., 1.]])
+        # positive length temperature scales rows by (len+1)**t
+        out = process_logits(logits, lengths = jnp.array([1, 3]),
+                             length_temperature = 1.0)
+        assert jnp.allclose(out[0], logits[0] * 2.)
+        assert jnp.allclose(out[1], logits[1] * 4.)
+
+        # list filter masks token ids
+        out = process_logits(logits, logits_filter = [0])
+        assert bool(jnp.isneginf(out[:, 0]).all()) and bool(jnp.isfinite(out[:, 1:]).all())
+
+        # callable filter applies verbatim
+        out = process_logits(logits, logits_filter = lambda l: l * 0.)
+        assert float(out.sum()) == 0.

@@ -20,10 +20,25 @@ InferenceOutput = collections.namedtuple(
 
 
 def process_logits(logits, *, temperature = 1.0, top_k = None, top_p = None,
-                   forbidden_tokens = None):
-    """Temperature + top-k + nucleus filtering (masked entries → -inf)."""
+                   forbidden_tokens = None, lengths = None,
+                   length_temperature = None, logits_filter = None):
+    """Temperature + top-k + nucleus filtering (masked entries → -inf).
+
+    `length_temperature` scales logits by `(length + 1) ** t` given the
+    current `lengths` — t > 0 favors longer outputs, t < 0 shorter
+    (reference ``generation_utils.py:488-516``).  `logits_filter` is either
+    a callable `logits -> logits` or a list of token ids to forbid.
+    """
     if temperature != 1.0:
         logits = logits / temperature
+    if length_temperature is not None and lengths is not None:
+        scale = (jnp.asarray(lengths, logits.dtype) + 1.) ** length_temperature
+        logits = logits * scale.reshape((-1,) + (1,) * (logits.ndim - 1))
+    if logits_filter is not None:
+        if callable(logits_filter):
+            logits = logits_filter(logits)
+        else:
+            logits = logits.at[..., jnp.asarray(logits_filter)].set(-jnp.inf)
     if forbidden_tokens is not None:
         logits = logits.at[..., forbidden_tokens].set(-jnp.inf)
     if top_k is not None:

@@ -17,6 +17,70 @@ from .distances import distance
 logger = logging.getLogger(__name__)
 
 
+def embeddings_to_np(embeddings, col = 'embedding', dtype = np.float32):
+    """Coerce embeddings to a (N, D) float array.
+
+    Accepts: arrays, lists, our table dicts, DataFrames (`col` column),
+    string representations ('[1, 2]' / '[[...], [...]]' csv cells), or a
+    file path readable by `load_embeddings` (reference
+    ``utils/embeddings.py:30``)."""
+    if isinstance(embeddings, str):
+        text = embeddings.strip()
+        if text.startswith('[['):
+            rows = [r.strip(' ,') for r in text[1:-1].split(']')]
+            return np.stack([embeddings_to_np(r + ']', dtype = dtype)
+                             for r in rows if r])
+        if text.startswith('['):
+            sep = ',' if ',' in text else ' '
+            return np.fromstring(text[1:-1], dtype = np.float64, sep = sep) \
+                     .astype(dtype)
+        if os.path.isfile(embeddings):
+            return embeddings_to_np(load_embeddings(embeddings),
+                                    col = col, dtype = dtype)
+        raise ValueError('invalid embedding string {!r}'.format(embeddings[:50]))
+    if isinstance(embeddings, dict):
+        return np.asarray(embeddings[col], dtype)
+    if hasattr(embeddings, 'columns'):                  # DataFrame
+        return np.stack([embeddings_to_np(e, dtype = dtype)
+                         for e in embeddings[col].values])
+    return np.atleast_2d(np.asarray(embeddings, dtype))
+
+
+def aggregate_embeddings(table, column = 'id', embedding_col = 'embedding',
+                         aggregation_name = 'speaker_embedding', mode = 'mean'):
+    """Group the table's embeddings by `column` and aggregate per group
+    (mode: 'mean'/'sum'/callable) → each row gains `aggregation_name` with
+    its group's aggregate (reference ``utils/embeddings.py:214``)."""
+    emb = embeddings_to_np(table, col = embedding_col)
+    if hasattr(table, 'columns'):
+        keys = table[column].values.tolist()
+    else:
+        keys = list(table[column])
+    agg_fn = mode if callable(mode) else {
+        'mean': lambda x: x.mean(0), 'sum': lambda x: x.sum(0)}[mode]
+    groups = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(k, []).append(i)
+    per_key = {k: agg_fn(emb[idx]) for k, idx in groups.items()}
+    aggregated = np.stack([per_key[k] for k in keys])
+    if hasattr(table, 'columns'):
+        table = table.copy()
+        table[aggregation_name] = list(aggregated)
+        return table
+    return {** table, aggregation_name: aggregated}
+
+
+def get_embeddings_with_ids(embeddings, assignment, ids):
+    """Subset `(embeddings, assignment)` to rows whose assignment is in
+    `ids` — jnp masking when traced, numpy otherwise (reference
+    ``utils/embeddings.py:325``)."""
+    import jax.numpy as jnp
+    xp = jnp if any(hasattr(a, 'aval') for a in (embeddings, assignment)) else np
+    embeddings, assignment = xp.asarray(embeddings), xp.asarray(assignment)
+    mask = xp.isin(assignment, xp.asarray(ids))
+    return embeddings[mask], assignment[mask]
+
+
 def save_embeddings(filename, embeddings, ** metadata):
     """Save an (N, D) array (+ aligned metadata columns) to .npz/.npy/.csv/.pkl/.h5."""
     embeddings = np.asarray(embeddings)
