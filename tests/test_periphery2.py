@@ -394,3 +394,17 @@ class TestGraphCompile:
             return host_fn(x) + 1.
 
         np.testing.assert_allclose(np.asarray(g(jnp.ones(3))), [3., 3., 3.])
+
+
+class TestDefaultEngine:
+    def test_set_get_default_engine(self):
+        from text_to_speech_tpu.text import web
+        prev = web.get_default_engine()
+        try:
+            web.set_default_engine('ddg')
+            assert web.get_default_engine() == 'ddg'
+            assert isinstance(web.get_search_engine(), web.DuckDuckGoEngine)
+            with pytest.raises(ValueError):
+                web.set_default_engine('altavista')
+        finally:
+            web.set_default_engine(prev)

@@ -281,7 +281,25 @@ class DuckDuckGoEngine(SearchEngine):
         return urls
 
 
-def get_search_engine(engine = 'google', ** kwargs):
+_default_engine = os.environ.get('SEARCH_ENGINE', 'google')
+
+
+def set_default_engine(engine):
+    """Set the engine used when `search`/`get_search_engine` get none
+    (reference ``utils/text/web/__init__.py`` `set_default_engine`)."""
+    global _default_engine
+    if not isinstance(engine, SearchEngine) and engine not in _ENGINES:
+        raise ValueError('Unknown search engine {!r} (known: {})'.format(
+            engine, sorted(_ENGINES)))
+    _default_engine = engine
+
+
+def get_default_engine():
+    return _default_engine
+
+
+def get_search_engine(engine = None, ** kwargs):
+    if engine is None: engine = _default_engine
     if isinstance(engine, SearchEngine): return engine
     if engine not in _ENGINES:
         raise ValueError('Unknown search engine {!r} (known: {})'.format(
@@ -289,7 +307,7 @@ def get_search_engine(engine = 'google', ** kwargs):
     return _ENGINES[engine](** kwargs)
 
 
-def search(query, *, engine = 'google', n = 5, fetch = False, ** kwargs):
+def search(query, *, engine = None, n = 5, fetch = False, ** kwargs):
     eng = get_search_engine(engine)
     if fetch:
         return eng.search_and_fetch(query, n = n, ** kwargs)
@@ -303,3 +321,7 @@ def fetch_page_text(url, timeout = 10):
         raise RuntimeError('fetch failed for {}'.format(url))
     paragraphs = parse_response(response)
     return '\n\n'.join(p.get('text', '') for p in paragraphs)
+
+
+#: reference-surface alias (``utils/text/web/__init__.py`` `search_on_web`)
+search_on_web = search
