@@ -192,3 +192,39 @@ class TestAudioIO:
     def test_unknown_extension(self, tmp_path):
         with pytest.raises(ValueError):
             read_audio(str(tmp_path / 'x.xyz'))
+
+
+GOLDEN_WHISPER = reference_path('tests', '__reproduction', 'stft-WhisperSTFT.npy')
+GOLDEN_TRIM_WINDOW = reference_path(
+    'tests', '__reproduction', 'audio_trim_silence-window.npy')
+GOLDEN_REDUCE_NOISE = reference_path(
+    'tests', '__reproduction', 'audio_reduce_noise.npy')
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_WHISPER),
+                    reason = 'reference goldens unavailable')
+class TestGoldenParityExtended:
+    def test_whisper_mel(self):
+        audio = load_audio(REF_WAV, 16000)
+        golden = np.load(GOLDEN_WHISPER)
+        mel = np.asarray(WhisperSTFT()(audio))[0]
+        assert mel.shape == golden.shape
+        assert np.abs(mel - golden).max() < 2e-3
+
+    def test_trim_silence_window(self):
+        """The reference's default trim method must match bit-exactly."""
+        audio = np.asarray(load_audio(REF_WAV, None))
+        golden = np.load(GOLDEN_TRIM_WINDOW)
+        trimmed = trim_silence(audio, 16000, method = 'window')
+        assert trimmed.shape == golden.shape
+        assert np.abs(trimmed - golden).max() == 0.
+
+    def test_reduce_noise(self):
+        """Spectral gating vs the reference's vendored noisereduce-v1
+        (different implementation — capability-level tolerance)."""
+        from text_to_speech_tpu.ops.audio_processing import reduce_noise
+        audio = np.asarray(load_audio(REF_WAV, None))
+        golden = np.load(GOLDEN_REDUCE_NOISE)
+        out = reduce_noise(audio, 16000)
+        assert out.shape == golden.shape
+        assert np.abs(out - golden).max() < 1e-2

@@ -101,6 +101,8 @@ def trim_silence(audio,
         if end <= start: return audio[:0]
         keep = np.array([start, end - 1])
     elif method == 'window':
+        return _trim_silence_window(audio, rate, threshold = threshold, ** kwargs)
+    elif method == 'envelope':
         win = max(1, int(frame_ms * rate / 1000.))
         envelope = np.convolve(np.abs(audio), np.ones(win) / win, mode = 'same')
         mask = envelope >= threshold * np.max(envelope)
@@ -112,6 +114,51 @@ def trim_silence(audio,
     start = max(0, int(keep[0]) - margin)
     end = min(len(audio), int(keep[-1]) + 1 + margin)
     return audio[start:end]
+
+
+def _trim_silence_window(audio,
+                         rate,
+                         *,
+                         threshold = 0.1,
+                         power = 2,
+                         window_ms = 200.,
+                         mode = 'start_end',
+                         adaptive_threshold = True,
+                         add_start = 0.,
+                         add_end = 1.5,
+                         max_trim_factor = 5,
+                         ** _):
+    """Windowed energy trim, numerically matching the reference's default
+    trim method (``audio_processing.py:275`` `trim_silence_window`, golden
+    ``audio_trim_silence-window.npy``): a triangular window convolves
+    `audio**power`; the kept span runs from the first above-threshold
+    position to `add_end` windows past the last one.  `adaptive_threshold`
+    lowers the threshold when the edges are already quiet, and the whole
+    trim is discarded if it would keep less than 1/`max_trim_factor` of
+    the input."""
+    wl = int(window_ms * rate / 1000.) if window_ms else int(0.2 * rate)
+    half = wl // 2
+    window = np.concatenate([
+        np.linspace(0., 1., half), np.linspace(1., 0., half)
+    ]) / half
+    conv = np.convolve(audio ** power, window, mode = 'valid')
+
+    trimmed = audio
+    if 'end' in mode:
+        th = threshold
+        if adaptive_threshold:
+            th = min(threshold, max(np.mean(conv[-wl:]) * 5, threshold / 50))
+        loud = np.where(conv > th)[0]
+        if len(loud):
+            trimmed = trimmed[:loud[-1] + int(wl * add_end)]
+    if 'start' in mode:
+        th = threshold
+        if adaptive_threshold:
+            th = min(threshold, max(np.mean(conv[:wl]) * 5, threshold / 50))
+        loud = np.where(conv > th)[0]
+        if len(loud):
+            trimmed = trimmed[max(0, loud[0] - int(wl * add_start)):]
+    return trimmed if len(trimmed) > len(audio) // max_trim_factor else audio
 
 
 def remove_silence(audio,
