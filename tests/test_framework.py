@@ -344,3 +344,17 @@ class TestEmbeddingHelpers:
         assign = np.array([0, 1, 0, 2])
         sub, ids = get_embeddings_with_ids(emb, assign, np.array([0]))
         assert sub.shape == (2, 2) and ids.tolist() == [0, 0]
+
+
+class TestEmbeddingIdsJitGuard:
+    def test_traced_inputs_raise(self):
+        import jax
+        import numpy as np
+        import pytest
+        from text_to_speech_tpu.utils.embeddings import get_embeddings_with_ids
+
+        emb = np.arange(8.).reshape(4, 2)
+        assign = np.array([0, 1, 0, 2])
+        with pytest.raises(TypeError):
+            jax.jit(lambda e, a: get_embeddings_with_ids(e, a, np.array([0])))(
+                emb, assign)

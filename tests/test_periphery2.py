@@ -408,3 +408,14 @@ class TestDefaultEngine:
                 web.set_default_engine('altavista')
         finally:
             web.set_default_engine(prev)
+
+
+class TestJSONDirCollision:
+    def test_sanitized_keys_do_not_alias(self, tmp_path):
+        db = build_database('json_dir', str(tmp_path / 'c'))
+        db.insert({'id': 'spk/1', 'v': 1})
+        db.insert({'id': 'spk_1', 'v': 2})
+        assert len(db) == 2
+        assert db['spk/1'] == {'v': 1} and db['spk_1'] == {'v': 2}
+        db2 = JSONDirDatabase(str(tmp_path / 'c'))
+        assert sorted(db2.keys()) == ['spk/1', 'spk_1']

@@ -270,3 +270,34 @@ class TestDatasetFacade:
         infos = benchmark_dataset(ds, steps = 2)
         assert infos['steps'] == 2 and infos['batch_size'] == 4
         assert 'batch_stats' in infos and 'shape : (4,)' in infos['batch_stats']
+
+
+class TestReviewFixes:
+    def test_group_by_list_of_keys(self):
+        paras = [
+            {'text': 'a', 'section': 's', 'page': 1},
+            {'text': 'b', 'section': 's', 'page': 1},
+            {'text': 'c', 'section': 's', 'page': 2},
+        ]
+        chunks = chunks_from_paragraphs(paras, 100, group_by = ['section', 'page'])
+        assert len(chunks) == 2 and chunks[0]['page'] == 1
+
+    def test_text_distance_multi_output_passthrough(self):
+        d = text_distance('ab', 'abc', 'edit', mode = 'similarity',
+                          return_matrix = True, normalize = False)
+        assert isinstance(d, tuple) and d[1].shape == (3, 4)
+        four = text_distance('a b', 'a c', 'f1', mode = 'distance')
+        assert isinstance(four, tuple) and len(four) == 4
+
+    def test_get_dataset_dict_passes_directory(self, tmp_path):
+        from text_to_speech_tpu.train.loader import add_dataset, get_dataset
+        import pandas as pd
+        seen = {}
+
+        def loader(directory, ** kwargs):
+            seen['dir'] = directory
+            return pd.DataFrame([{'filename': 'f', 'text': 't'}])
+
+        add_dataset(loader, name = 'dircheck')
+        get_dataset({'dircheck': {}}, directory = str(tmp_path / 'custom'))
+        assert seen['dir'] == str(tmp_path / 'custom')

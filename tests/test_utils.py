@@ -447,3 +447,36 @@ class TestModelInfos:
         (ckpt / 'ckpt-1.npz').write_bytes(b'x')
         removed = saving.remove_training_checkpoint('m1')
         assert removed == ['ckpt-1.npz'] and not list(ckpt.iterdir())
+
+
+class TestRequestManagerFixes:
+    def test_abort_terminates_parent_results(self):
+        import time
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+
+        parent, child = StreamRequestManager()
+        rid, _ = parent.open_request()
+        time.sleep(0.05)
+        child(1, request_id = rid)
+        time.sleep(0.05)
+        parent.abort_request(rid)
+        # child stops streaming without ever finalizing; results still ends
+        items = list(parent.results(rid, timeout = 5))
+        assert items in ([1], [])       # item may or may not land before abort
+
+    def test_wait_finalize_timeout_returns_false(self):
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+        parent, child = StreamRequestManager()
+        rid, _ = parent.open_request()
+        # never finalized → timeout → False (also safe pre-init)
+        assert child.wait_finalize(rid, timeout = 0.2) is False
+
+    def test_open_request_id_collision(self):
+        import pytest
+        from text_to_speech_tpu.utils.request_manager import StreamRequestManager
+        parent, _ = StreamRequestManager()
+        parent.open_request(1)
+        with pytest.raises(ValueError):
+            parent.open_request(1)
+        auto, _ = parent.open_request()      # auto ids skip the named one
+        assert auto != 1

@@ -81,7 +81,13 @@ def trim_silence(audio,
     Methods:
       - 'simple': threshold on absolute amplitude (relative to peak)
       - 'rms': threshold on frame RMS energy (relative to max frame RMS)
-      - 'window': threshold on a moving-average envelope of |audio|
+      - 'window': the reference's triangular-window energy trim (absolute
+        threshold, adaptive edges, `add_end` padding — bit-exact vs the
+        `audio_trim_silence-window.npy` golden); extra kwargs: `power`,
+        `window_ms`, `mode`, `adaptive_threshold`, `add_start`, `add_end`,
+        `max_trim_factor`
+      - 'envelope': threshold on a moving-average envelope of |audio|
+        (relative to peak)
     """
     if len(audio) == 0: return audio
     audio = np.asarray(audio)

@@ -55,23 +55,36 @@ def text_distance(y_true, y_pred, method, *, mode = None, as_matrix = False,
         res = fn(_to_text(a), _to_text(b), ** kwargs)
         if ((mode == 'similarity' and not is_similarity)
                 or (mode == 'distance' and is_similarity)):
-            res = -np.asarray(res)
+            # sign-flip only scalar results — multi-output metrics
+            # (f1's 4-tuple, return_matrix) pass through untouched
+            if np.isscalar(res) or (isinstance(res, np.ndarray) and res.ndim == 0):
+                res = -res
         return res
+
+    def _stack(results):
+        """np.array when every element is scalar, plain list otherwise
+        (ragged matrices / multi-output tuples)."""
+        if all(np.isscalar(r) or (isinstance(r, np.ndarray) and r.ndim == 0)
+               for r in results):
+            return np.array(results)
+        return results
 
     y_true, y_pred = _to_text(y_true), _to_text(y_pred)
     t_list = isinstance(y_true, (list, tuple))
     p_list = isinstance(y_pred, (list, tuple))
     if t_list and p_list:
         if as_matrix:
-            return np.array([[_one(t, p) for p in y_pred] for t in y_true])
+            rows = [_stack([_one(t, p) for p in y_pred]) for t in y_true]
+            return np.array(rows) if all(
+                isinstance(r, np.ndarray) for r in rows) else rows
         if len(y_true) != len(y_pred):
             raise ValueError('len(y_true) {} != len(y_pred) {}'.format(
                 len(y_true), len(y_pred)))
-        return np.array([_one(t, p) for t, p in zip(y_true, y_pred)])
+        return _stack([_one(t, p) for t, p in zip(y_true, y_pred)])
     if t_list:
-        return np.array([_one(t, y_pred) for t in y_true])
+        return _stack([_one(t, y_pred) for t in y_true])
     if p_list:
-        return np.array([_one(y_true, p) for p in y_pred])
+        return _stack([_one(y_true, p) for p in y_pred])
     return _one(y_true, y_pred)
 
 

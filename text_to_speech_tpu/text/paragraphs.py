@@ -129,8 +129,9 @@ def chunks_from_paragraphs(paragraphs,
             out.append(para)
     paragraphs = out
 
-    if group_by and all(group_by in p for p in paragraphs):
-        groups = group_paragraphs(paragraphs, group_by)
+    group_keys = [group_by] if isinstance(group_by, str) else (group_by or [])
+    if group_keys and all(all(k in p for k in group_keys) for p in paragraphs):
+        groups = group_paragraphs(paragraphs, group_keys)
         paragraphs = []
         for group in groups:
             para = merge_paragraphs(group, mismatch_mode, skip = _SKIP_KEYS)

@@ -96,7 +96,8 @@ def show_datasets(task = None):
         if task and t not in (task, getattr(task, 'value', task)):
             continue
         logger.info('%s :\t%s', t, tuple(names))
-    untagged = [n for n in list_datasets() if n not in {_clean_name(x) for x in tagged}]
+    tagged_clean = {_clean_name(x) for x in tagged}
+    untagged = [n for n in list_datasets() if _clean_name(n) not in tagged_clean]
     if untagged and not task:
         logger.info('(untagged) :\t%s', tuple(untagged))
 
@@ -111,7 +112,8 @@ def get_dataset(dataset, *, directory = None, source = None, ** kwargs):
     - `directory` defaults to `<dataset_dir>/<name>`.
     """
     if isinstance(dataset, dict):
-        return get_dataset(list(dataset), per_dataset_kwargs = dataset, ** kwargs)
+        return get_dataset(list(dataset), per_dataset_kwargs = dataset,
+                           directory = directory, source = source, ** kwargs)
 
     if isinstance(dataset, (list, tuple)):
         import pandas as pd

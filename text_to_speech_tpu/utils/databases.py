@@ -166,9 +166,19 @@ class JSONDirDatabase(Database):
 
     _SAFE = re.compile(r'[^A-Za-z0-9._-]')
 
+    def _name(self, key):
+        """Collision-free file stem: sanitized key, plus a short content
+        hash whenever sanitization altered it (so 'spk/1' and 'spk_1'
+        never alias onto the same file)."""
+        key = str(key)
+        name = self._SAFE.sub('_', key)
+        if name != key:
+            import hashlib
+            name += '-' + hashlib.sha1(key.encode('utf-8')).hexdigest()[:8]
+        return name
+
     def _file(self, key):
-        name = self._SAFE.sub('_', str(key))
-        return os.path.join(self.path, name + '.json')
+        return os.path.join(self.path, self._name(key) + '.json')
 
     def load(self):
         os.makedirs(self.path, exist_ok = True)
@@ -202,7 +212,7 @@ class JSONDirDatabase(Database):
                 json.dump({** value, '__key__': key}, f,
                           indent = 2, ensure_ascii = False)
             os.replace(tmp, self._file(key))
-            self._keys[self._SAFE.sub('_', str(key))] = key
+            self._keys[self._name(key)] = key
 
     def __delitem__(self, key):
         with self._lock:
@@ -210,7 +220,7 @@ class JSONDirDatabase(Database):
                 os.remove(self._file(key))
             except FileNotFoundError:
                 raise KeyError(key)
-            self._keys.pop(self._SAFE.sub('_', str(key)), None)
+            self._keys.pop(self._name(key), None)
 
     def __contains__(self, key):
         return os.path.exists(self._file(key))

@@ -31,9 +31,9 @@ def embeddings_to_np(embeddings, col = 'embedding', dtype = np.float32):
             return np.stack([embeddings_to_np(r + ']', dtype = dtype)
                              for r in rows if r])
         if text.startswith('['):
-            sep = ',' if ',' in text else ' '
-            return np.fromstring(text[1:-1], dtype = np.float64, sep = sep) \
-                     .astype(dtype)
+            sep = ',' if ',' in text else None
+            values = [v for v in text[1:-1].split(sep) if v.strip()]
+            return np.array([float(v) for v in values], dtype)
         if os.path.isfile(embeddings):
             return embeddings_to_np(load_embeddings(embeddings),
                                     col = col, dtype = dtype)
@@ -72,12 +72,17 @@ def aggregate_embeddings(table, column = 'id', embedding_col = 'embedding',
 
 def get_embeddings_with_ids(embeddings, assignment, ids):
     """Subset `(embeddings, assignment)` to rows whose assignment is in
-    `ids` — jnp masking when traced, numpy otherwise (reference
-    ``utils/embeddings.py:325``)."""
-    import jax.numpy as jnp
-    xp = jnp if any(hasattr(a, 'aval') for a in (embeddings, assignment)) else np
-    embeddings, assignment = xp.asarray(embeddings), xp.asarray(assignment)
-    mask = xp.isin(assignment, xp.asarray(ids))
+    `ids` (reference ``utils/embeddings.py:325``).
+
+    Host-side only: the output size is data-dependent, which XLA cannot
+    express — inside `jit`, compute `jnp.isin(assignment, ids)` yourself
+    and keep static shapes with `jnp.where` / segment ops instead."""
+    if any(hasattr(a, 'aval') for a in (embeddings, assignment)):
+        raise TypeError(
+            'get_embeddings_with_ids produces data-dependent shapes and '
+            'cannot run under jit; use jnp.isin + jnp.where inside traced code')
+    embeddings, assignment = np.asarray(embeddings), np.asarray(assignment)
+    mask = np.isin(assignment, np.asarray(ids))
     return embeddings[mask], assignment[mask]
 
 

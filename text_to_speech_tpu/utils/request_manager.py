@@ -64,11 +64,16 @@ class ParentRequestManager(_PipeEnd):
         """Register a new stream → (request_id, buffer `queue.Queue`).
 
         The buffer receives each streamed item, then `END_OF_STREAM`.
+        Re-opening an id that is still active raises.
         """
         with self._lock:
             if request_id is None:
+                while self._next_id in self._buffers:
+                    self._next_id += 1
                 request_id = self._next_id
-            self._next_id += 1
+                self._next_id += 1
+            elif request_id in self._buffers:
+                raise ValueError('request {!r} is still active'.format(request_id))
             buffer = self._buffers[request_id] = queue.Queue()
         self._send(request_id, 'action', 'init')
         return request_id, buffer
@@ -77,7 +82,15 @@ class ParentRequestManager(_PipeEnd):
     init_request = open_request
 
     def abort_request(self, request_id):
+        """Ask the child to stop the request and end its stream locally —
+        `results(request_id)` terminates even if the producer never
+        acknowledges (its trailing outputs are dropped)."""
         self._send(request_id, 'action', 'stop')
+        with self._lock:
+            buffer = self._buffers.get(request_id)
+            if buffer is not None and request_id not in self._finished:
+                self._finished.add(request_id)
+                buffer.put(END_OF_STREAM)
 
     def finalize_request(self, request_id):
         self._send(request_id, 'action', 'finalize')
@@ -111,7 +124,9 @@ class ParentRequestManager(_PipeEnd):
             with self._lock:
                 buffer = self._buffers.get(msg['id'])
                 finished = msg['id'] in self._finished
-            if buffer is None or finished:
+            if finished:        # trailing output after a local abort — expected
+                continue
+            if buffer is None:
                 logger.error('message for inactive request %s: %s', msg['id'], msg)
                 continue
             if msg['type'] == 'status' and msg['content'] == 'finished':
@@ -158,11 +173,13 @@ class ChildRequestManager(_PipeEnd):
 
     def wait_finalize(self, request_id, timeout = None):
         """Block until the parent stops or finalizes the request → True if
-        finalized, False if aborted."""
-        event = self._events.get(request_id)
-        if event is not None:
-            event.wait(timeout)
-        return not self.is_stopped(request_id)
+        finalized, False if aborted or the wait timed out.  Safe to call
+        before the parent's 'init' action arrives (the event is created
+        eagerly on either side)."""
+        with self._lock:
+            event = self._events.setdefault(request_id, threading.Event())
+        signaled = event.wait(timeout)
+        return signaled and not self.is_stopped(request_id)
 
     def _watch(self):
         while not self._stopped:
@@ -174,7 +191,7 @@ class ChildRequestManager(_PipeEnd):
                 continue
             with self._lock:
                 if msg['content'] == 'init':
-                    self._events[msg['id']] = threading.Event()
+                    self._events.setdefault(msg['id'], threading.Event())
                 elif msg['id'] not in self._events:
                     logger.error('action for finalized request %s: %s',
                                  msg['id'], msg)
