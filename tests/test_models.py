@@ -233,3 +233,22 @@ class TestTTSFacade:
     def test_tts_unknown_lang(self):
         with pytest.raises(ValueError):
             tts('hi', lang = 'xx')
+
+
+class TestLangMap:
+    def test_set_get_pretrained_model(self):
+        from text_to_speech_tpu.models.tts import (
+            set_pretrained_model, get_pretrained_model, get_model_lang,
+        )
+        prev = get_pretrained_model('de')
+        try:
+            set_pretrained_model('my_german_model', 'de')
+            assert get_pretrained_model('de') == 'my_german_model'
+            assert get_model_lang('de') == 'my_german_model'
+        finally:
+            from text_to_speech_tpu.models import tts as tts_pkg
+            if prev is None:
+                tts_pkg._pretrained.pop('de', None)
+            else:
+                tts_pkg._pretrained['de'] = prev
+        assert get_pretrained_model('de') is None

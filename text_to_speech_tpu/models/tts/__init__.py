@@ -21,6 +21,16 @@ _pretrained = {
 _default_vocoder = 'waveglow'
 
 
+def set_pretrained_model(model, lang):
+    """Map `lang` onto `model` for future `tts(..., lang = lang)` calls
+    (reference ``models/tts/__init__.py`` `set_pretrained_model`)."""
+    _pretrained[lang] = model
+
+
+def get_pretrained_model(lang):
+    return _pretrained.get(lang)
+
+
 def get_model_lang(lang):
     if lang not in _pretrained:
         raise ValueError('No pretrained model for lang {!r} (known: {})'.format(
