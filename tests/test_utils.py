@@ -480,3 +480,37 @@ class TestRequestManagerFixes:
             parent.open_request(1)
         auto, _ = parent.open_request()      # auto ids skip the named one
         assert auto != 1
+
+
+class TestLoggerStyleAPI:
+    def test_add_level_and_method(self):
+        import logging
+        from text_to_speech_tpu.loggers import add_level, get_level
+        add_level(9, 'trace9')
+        assert get_level('trace9') == 9
+        lg = logging.getLogger('style-test')
+        lg.setLevel(9)
+        assert hasattr(lg, 'trace9')
+        lg.trace9('works')
+
+    def test_get_formatter_styles(self):
+        import logging
+        from text_to_speech_tpu.loggers import get_formatter
+        f = get_formatter('extended')
+        rec = logging.LogRecord('n', logging.INFO, 'p', 1, 'msg', (), None)
+        assert 'INFO' in f.format(rec) and 'msg' in f.format(rec)
+        # raw %-style string auto-detected
+        f2 = get_formatter('%(levelname)s|%(message)s')
+        assert f2.format(rec) == 'INFO|msg'
+
+    def test_set_style(self):
+        import io, logging
+        from text_to_speech_tpu.loggers import add_handler, set_style
+        buf = io.StringIO()
+        lg = logging.getLogger('style-target')
+        lg.handlers.clear()
+        h = add_handler('stream', logger = 'style-target', stream = buf)
+        set_style('basic', 'style-target')
+        lg.warning('only-message')
+        assert buf.getvalue().strip() == 'only-message'
+        lg.removeHandler(h)

@@ -54,6 +54,12 @@ def set_device_config(*, platform = None, default_device = None,
     return jax.devices()
 
 
+def set_default_precision(precision):
+    """Thin alias of `set_device_config(precision = ...)` — the reference's
+    ``gpu.py`` `set_default_precision` surface."""
+    return set_device_config(precision = precision)
+
+
 def get_memory_stats(device = None):
     """HBM usage for one device (bytes): {'bytes_in_use', 'bytes_limit', ...}."""
     import jax

@@ -47,8 +47,47 @@ def get_level(level):
     raise ValueError('Unknown logging level: {}'.format(level))
 
 
+def add_level(value, name):
+    """Register a new custom log level: names it, makes `set_level(name)`
+    resolve it, and adds a `logger.<name>(msg)` method (reference
+    ``loggers/__init__.py:55``)."""
+    name = name.lower()
+    _CUSTOM_LEVELS[name] = value
+    logging.addLevelName(value, name.upper())
+    _add_level_method(name, value)
+
+
 def set_level(level, logger = None):
     logging.getLogger(logger).setLevel(get_level(level))
+
+
+#: named formats (reference ``loggers/__init__.py:27``); '{'-style
+_STYLES = {
+    'basic': '{message}',
+    'extended': '{asctime} : {levelname} : {message}',
+    'dev': '{asctime} : {levelname} : {module} ({funcName}, {lineno}) : {message}',
+}
+
+
+def get_formatter(format = 'basic', datefmt = None):
+    """→ a `logging.Formatter` from a style name ('basic'/'extended'/'dev'),
+    a raw format string ('%' or '{' style auto-detected), or a dict of
+    Formatter kwargs."""
+    if isinstance(format, logging.Formatter):
+        return format
+    if isinstance(format, str):
+        format = {'fmt': _STYLES.get(format, format)}
+    format.setdefault('style', '%' if '%' in format['fmt'] else '{')
+    if datefmt:
+        format.setdefault('datefmt', datefmt)
+    return logging.Formatter(** format)
+
+
+def set_style(style, logger = None):
+    """Apply a named format to every handler of `logger` (root when None)."""
+    formatter = get_formatter(style)
+    for handler in logging.getLogger(logger).handlers:
+        handler.setFormatter(formatter)
 
 
 def add_handler(handler = 'stream', logger = None, level = None, fmt = None, ** kwargs):
