@@ -236,3 +236,25 @@ class TestNvidiaConverters:
         params = jax.tree_util.tree_map(jnp.asarray, params)
         audio = arch.infer(params, jnp.zeros((1, 16, 80)), deterministic = True)
         assert bool(jnp.isfinite(audio).all())
+
+
+class TestDescribeMapping:
+    def test_report_statuses(self):
+        import numpy as np
+        from text_to_speech_tpu.models.weights_converter import describe_mapping
+
+        source = {'encoder': {'dense': {'kernel': np.zeros((4, 4))},
+                              'extra': {'bias': np.zeros(2)}}}
+        target = {'encoder': {'dense': {'kernel': np.zeros((4, 4))},
+                              'wider': {'kernel': np.zeros((8, 4))}}}
+        report = describe_mapping(source, target)
+        assert 'exact' in report
+        assert 'UNMATCHED' in report           # wider/kernel has no source
+        assert 'unused source weights' in report and 'extra/bias' in report
+
+    def test_partial_status(self):
+        import numpy as np
+        from text_to_speech_tpu.models.weights_converter import describe_mapping
+        source = {'d': {'kernel': np.zeros((4, 4))}}
+        target = {'d': {'kernel': np.zeros((6, 4))}}
+        assert 'partial' in describe_mapping(source, target)

@@ -78,6 +78,48 @@ def find_layers_mapping(source_flat, target_flat):
     return mapping
 
 
+def describe_mapping(source_tree, target_tree, *, show_values = False):
+    """Human-readable transfer-debug report (the reference's
+    `print_vars`/`print_layers` diagnostics, ``weights_converter.py``):
+    one line per target path with its match status — 'exact' (same shape),
+    'partial SxT' (sub-tensor transfer), 'ambiguous' (several same-shape
+    candidates), or 'UNMATCHED'.  Returns the report string (also logged)
+    so checkpoint-import failures can be diagnosed from the output alone."""
+    source_flat = flatten_tree(source_tree)
+    target_flat = flatten_tree(target_tree)
+    mapping = find_layers_mapping(source_flat, target_flat)
+
+    lines, used = [], set()
+    for t_path, t_value in target_flat.items():
+        cands = mapping.get(t_path, [])
+        t_shape = np.shape(t_value)
+        if not cands:
+            status = 'UNMATCHED'
+            detail = ''
+        else:
+            used.update(cands)
+            s_shape = np.shape(source_flat[cands[0]])
+            if len(cands) > 1:
+                status = 'ambiguous({})'.format(len(cands))
+            elif s_shape == t_shape:
+                status = 'exact'
+            else:
+                status = 'partial'
+            detail = ' <- {} {}'.format(cands[0], s_shape)
+        lines.append('{:60s} {} {}{}'.format(t_path, t_shape, status, detail))
+        if show_values and cands:
+            v = np.asarray(source_flat[cands[0]]).reshape(-1)[:4]
+            lines.append('    values: {}'.format(np.array2string(v, precision = 4)))
+    unused = [s for s in source_flat if s not in used]
+    if unused:
+        lines.append('-- {} unused source weights:'.format(len(unused)))
+        lines.extend('   {} {}'.format(s, np.shape(source_flat[s]))
+                     for s in unused)
+    report = '\n'.join(lines)
+    logger.info('%s', report)
+    return report
+
+
 def name_based_partial_transfer_learning(source_tree,
                                          target_tree,
                                          *,
