@@ -150,6 +150,12 @@ class Tokenizer:
                 ):
         self.level = TokenizerLevel.normalize(level)
         self.vocab = list(vocab)
+        if self.level == TokenizerLevel.BYTE and self.vocab and isinstance(
+                self.vocab[0], int):
+            # byte vocabs are canonically chr(0..255) strings; normalize an
+            # int vocab so encode's string units resolve (would otherwise
+            # silently encode everything to unknown/empty)
+            self.vocab = [chr(b) for b in self.vocab]
         self.cleaners = cleaners if isinstance(cleaners, (list, tuple)) else [cleaners]
         self.cleaners_fn = get_cleaners_fn(self.cleaners)
 
