@@ -56,6 +56,36 @@ def demo_long_text():
     print('chunks synthesized:', len(results[0]['splitted']))
 
 
+def demo_document(path = None):
+    """Document → speech: parse any supported file (pdf/docx/md/html/txt),
+    group paragraphs by section, chunk to synthesis length, and speak each
+    chunk with its section metadata carried through to the saved artifacts."""
+    from text_to_speech_tpu import tts
+    from text_to_speech_tpu.text.parsers import parse_document
+    from text_to_speech_tpu.text import chunks_from_paragraphs
+
+    if path is None:                       # self-contained demo document
+        import tempfile
+        path = os.path.join(tempfile.mkdtemp(), 'doc.md')
+        with open(path, 'w') as f:
+            f.write('# Intro\n\nThis framework reads documents aloud.\n\n'
+                    'It chunks long sections automatically.\n\n'
+                    '# Details\n\nEach chunk keeps its section name.\n')
+
+    paragraphs = parse_document(path)
+    chunks = chunks_from_paragraphs(
+        paragraphs, max_length = 120, group_by = 'section')
+    print('document →', len(chunks), 'chunks:',
+          [(c.get('section'), len(c['text'])) for c in chunks])
+
+    synthesizer, vocoder = get_models()
+    for chunk in chunks:
+        results = tts(chunk['text'], model = synthesizer, vocoder = vocoder,
+                      max_trial = 1, save = False)
+        print('  [{}] {:.2f}s audio'.format(
+            chunk.get('section'), results[0].get('time', 0.)))
+
+
 def demo_stream():
     """Interactive-style streaming over a queue (reference `stream()`)."""
     import queue
@@ -173,6 +203,7 @@ if __name__ == '__main__':
     {
         'quick': demo_quick,
         'long': demo_long_text,
+        'document': demo_document,
         'stream': demo_stream,
         'train': demo_train,
         'clone': demo_clone,
