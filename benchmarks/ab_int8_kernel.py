@@ -53,9 +53,23 @@ def main():
                 x, out.astype(x.dtype), (0, pad, 0))
         return x
 
+    # configs: name -> (chunk, unroll, aligned_probe); select via
+    # SWEEP_CONFIGS="fori_c512,unroll_c2048" (default keeps the historical A/B)
+    all_configs = {
+        'fori_c512': (512, False, False),
+        'fori_c1024': (1024, False, False),
+        'fori_c2048': (2048, False, False),
+        'aligned_probe': (512, False, True),
+        'unroll_c1024': (1024, True, False),
+        'unroll_c2048': (2048, True, False),
+        'unroll_c4096': (4096, True, False),
+    }
+    selected = os.environ.get('SWEEP_CONFIGS', 'fori_c512,aligned_probe')
+    configs = [(name, * all_configs[name])
+               for name in selected.split(',') if name in all_configs]
+
     results = {}
-    for label, chunk, unroll, probe in [('fori_c512', 512, False, False),
-                                        ('aligned_probe', 512, False, True)]:
+    for label, chunk, unroll, probe in configs:
         try:
             fn = jax.jit(lambda x, s, q, c = chunk, u = unroll, pr = probe:
                          jnp.sum(k12(x, s, q, c, u, pr)))

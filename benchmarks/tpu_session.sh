@@ -1,0 +1,16 @@
+#!/bin/sh
+# One-shot TPU perf session: run as soon as the axon tunnel is up.
+#   1. bench.py            — confirm the headline int8 rtf (writes JSON line)
+#   2. ab_int8_kernel.py   — fori vs static-unroll chunk loop at T=8192
+# Logs to /tmp/tpu_session.log; each stage bounded so a tunnel drop cannot
+# wedge the session.
+set -x
+cd "$(dirname "$0")/.."
+{
+  echo "=== bench.py ($(date)) ==="
+  timeout 1800 python bench.py
+  echo "=== unroll A/B ($(date)) ==="
+  SWEEP_CONFIGS=fori_c512,fori_c2048,unroll_c2048,unroll_c4096 \
+    timeout 2400 python benchmarks/ab_int8_kernel.py
+  echo "=== done ($(date)) rc=$? ==="
+} > /tmp/tpu_session.log 2>&1
