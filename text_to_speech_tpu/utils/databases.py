@@ -182,16 +182,23 @@ class JSONDirDatabase(Database):
 
     def load(self):
         os.makedirs(self.path, exist_ok = True)
-        # keys live on disk; keep a name→key map for exact key recovery
-        self._keys = {}
-        for f in os.listdir(self.path):
-            if not f.endswith('.json'): continue
-            try:
-                with open(os.path.join(self.path, f), encoding = 'utf-8') as fh:
-                    entry = json.load(fh)
-                self._keys[f[:-5]] = entry.get('__key__', f[:-5])
-            except (json.JSONDecodeError, OSError):
-                logger.warning('skipping unreadable entry %s', f)
+        self._keys_cache = None     # name→key map, built lazily on first
+                                    # enumeration (get/set never need it)
+
+    @property
+    def _keys(self):
+        if self._keys_cache is None:
+            keys = {}
+            for f in os.listdir(self.path):
+                if not f.endswith('.json'): continue
+                try:
+                    with open(os.path.join(self.path, f), encoding = 'utf-8') as fh:
+                        entry = json.load(fh)
+                    keys[f[:-5]] = entry.get('__key__', f[:-5])
+                except (json.JSONDecodeError, OSError):
+                    logger.warning('skipping unreadable entry %s', f)
+            self._keys_cache = keys
+        return self._keys_cache
 
     def save(self):
         pass                                    # every write is persistent
@@ -212,7 +219,8 @@ class JSONDirDatabase(Database):
                 json.dump({** value, '__key__': key}, f,
                           indent = 2, ensure_ascii = False)
             os.replace(tmp, self._file(key))
-            self._keys[self._name(key)] = key
+            if self._keys_cache is not None:
+                self._keys_cache[self._name(key)] = key
 
     def __delitem__(self, key):
         with self._lock:
@@ -220,7 +228,8 @@ class JSONDirDatabase(Database):
                 os.remove(self._file(key))
             except FileNotFoundError:
                 raise KeyError(key)
-            self._keys.pop(self._name(key), None)
+            if self._keys_cache is not None:
+                self._keys_cache.pop(self._name(key), None)
 
     def __contains__(self, key):
         return os.path.exists(self._file(key))
