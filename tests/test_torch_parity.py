@@ -258,3 +258,114 @@ class TestDescribeMapping:
         source = {'d': {'kernel': np.zeros((4, 4))}}
         target = {'d': {'kernel': np.zeros((6, 4))}}
         assert 'partial' in describe_mapping(source, target)
+
+
+class TestHiFiGANParity:
+    def _torch_generator(self, torch):
+        """Tiny generator in the published layout (conv_pre / ups /
+        resblocks / conv_post) for layout + numeric verification."""
+        nn_t = torch.nn
+        F = torch.nn.functional
+        RATES, WIDTHS = (4, 2), (8, 4)
+        KERNELS, DILS = (3, 7), ((1, 3), (1, 3))
+        CH = 16
+
+        class Gen(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_pre = nn_t.Conv1d(8, CH, 7, padding = 3)
+                self.ups = nn_t.ModuleList()
+                ch = CH
+                for r, w in zip(RATES, WIDTHS):
+                    self.ups.append(nn_t.ConvTranspose1d(
+                        ch, ch // 2, w, stride = r, padding = (w - r) // 2))
+                    ch //= 2
+                self.resblocks = nn_t.ModuleList()
+                ch = CH
+                for _ in RATES:
+                    ch //= 2
+                    for k, dils in zip(KERNELS, DILS):
+                        block = nn_t.Module()
+                        block.convs1 = nn_t.ModuleList([
+                            nn_t.Conv1d(ch, ch, k, dilation = d,
+                                        padding = d * (k - 1) // 2)
+                            for d in dils])
+                        block.convs2 = nn_t.ModuleList([
+                            nn_t.Conv1d(ch, ch, k, padding = (k - 1) // 2)
+                            for d in dils])
+                        self.resblocks.append(block)
+                self.conv_post = nn_t.Conv1d(ch, 1, 7, padding = 3)
+
+            def forward(self, x):
+                x = self.conv_pre(x)
+                for i in range(len(self.ups)):
+                    x = F.leaky_relu(x, 0.1)
+                    x = self.ups[i](x)
+                    xs = None
+                    for j, (k, dils) in enumerate(zip(KERNELS, DILS)):
+                        block = self.resblocks[i * len(KERNELS) + j]
+                        xb = x
+                        for c1, c2, d in zip(block.convs1, block.convs2, dils):
+                            xt = F.leaky_relu(xb, 0.1)
+                            xt = c1(xt)
+                            xt = F.leaky_relu(xt, 0.1)
+                            xt = c2(xt)
+                            xb = xb + xt
+                        xs = xb if xs is None else xs + xb
+                    x = xs / len(KERNELS)
+                x = F.leaky_relu(x)
+                x = self.conv_post(x)
+                return torch.tanh(x)
+
+        return Gen()
+
+    def test_generator_numeric_parity(self):
+        import torch
+        from text_to_speech_tpu.models.tts_checkpoints import convert_hifigan
+        from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+
+        torch.manual_seed(0)
+        gen = self._torch_generator(torch).eval()
+        sd = {k: v.detach().numpy() for k, v in gen.state_dict().items()}
+        params = convert_hifigan(sd, num_kernels = 2)
+
+        arch = HiFiGAN(n_mel_channels = 8, upsample_rates = (4, 2),
+                       upsample_kernel_sizes = (8, 4),
+                       upsample_initial_channel = 16,
+                       resblock_kernel_sizes = (3, 7),
+                       resblock_dilation_sizes = ((1, 3), (1, 3)))
+
+        mel = np.random.RandomState(1).randn(2, 12, 8).astype(np.float32)
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
+        ours = np.asarray(arch.apply(params, mel))
+        assert ours.shape == ref.shape
+        assert np.abs(ours - ref).max() < 2e-5
+
+    def test_weight_norm_fold(self):
+        import torch
+        from text_to_speech_tpu.models.tts_checkpoints import (
+            load_hifigan,
+        )
+        from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+
+        torch.manual_seed(2)
+        gen = self._torch_generator(torch)
+        # weight-norm every conv like the published checkpoint
+        for mod in gen.modules():
+            if isinstance(mod, (torch.nn.Conv1d, torch.nn.ConvTranspose1d)):
+                torch.nn.utils.weight_norm(mod)
+        gen = gen.eval()
+        sd = {k: v.detach().numpy() for k, v in gen.state_dict().items()}
+        params = load_hifigan(sd, num_kernels = 2)
+
+        arch = HiFiGAN(n_mel_channels = 8, upsample_rates = (4, 2),
+                       upsample_kernel_sizes = (8, 4),
+                       upsample_initial_channel = 16,
+                       resblock_kernel_sizes = (3, 7),
+                       resblock_dilation_sizes = ((1, 3), (1, 3)))
+        mel = np.random.RandomState(3).randn(1, 10, 8).astype(np.float32)
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
+        ours = np.asarray(arch.apply(params, mel))
+        assert np.abs(ours - ref).max() < 2e-5

@@ -41,6 +41,8 @@ def _register_builtins():
     register_architecture('tacotron2', Tacotron2)
     register_architecture('sv2tts_tacotron2', Tacotron2)
     register_architecture('waveglow', WaveGlow)
+    from .hifigan_arch import HiFiGAN
+    register_architecture('hifigan', HiFiGAN)
     register_architecture('audio_encoder', AudioEncoder)
     register_architecture('audioencoder', AudioEncoder)   # lower(class name)
     register_architecture('transformer', Transformer)

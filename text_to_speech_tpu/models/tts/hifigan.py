@@ -1,0 +1,117 @@
+"""HiFi-GAN task model: drop-in vocoder alternative to WaveGlow.
+
+Beyond-reference capability (the reference's only vocoder is WaveGlow,
+``/root/reference/models/tts/waveglow.py``): same task-model surface —
+`infer(mel) -> audio`, `__call__ = infer`, pad-to-multiple XLA shape
+bucketing, persistence by name — over the ~100× cheaper HiFi-GAN generator
+(`models/hifigan_arch.py`).  `tts(..., vocoder = HiFiGAN(...))` works
+unchanged.
+"""
+
+import logging
+
+import numpy as np
+
+from .. import saving as saving_utils
+from ..interfaces.base_model import BaseModel
+from ..interfaces.base_audio_model import BaseAudioModel
+from ...utils import pad_to_multiple
+from ...loggers import timer
+
+logger = logging.getLogger(__name__)
+
+
+class HiFiGAN(BaseAudioModel, BaseModel):
+
+    def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
+                 pad_mel_value = -11., ** kwargs):
+        if getattr(self, '_initialized', False): return
+        self.name = name or 'hifigan'
+
+        if saving_utils.is_model_name(self.name):
+            disk = saving_utils.get_model_config(self.name).get('config', {})
+            pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
+            for k, v in disk.items():
+                if k not in ('name', 'pad_mel_value', 'audio_format'):
+                    kwargs.setdefault(k, v)
+
+        self._init_audio(mel_fn = mel_fn, audio_format = 'mel',
+                         pad_mel_value = pad_mel_value, ** kwargs)
+        BaseModel.__init__(self, name = self.name, ** kwargs)
+
+    @classmethod
+    def from_torch_pretrained(cls, checkpoint, *, name = 'hifigan', ** kwargs):
+        """Create a vocoder from a published torch HiFi-GAN generator
+        checkpoint (weight-norm folded; layout verified numerically vs
+        torch in ``tests/test_torch_parity.py``)."""
+        import jax
+        import jax.numpy as jnp
+        from ..tts_checkpoints import load_hifigan
+
+        model = cls(name = name, ** kwargs)
+        params = load_hifigan(checkpoint)
+        model.set_weights(jax.tree_util.tree_map(jnp.asarray, params))
+        model.save()
+        return model
+
+    def build(self, *, model = None, vocoder = None, ** kwargs):
+        if vocoder is not None: model = vocoder
+        if model is None:
+            model = {
+                'architecture': kwargs.pop('architecture', 'hifigan'),
+                'n_mel_channels': self.n_mel_channels,
+                ** kwargs,
+            }
+        return super().build(model = model)
+
+    @property
+    def upsample_rate(self):
+        return self.arch.total_upsampling
+
+    def compiled_infer(self, mel, *, padding_multiple = 64, dtype = None, ** _):
+        """One fully-convolutional device call; mel padded to a shape
+        bucket so arbitrary lengths hit a bounded number of executables.
+        Device arrays pass through without a host round-trip."""
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(mel, jax.Array) and not isinstance(mel, np.ndarray):
+            if mel.ndim == 2: mel = mel[None]
+            if padding_multiple and mel.shape[1] % padding_multiple:
+                pad = padding_multiple - mel.shape[1] % padding_multiple
+                mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)),
+                              constant_values = self.pad_mel_value)
+        else:
+            mel = np.asarray(mel)
+            if mel.ndim == 2: mel = mel[None]
+            if padding_multiple:
+                mel = pad_to_multiple(mel, padding_multiple, axis = 1,
+                                      constant_values = self.pad_mel_value)
+
+        key = ('infer', dtype)
+
+        def builder():
+            def fn(params, mel):
+                return self.arch.apply(params, mel, dtype = dtype)
+            return fn
+
+        return self.get_compiled(key, builder)(self.params, mel)
+
+    @timer(name = 'inference HiFiGAN')
+    def infer(self, mel, *, dtype = None, ** kwargs):
+        """Vocode a mel (np/jax, (T, n_mel) or (B, T, n_mel)) → float32
+        waveform(s) cropped to exactly `T * upsample_rate` samples."""
+        if isinstance(mel, str): mel = np.load(mel)
+        squeeze = hasattr(mel, 'ndim') and mel.ndim == 2
+        n_frames = np.shape(mel)[-2]
+        audio = self.compiled_infer(mel, dtype = dtype, ** kwargs)
+        audio = np.asarray(audio)[:, :n_frames * self.upsample_rate]
+        return audio[0] if squeeze else audio
+
+    __call__ = infer
+
+    def get_config(self):
+        return {** super().get_config(), ** self.get_config_audio()}
+
+    def get_saving_objects(self):
+        return {** super().get_saving_objects(), ** self.get_saving_objects_audio()}

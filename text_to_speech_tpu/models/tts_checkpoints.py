@@ -150,6 +150,48 @@ def convert_nvidia_waveglow(sd):
     return params
 
 
+def convert_hifigan(sd, *, num_kernels = 3):
+    """Published torch HiFi-GAN generator ``state_dict`` (weight-norm
+    removed; layout of the official release: `conv_pre`, `ups.N`,
+    `resblocks.{stage*num_kernels + j}.convs{1,2}.{k}`, `conv_post`) →
+    params tree matching ``models.hifigan_arch.HiFiGAN``."""
+    sd = {re.sub(r'^(module\.|generator\.)', '', k): v for k, v in sd.items()}
+    params = {'conv_pre': _conv(sd, 'conv_pre'),
+              'conv_post': _conv(sd, 'conv_post')}
+    n_up = 1 + max(int(m.group(1)) for k in sd
+                   for m in [re.match(r'ups\.(\d+)\.', k)] if m)
+    for i in range(n_up):
+        stage = {'up': {
+            'kernel': np.ascontiguousarray(
+                np.asarray(sd['ups.{}.weight'.format(i)])
+                .transpose(2, 0, 1)[::-1]),
+        }}
+        if 'ups.{}.bias'.format(i) in sd:
+            stage['up']['bias'] = np.asarray(sd['ups.{}.bias'.format(i)])
+        for j in range(num_kernels):
+            r = i * num_kernels + j
+            n_dil = 1 + max(
+                int(m.group(1)) for k in sd
+                for m in [re.match(r'resblocks\.{}\.convs1\.(\d+)\.'.format(r), k)]
+                if m)
+            stage['res{}'.format(j)] = {
+                'd{}'.format(d): {
+                    'conv1': _conv(sd, 'resblocks.{}.convs1.{}'.format(r, d)),
+                    'conv2': _conv(sd, 'resblocks.{}.convs2.{}'.format(r, d)),
+                }
+                for d in range(n_dil)
+            }
+        params['up{}'.format(i)] = stage
+    return params
+
+
+def load_hifigan(path_or_sd, ** kwargs):
+    """Load the published torch HiFi-GAN generator checkpoint."""
+    sd = _load_state_dict(path_or_sd)
+    sd = remove_torch_weight_norm(sd)
+    return convert_hifigan(sd, ** kwargs)
+
+
 def remove_torch_weight_norm(sd):
     """Fold torch weight-norm (weight_g/weight_v) pairs back into plain
     weights (the published WaveGlow checkpoint ships weight-normed)."""
