@@ -1,0 +1,56 @@
+"""HiFi-GAN vocoder real-time factor (one chip) — beyond-reference vocoder.
+
+Full-size v1 generator (~13 GFLOP / audio-second vs WaveGlow's ~1.45 TFLOP):
+expect RTF two orders of magnitude above WaveGlow's.
+
+Usage: python benchmarks/hifigan_rtf.py [--batch 32] [--frames 256]
+       [--iters 6] [--dtype bfloat16|float32]
+
+Note (axon tunnel): run ONE TPU process at a time; timing is synchronized by
+a scalar device→host transfer (block_until_ready can silently no-op).
+"""
+
+import os
+import sys
+import time
+import argparse
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type = int, default = 32)
+    parser.add_argument('--frames', type = int, default = 256)
+    parser.add_argument('--iters', type = int, default = 6)
+    parser.add_argument('--dtype', default = 'bfloat16')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+
+    arch = HiFiGAN()                                       # full-size v1
+    params = arch.init(jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (args.batch, args.frames, 80)) * 2. - 6.
+    dtype = getattr(jnp, args.dtype) if args.dtype != 'float32' else None
+
+    infer = jax.jit(lambda p, m: jnp.sum(arch.apply(p, m, dtype = dtype)))
+    float(infer(params, mel))                              # compile + warm
+
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        out = infer(params, mel)
+    float(out)                                             # sync
+    elapsed = time.perf_counter() - start
+
+    audio_s = args.iters * args.batch * args.frames * 256 / 22050.
+    print('batch={} frames={} dtype={}'.format(
+        args.batch, args.frames, args.dtype))
+    print('{:.2f}s for {:.1f}s audio -> {:.1f}x real-time'.format(
+        elapsed, audio_s, audio_s / elapsed))
+
+
+if __name__ == '__main__':
+    main()

@@ -12,5 +12,7 @@ cd "$(dirname "$0")/.."
   echo "=== unroll A/B ($(date)) ==="
   SWEEP_CONFIGS=fori_c512,fori_c2048,unroll_c2048,unroll_c4096 \
     timeout 2400 python benchmarks/ab_int8_kernel.py
+  echo "=== hifigan rtf ($(date)) ==="
+  timeout 1200 python benchmarks/hifigan_rtf.py --batch 32 --frames 256
   echo "=== done ($(date)) rc=$? ==="
 } > /tmp/tpu_session.log 2>&1
