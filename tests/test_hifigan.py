@@ -175,3 +175,21 @@ class TestTTSIntegration:
         assert 'audio' in results[0]
         audio = np.asarray(results[0]['audio'])
         assert audio.ndim == 1 and len(audio) > 0
+
+
+class TestPresets:
+    def test_v3_resblock2_runs(self):
+        from text_to_speech_tpu.models.hifigan_arch import (
+            HiFiGAN as Arch, HIFIGAN_V3,
+        )
+        arch = Arch(** {** HIFIGAN_V3,
+                        'n_mel_channels': 8,
+                        'upsample_rates': (4, 2, 2),
+                        'upsample_kernel_sizes': (8, 4, 4),
+                        'upsample_initial_channel': 16})
+        params = arch.init(jax.random.PRNGKey(20))
+        # ResBlock2 units have a single conv
+        assert 'conv2' not in params['up0']['res0']['d0']
+        mel = jnp.zeros((1, 6, 8))
+        wave = arch.apply(params, mel)
+        assert wave.shape == (1, 6 * 16)

@@ -33,11 +33,26 @@ HParamsHiFiGAN = HParams(
     upsample_initial_channel = 512,
     resblock_kernel_sizes = (3, 7, 11),
     resblock_dilation_sizes = ((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    resblock_version = 1,   # 1: dilated+plain conv pairs; 2: single dilated conv
     leaky_slope = 0.1,
     # discriminators
     mpd_periods = (2, 3, 5, 7, 11),
     msd_scales = 3,
 )
+
+
+#: published config presets (v1 = the HParams defaults; v2 small-channel,
+#: v3 shallow-fast) — pass as `HiFiGAN(** HIFIGAN_V2)`
+HIFIGAN_V1 = {}
+HIFIGAN_V2 = {'upsample_initial_channel': 128}
+HIFIGAN_V3 = {
+    'upsample_rates': (8, 8, 4),
+    'upsample_kernel_sizes': (16, 16, 8),
+    'upsample_initial_channel': 256,
+    'resblock_kernel_sizes': (3, 5, 7),
+    'resblock_dilation_sizes': ((1, 2), (2, 6), (3, 12)),
+    'resblock_version': 2,
+}
 
 
 def _leaky(x, slope):
@@ -75,10 +90,12 @@ class HiFiGAN:
                 # dict-of-dicts (not a list) so the checkpoint flattener and
                 # tree utilities see a uniform nested-dict pytree
                 stage['res{}'.format(j)] = {
-                    'd{}'.format(di): {
-                        'conv1': nn.init_conv1d(next(keys), k, out_ch, out_ch),
-                        'conv2': nn.init_conv1d(next(keys), k, out_ch, out_ch),
-                    }
+                    'd{}'.format(di): (
+                        {'conv1': nn.init_conv1d(next(keys), k, out_ch, out_ch),
+                         'conv2': nn.init_conv1d(next(keys), k, out_ch, out_ch)}
+                        if hp.resblock_version == 1 else
+                        {'conv1': nn.init_conv1d(next(keys), k, out_ch, out_ch)}
+                    )
                     for di, d in enumerate(dils)
                 }
             params['up{}'.format(i)] = stage
@@ -91,8 +108,9 @@ class HiFiGAN:
             unit = block['d{}'.format(di)]
             h = _leaky(x, slope)
             h = nn.conv1d(unit['conv1'], h, dilation = d)
-            h = _leaky(h, slope)
-            h = nn.conv1d(unit['conv2'], h)
+            if 'conv2' in unit:                 # ResBlock1 (v1/v2 configs)
+                h = _leaky(h, slope)
+                h = nn.conv1d(unit['conv2'], h)
             x = x + h
         return x
 
