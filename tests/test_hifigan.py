@@ -193,3 +193,46 @@ class TestPresets:
         mel = jnp.zeros((1, 6, 8))
         wave = arch.apply(params, mel)
         assert wave.shape == (1, 6 * 16)
+
+
+class TestStreamingVocoder:
+    def test_incremental_streaming_with_hifigan(self, tmp_path, monkeypatch):
+        """The incremental-audio stepper is vocoder-agnostic: HiFi-GAN
+        drops in for the streaming path (lower per-chunk cost than
+        WaveGlow)."""
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2, HiFiGAN
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'hstream_taco',
+            n_mel_channels = 8,
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1          # run to max_steps
+        vocoder = HiFiGAN(name = 'hstream_voc', ** TINY)
+
+        chunks = []
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 12,
+            deterministic = True, vocoder = vocoder, stream_audio = True,
+            stream_context = 4, stream_lookahead = 1)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            req = engine.submit('hello hifigan streaming',
+                                on_audio = chunks.append)
+            out = req.result.get(timeout = 300)
+
+        assert out['steps'] == 12
+        assert len(chunks) >= 2
+        total = np.concatenate(chunks)
+        np.testing.assert_array_equal(total, out['audio'])
+        assert total.shape[0] == 12 * vocoder.upsample_rate
