@@ -22,6 +22,10 @@ def main():
                         help = 'fused decoder-step Pallas kernel (B<=8)')
     parser.add_argument('--int8-vocoder', action = 'store_true',
                         help = 'int8 fused-block WaveGlow serving path')
+    parser.add_argument('--vocoder', default = 'waveglow',
+                        choices = ('waveglow', 'hifigan'),
+                        help = 'hifigan: full-size v1 generator (~100x '
+                               'cheaper per audio-second)')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
     parser.add_argument('--gate', action = 'store_true',
@@ -46,9 +50,13 @@ def main():
         extra['max_fpt_ratio'] = float('inf')
 
     model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
-    vocoder = WaveGlow(name = 'bench_waveglow')
-    if args.int8_vocoder:
-        vocoder.quantize_for_serving()
+    if args.vocoder == 'hifigan':
+        from text_to_speech_tpu.models.tts import HiFiGAN
+        vocoder = HiFiGAN(name = 'bench_hifigan')
+    else:
+        vocoder = WaveGlow(name = 'bench_waveglow')
+        if args.int8_vocoder:
+            vocoder.quantize_for_serving()
 
     texts = [
         'The quick brown fox jumps over the lazy dog number {}.'.format(i)
