@@ -224,3 +224,27 @@ class TestDataParallelInference:
                    for path, spec in flat if spec != jax.sharding.PartitionSpec()]
         assert any('decoder_rnn' in n for n in sharded)
         assert any('linear_projection' in n for n in sharded)
+
+
+class TestHiFiGANDataParallel:
+    def test_hifigan_dp_infer_parity(self):
+        """HiFi-GAN generation with the batch sharded over dp matches
+        single-device output."""
+        from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+
+        devices = get_devices('cpu')
+        arch = HiFiGAN(n_mel_channels = 8, upsample_rates = (4, 2),
+                       upsample_kernel_sizes = (8, 4),
+                       upsample_initial_channel = 16,
+                       resblock_kernel_sizes = (3,),
+                       resblock_dilation_sizes = ((1, 2),))
+        params = arch.init(jax.random.PRNGKey(0))
+        mel = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 8))
+
+        ref = jax.jit(arch.apply)(params, mel)
+
+        mesh = create_mesh({'dp': 4}, devices = devices[:4])
+        out = jax.jit(arch.apply)(
+            shard_params(params, mesh), shard_batch(mel, mesh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol = 1e-5)
