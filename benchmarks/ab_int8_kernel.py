@@ -65,8 +65,12 @@ def main():
         'unroll_c4096': (4096, True, False),
     }
     selected = os.environ.get('SWEEP_CONFIGS', 'fori_c512,aligned_probe')
-    configs = [(name, * all_configs[name])
-               for name in selected.split(',') if name in all_configs]
+    names = [n for n in selected.split(',') if n]
+    unknown = [n for n in names if n not in all_configs]
+    if unknown:
+        raise ValueError('unknown SWEEP_CONFIGS {} (known: {})'.format(
+            unknown, sorted(all_configs)))
+    configs = [(name, * all_configs[name]) for name in names]
 
     results = {}
     for label, chunk, unroll, probe in configs:

@@ -51,6 +51,8 @@ def main():
 
     model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     if args.vocoder == 'hifigan':
+        if args.int8_vocoder:
+            parser.error('--int8-vocoder applies to the WaveGlow path only')
         from text_to_speech_tpu.models.tts import HiFiGAN
         vocoder = HiFiGAN(name = 'bench_hifigan')
     else:

@@ -369,3 +369,75 @@ class TestHiFiGANParity:
             ref = gen(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
         ours = np.asarray(arch.apply(params, mel))
         assert np.abs(ours - ref).max() < 2e-5
+
+
+class TestHiFiGANv3Parity:
+    def test_resblock2_import(self):
+        """v3-layout (ResBlock2, single 'convs' list) torch checkpoints
+        convert and match numerically."""
+        import torch
+        from text_to_speech_tpu.models.tts_checkpoints import convert_hifigan
+        from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+
+        nn_t = torch.nn
+        F = torch.nn.functional
+        RATES, WIDTHS, KERNELS, DILS = (4, 2), (8, 4), (3, 5), ((1, 2), (2, 6))
+        CH = 16
+
+        class Gen(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_pre = nn_t.Conv1d(8, CH, 7, padding = 3)
+                self.ups = nn_t.ModuleList()
+                ch = CH
+                for r, w in zip(RATES, WIDTHS):
+                    self.ups.append(nn_t.ConvTranspose1d(
+                        ch, ch // 2, w, stride = r, padding = (w - r) // 2))
+                    ch //= 2
+                self.resblocks = nn_t.ModuleList()
+                ch = CH
+                for _ in RATES:
+                    ch //= 2
+                    for k, dils in zip(KERNELS, DILS):
+                        block = nn_t.Module()
+                        block.convs = nn_t.ModuleList([
+                            nn_t.Conv1d(ch, ch, k, dilation = d,
+                                        padding = d * (k - 1) // 2)
+                            for d in dils])
+                        self.resblocks.append(block)
+                self.conv_post = nn_t.Conv1d(ch, 1, 7, padding = 3)
+
+            def forward(self, x):
+                x = self.conv_pre(x)
+                for i in range(len(self.ups)):
+                    x = F.leaky_relu(x, 0.1)
+                    x = self.ups[i](x)
+                    xs = None
+                    for j in range(len(KERNELS)):
+                        block = self.resblocks[i * len(KERNELS) + j]
+                        xb = x
+                        for conv in block.convs:
+                            xt = F.leaky_relu(xb, 0.1)
+                            xb = xb + conv(xt)
+                        xs = xb if xs is None else xs + xb
+                    x = xs / len(KERNELS)
+                x = F.leaky_relu(x)
+                return torch.tanh(self.conv_post(x))
+
+        torch.manual_seed(4)
+        gen = Gen().eval()
+        sd = {k: v.detach().numpy() for k, v in gen.state_dict().items()}
+        params = convert_hifigan(sd)       # num_kernels inferred
+        assert 'conv2' not in params['up0']['res0']['d0']
+
+        arch = HiFiGAN(n_mel_channels = 8, upsample_rates = RATES,
+                       upsample_kernel_sizes = WIDTHS,
+                       upsample_initial_channel = CH,
+                       resblock_kernel_sizes = KERNELS,
+                       resblock_dilation_sizes = DILS,
+                       resblock_version = 2)
+        mel = np.random.RandomState(5).randn(1, 10, 8).astype(np.float32)
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel.transpose(0, 2, 1)))[:, 0].numpy()
+        ours = np.asarray(arch.apply(params, mel))
+        assert np.abs(ours - ref).max() < 2e-5

@@ -514,3 +514,20 @@ class TestLoggerStyleAPI:
         lg.warning('only-message')
         assert buf.getvalue().strip() == 'only-message'
         lg.removeHandler(h)
+
+
+class TestFormatterRobustness:
+    def test_dict_without_fmt_and_no_mutation(self):
+        import logging
+        from text_to_speech_tpu.loggers import get_formatter
+        spec = {'style': '{'}
+        f = get_formatter(spec)              # no fmt key → Formatter default
+        assert isinstance(f, logging.Formatter)
+        assert spec == {'style': '{'}        # caller dict unmutated
+
+    def test_literal_percent_in_brace_format(self):
+        import logging
+        from text_to_speech_tpu.loggers import get_formatter
+        f = get_formatter('{message} 50%')
+        rec = logging.LogRecord('n', logging.INFO, 'p', 1, 'msg', (), None)
+        assert f.format(rec) == 'msg 50%'

@@ -6,6 +6,7 @@ and re-exports the timing API.
 """
 
 import os
+import re
 import sys
 import logging
 
@@ -72,12 +73,18 @@ _STYLES = {
 def get_formatter(format = 'basic', datefmt = None):
     """→ a `logging.Formatter` from a style name ('basic'/'extended'/'dev'),
     a raw format string ('%' or '{' style auto-detected), or a dict of
-    Formatter kwargs."""
+    Formatter kwargs (left unmutated)."""
     if isinstance(format, logging.Formatter):
         return format
     if isinstance(format, str):
         format = {'fmt': _STYLES.get(format, format)}
-    format.setdefault('style', '%' if '%' in format['fmt'] else '{')
+    else:
+        format = dict(format)
+    fmt = format.get('fmt')
+    if fmt is not None and 'style' not in format:
+        # '{'-style wins when brace fields are present (a literal '%' in a
+        # brace format must not flip the detection)
+        format['style'] = '{' if re.search(r'\{\w+[^}]*\}', fmt) else '%'
     if datefmt:
         format.setdefault('datefmt', datefmt)
     return logging.Formatter(** format)

@@ -166,7 +166,9 @@ class HiFiGAN:
     def _apply_period_d(self, p, audio, period, slope):
         B, T = audio.shape
         pad = (-T) % period
-        x = jnp.pad(audio, ((0, 0), (0, pad)), mode = 'reflect' if T > 1 else 'constant')
+        # reflect padding only supports pad <= T-1; fall back to edge
+        x = jnp.pad(audio, ((0, 0), (0, pad)),
+                    mode = 'reflect' if 0 < pad <= T - 1 else 'edge')
         # (B, T/p, p): the period axis becomes the batch of independent 1-D
         # signals — conv over the T/p axis with kernel (5,) stride 3, shared
         # across phases (equivalent to the published (5,1)x(3,1) 2-D convs)

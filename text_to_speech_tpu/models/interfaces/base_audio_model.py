@@ -80,6 +80,30 @@ class BaseAudioModel:
         if 'trim_audio' in hparams:
             self.trim_audio = hparams['trim_audio']
 
+    def _pad_mel_to_bucket(self, mel, multiple):
+        """mel (T, C) / (B, T, C), numpy or device array → (B, T', C) padded
+        with `pad_mel_value` to the shape bucket.  Device arrays pad with
+        `jnp.pad` on device (no host round-trip — the synthesizer pipelines
+        its decoder output straight into the vocoder launch this way)."""
+        import jax
+        import numpy as np
+
+        if isinstance(mel, jax.Array) and not isinstance(mel, np.ndarray):
+            import jax.numpy as jnp
+            if mel.ndim == 2: mel = mel[None]
+            if multiple and mel.shape[1] % multiple:
+                pad = multiple - mel.shape[1] % multiple
+                mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)),
+                              constant_values = self.pad_mel_value)
+            return mel
+        from ...utils import pad_to_multiple
+        mel = np.asarray(mel)
+        if mel.ndim == 2: mel = mel[None]
+        if multiple:
+            mel = pad_to_multiple(mel, multiple, axis = 1,
+                                  constant_values = self.pad_mel_value)
+        return mel
+
     # -- persistence -----------------------------------------------------------
 
     def get_config_audio(self):

@@ -46,6 +46,20 @@ def list_pretrained():
     )
 
 
+def merge_disk_config(name, kwargs, exclude = ('name',)):
+    """Fill `kwargs` (in place, setdefault) from a saved model's config,
+    skipping `exclude` keys → the disk config dict ({} when unsaved).
+    Shared by task-model constructors so reload-by-name restores the
+    architecture hparams."""
+    if not is_model_name(name):
+        return {}
+    disk = get_model_config(name).get('config', {})
+    for k, v in disk.items():
+        if k not in exclude:
+            kwargs.setdefault(k, v)
+    return disk
+
+
 def get_model_infos(name):
     """Full saved info for a model: its `config.json` content, or, for a
     live model instance, its class + `get_config()` (reference

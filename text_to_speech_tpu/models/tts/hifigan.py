@@ -15,7 +15,6 @@ import numpy as np
 from .. import saving as saving_utils
 from ..interfaces.base_model import BaseModel
 from ..interfaces.base_audio_model import BaseAudioModel
-from ...utils import pad_to_multiple
 from ...loggers import timer
 
 logger = logging.getLogger(__name__)
@@ -28,12 +27,9 @@ class HiFiGAN(BaseAudioModel, BaseModel):
         if getattr(self, '_initialized', False): return
         self.name = name or 'hifigan'
 
-        if saving_utils.is_model_name(self.name):
-            disk = saving_utils.get_model_config(self.name).get('config', {})
-            pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
-            for k, v in disk.items():
-                if k not in ('name', 'pad_mel_value', 'audio_format'):
-                    kwargs.setdefault(k, v)
+        disk = saving_utils.merge_disk_config(
+            self.name, kwargs, exclude = ('name', 'pad_mel_value', 'audio_format'))
+        pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
 
         self._init_audio(mel_fn = mel_fn, audio_format = 'mel',
                          pad_mel_value = pad_mel_value, ** kwargs)
@@ -49,7 +45,9 @@ class HiFiGAN(BaseAudioModel, BaseModel):
         from ..tts_checkpoints import load_hifigan
 
         model = cls(name = name, ** kwargs)
-        params = load_hifigan(checkpoint)
+        params = load_hifigan(
+            checkpoint,
+            num_kernels = len(model.arch.hp.resblock_kernel_sizes))
         model.set_weights(jax.tree_util.tree_map(jnp.asarray, params))
         model.save()
         return model
@@ -72,22 +70,7 @@ class HiFiGAN(BaseAudioModel, BaseModel):
         """One fully-convolutional device call; mel padded to a shape
         bucket so arbitrary lengths hit a bounded number of executables.
         Device arrays pass through without a host round-trip."""
-        import jax
-        import jax.numpy as jnp
-
-        if isinstance(mel, jax.Array) and not isinstance(mel, np.ndarray):
-            if mel.ndim == 2: mel = mel[None]
-            if padding_multiple and mel.shape[1] % padding_multiple:
-                pad = padding_multiple - mel.shape[1] % padding_multiple
-                mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)),
-                              constant_values = self.pad_mel_value)
-        else:
-            mel = np.asarray(mel)
-            if mel.ndim == 2: mel = mel[None]
-            if padding_multiple:
-                mel = pad_to_multiple(mel, padding_multiple, axis = 1,
-                                      constant_values = self.pad_mel_value)
-
+        mel = self._pad_mel_to_bucket(mel, padding_multiple)
         key = ('infer', dtype)
 
         def builder():

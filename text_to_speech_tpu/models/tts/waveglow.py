@@ -17,7 +17,6 @@ import numpy as np
 from .. import saving as saving_utils
 from ..interfaces.base_model import BaseModel
 from ..interfaces.base_audio_model import BaseAudioModel
-from ...utils import pad_to_multiple
 from ...loggers import timer
 
 logger = logging.getLogger(__name__)
@@ -31,12 +30,9 @@ class WaveGlow(BaseAudioModel, BaseModel):
         if getattr(self, '_initialized', False): return
         self.name = name or 'waveglow'
 
-        if saving_utils.is_model_name(self.name):
-            disk = saving_utils.get_model_config(self.name).get('config', {})
-            pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
-            for k, v in disk.items():
-                if k not in ('name', 'pad_mel_value', 'audio_format'):
-                    kwargs.setdefault(k, v)
+        disk = saving_utils.merge_disk_config(
+            self.name, kwargs, exclude = ('name', 'pad_mel_value', 'audio_format'))
+        pad_mel_value = disk.get('pad_mel_value', pad_mel_value)
 
         self._init_audio(mel_fn = mel_fn, audio_format = 'mel',
                          pad_mel_value = pad_mel_value, ** kwargs)
@@ -83,19 +79,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
         straight into the vocoder launch this way."""
         import jax
 
-        if isinstance(mel, jax.Array) and not isinstance(mel, np.ndarray):
-            import jax.numpy as jnp
-            if mel.ndim == 2: mel = mel[None]
-            if padding_multiple and mel.shape[1] % padding_multiple:
-                pad = padding_multiple - mel.shape[1] % padding_multiple
-                mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)),
-                              constant_values = self.pad_mel_value)
-        else:
-            mel = np.asarray(mel)
-            if mel.ndim == 2: mel = mel[None]
-            if padding_multiple:
-                mel = pad_to_multiple(mel, padding_multiple, axis = 1,
-                                      constant_values = self.pad_mel_value)
+        mel = self._pad_mel_to_bucket(mel, padding_multiple)
         if rng is None:
             import time as _time
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))

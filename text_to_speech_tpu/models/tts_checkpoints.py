@@ -150,16 +150,34 @@ def convert_nvidia_waveglow(sd):
     return params
 
 
-def convert_hifigan(sd, *, num_kernels = 3):
+def convert_hifigan(sd, *, num_kernels = None):
     """Published torch HiFi-GAN generator ``state_dict`` (weight-norm
     removed; layout of the official release: `conv_pre`, `ups.N`,
-    `resblocks.{stage*num_kernels + j}.convs{1,2}.{k}`, `conv_post`) →
-    params tree matching ``models.hifigan_arch.HiFiGAN``."""
+    `resblocks.{stage*num_kernels + j}`, `conv_post`) → params tree
+    matching ``models.hifigan_arch.HiFiGAN``.
+
+    Handles both resblock variants: v1/v2 name their conv lists
+    `convs1`/`convs2` (dilated + plain pairs); v3 (ResBlock2) has a single
+    `convs` list.  `num_kernels` (MRF size) is inferred from the resblock
+    count when omitted (total = n_up * num_kernels)."""
     sd = {re.sub(r'^(module\.|generator\.)', '', k): v for k, v in sd.items()}
     params = {'conv_pre': _conv(sd, 'conv_pre'),
               'conv_post': _conv(sd, 'conv_post')}
     n_up = 1 + max(int(m.group(1)) for k in sd
                    for m in [re.match(r'ups\.(\d+)\.', k)] if m)
+    n_resblocks = 1 + max(int(m.group(1)) for k in sd
+                          for m in [re.match(r'resblocks\.(\d+)\.', k)] if m)
+    if num_kernels is None:
+        if n_resblocks % n_up:
+            raise ValueError('cannot infer num_kernels: {} resblocks over {} '
+                             'stages'.format(n_resblocks, n_up))
+        num_kernels = n_resblocks // n_up
+
+    def _dils(prefix):
+        dils = [int(m.group(1)) for k in sd
+                for m in [re.match(re.escape(prefix) + r'\.(\d+)\.', k)] if m]
+        return 1 + max(dils) if dils else 0
+
     for i in range(n_up):
         stage = {'up': {
             'kernel': np.ascontiguousarray(
@@ -170,17 +188,25 @@ def convert_hifigan(sd, *, num_kernels = 3):
             stage['up']['bias'] = np.asarray(sd['ups.{}.bias'.format(i)])
         for j in range(num_kernels):
             r = i * num_kernels + j
-            n_dil = 1 + max(
-                int(m.group(1)) for k in sd
-                for m in [re.match(r'resblocks\.{}\.convs1\.(\d+)\.'.format(r), k)]
-                if m)
-            stage['res{}'.format(j)] = {
-                'd{}'.format(d): {
-                    'conv1': _conv(sd, 'resblocks.{}.convs1.{}'.format(r, d)),
-                    'conv2': _conv(sd, 'resblocks.{}.convs2.{}'.format(r, d)),
+            paired = _dils('resblocks.{}.convs1'.format(r))
+            if paired:                                   # ResBlock1
+                stage['res{}'.format(j)] = {
+                    'd{}'.format(d): {
+                        'conv1': _conv(sd, 'resblocks.{}.convs1.{}'.format(r, d)),
+                        'conv2': _conv(sd, 'resblocks.{}.convs2.{}'.format(r, d)),
+                    }
+                    for d in range(paired)
                 }
-                for d in range(n_dil)
-            }
+            else:                                        # ResBlock2 (v3)
+                n_dil = _dils('resblocks.{}.convs'.format(r))
+                if not n_dil:
+                    raise KeyError('no convs found for resblocks.{}'.format(r))
+                stage['res{}'.format(j)] = {
+                    'd{}'.format(d): {
+                        'conv1': _conv(sd, 'resblocks.{}.convs.{}'.format(r, d)),
+                    }
+                    for d in range(n_dil)
+                }
         params['up{}'.format(i)] = stage
     return params
 

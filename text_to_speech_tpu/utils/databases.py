@@ -187,18 +187,22 @@ class JSONDirDatabase(Database):
 
     @property
     def _keys(self):
-        if self._keys_cache is None:
-            keys = {}
-            for f in os.listdir(self.path):
-                if not f.endswith('.json'): continue
-                try:
-                    with open(os.path.join(self.path, f), encoding = 'utf-8') as fh:
-                        entry = json.load(fh)
-                    keys[f[:-5]] = entry.get('__key__', f[:-5])
-                except (json.JSONDecodeError, OSError):
-                    logger.warning('skipping unreadable entry %s', f)
-            self._keys_cache = keys
-        return self._keys_cache
+        # build under the lock so writes during the first enumeration are
+        # either in the listdir snapshot or applied to the installed cache
+        with self._lock:
+            if self._keys_cache is None:
+                keys = {}
+                for f in os.listdir(self.path):
+                    if not f.endswith('.json'): continue
+                    try:
+                        with open(os.path.join(self.path, f),
+                                  encoding = 'utf-8') as fh:
+                            entry = json.load(fh)
+                        keys[f[:-5]] = entry.get('__key__', f[:-5])
+                    except (json.JSONDecodeError, OSError):
+                        logger.warning('skipping unreadable entry %s', f)
+                self._keys_cache = keys
+            return self._keys_cache
 
     def save(self):
         pass                                    # every write is persistent
