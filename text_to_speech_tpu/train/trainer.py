@@ -280,6 +280,24 @@ def fit(model,
             epoch_metrics, n_batches = {}, 0
             start = time.time()
 
+            def flush(device_metrics):
+                """Fetch + record one step's metrics.  Called AFTER the next
+                step has been dispatched, so the device→host sync overlaps
+                the next step's compute instead of serializing the loop
+                (the per-step `float()` was the pipeline's only barrier).
+                NaN termination therefore trips one step late — harmless:
+                the extra step's updates are discarded with the raise."""
+                nonlocal n_batches
+                metrics = {k: float(v) for k, v in device_metrics.items()}
+                if terminate_on_nan and not np.isfinite(metrics['loss']):
+                    logger.error('NaN loss at epoch %d; stopping', epoch)
+                    raise FloatingPointError('NaN loss')
+                history.on_batch_end(metrics)
+                for k, v in metrics.items():
+                    epoch_metrics[k] = epoch_metrics.get(k, 0.) + v
+                n_batches += 1
+
+            pending = None
             for batch in train_ds:
                 inputs, targets = bucket_pad(
                     batch, model, token_multiple = token_multiple,
@@ -296,14 +314,11 @@ def fit(model,
                 params, state, opt_state, metrics = train_step(
                     params, state, opt_state, step_rng, inputs, targets
                 )
-                metrics = {k: float(v) for k, v in metrics.items()}
-                if terminate_on_nan and not np.isfinite(metrics['loss']):
-                    logger.error('NaN loss at epoch %d; stopping', epoch)
-                    raise FloatingPointError('NaN loss')
-                history.on_batch_end(metrics)
-                for k, v in metrics.items():
-                    epoch_metrics[k] = epoch_metrics.get(k, 0.) + v
-                n_batches += 1
+                if pending is not None:
+                    flush(pending)
+                pending = metrics
+            if pending is not None:
+                flush(pending)
 
             epoch_metrics = {k: v / max(n_batches, 1) for k, v in epoch_metrics.items()}
 
