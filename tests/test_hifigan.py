@@ -236,3 +236,29 @@ class TestStreamingVocoder:
         total = np.concatenate(chunks)
         np.testing.assert_array_equal(total, out['audio'])
         assert total.shape[0] == 12 * vocoder.upsample_rate
+
+
+class TestRealMelLoss:
+    def test_gan_step_with_tacotron_stft(self, arch):
+        """The GAN mel term runs through the real (differentiable)
+        TacotronSTFT front-end inside jit."""
+        import optax
+        from text_to_speech_tpu.ops.stft import TacotronSTFT
+        from text_to_speech_tpu.train.gan import (
+            make_hifigan_train_step, init_hifigan_train_state,
+            mel_fn_from_stft,
+        )
+
+        stft = TacotronSTFT(filter_length = 64, hop_length = 16,
+                            win_length = 64, n_mel_channels = 8)
+        gen_opt = disc_opt = optax.sgd(1e-3)
+        state = init_hifigan_train_state(
+            arch, jax.random.PRNGKey(30), gen_opt, disc_opt)
+        step = make_hifigan_train_step(
+            arch, gen_opt, disc_opt, mel_fn = mel_fn_from_stft(stft),
+            donate = False)
+        mel = jax.random.normal(jax.random.PRNGKey(31), (1, 10, 8))
+        audio = jax.random.normal(jax.random.PRNGKey(32), (1, 160)) * 0.1
+        _, metrics = step(state, mel, audio)
+        assert np.isfinite(float(metrics['mel'])) and float(metrics['mel']) > 0
+        assert np.isfinite(float(metrics['gen_loss']))

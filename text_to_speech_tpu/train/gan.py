@@ -14,6 +14,15 @@ import jax
 import jax.numpy as jnp
 
 
+def mel_fn_from_stft(mel_stft):
+    """→ a jit-safe, differentiable waveform→mel callable for the L1 mel
+    term, from any `ops.stft.MelSTFT` (its `mel_spectrogram` is pure jnp:
+    conv-basis STFT → filterbank matmul → log)."""
+    def fn(wave):
+        return mel_stft.mel_spectrogram(wave)
+    return fn
+
+
 def make_hifigan_train_step(arch, gen_optimizer, disc_optimizer,
                             mel_fn = None, *, lambda_mel = 45.,
                             lambda_fm = 2., donate = True):
