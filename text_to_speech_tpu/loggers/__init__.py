@@ -97,6 +97,18 @@ def set_style(style, logger = None):
         handler.setFormatter(formatter)
 
 
+def try_tts_handler(* args, ** kwargs):
+    """Best-effort TTSHandler (speaks log records) → None on failure
+    (reference ``loggers/__init__.py:145``)."""
+    try:
+        from .handlers import TTSHandler
+        return TTSHandler(* args, ** kwargs)
+    except Exception as exc:
+        logging.getLogger(__name__).error(
+            'could not initialize TTSHandler: %s', exc)
+        return None
+
+
 def add_handler(handler = 'stream', logger = None, level = None, fmt = None, ** kwargs):
     """Attach a handler by name: 'stream', 'file' (filename=...), or a
     logging.Handler instance."""
