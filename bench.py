@@ -131,8 +131,29 @@ def worker():
                       'implied_tflops': implied_tflops}), flush = True)
 
 
+def tunnel_up(timeout = 120):
+    """Fast probe: the axon tunnel being down manifests as an indefinite
+    hang in backend init (rc=124 under timeout); probe in a subprocess so
+    the main process never dials a dead relay."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            capture_output = True, timeout = timeout,
+        )
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import time
     for attempt in range(3):
+        if not tunnel_up():
+            sys.stderr.write('bench attempt {}: TPU tunnel unreachable '
+                             '(probe timed out)\n'.format(attempt + 1))
+            if attempt < 2:
+                time.sleep(60)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), '--worker'],
