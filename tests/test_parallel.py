@@ -9,8 +9,8 @@ import jax.numpy as jnp
 import pytest
 
 from text_to_speech_tpu.parallel import (
-    create_mesh, get_devices, shard_params, shard_batch, replicated,
-    waveglow_param_specs, tacotron2_param_specs,
+    create_mesh, create_hybrid_mesh, data_axes, get_devices, shard_params,
+    shard_batch, replicated, waveglow_param_specs, tacotron2_param_specs,
 )
 from text_to_speech_tpu.models.waveglow_arch import WaveGlow
 from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
@@ -224,6 +224,73 @@ class TestDataParallelInference:
                    for path, spec in flat if spec != jax.sharding.PartitionSpec()]
         assert any('decoder_rnn' in n for n in sharded)
         assert any('linear_projection' in n for n in sharded)
+
+
+class TestHybridMesh:
+    """Multi-slice meshes: dcn axes across slices (outermost), ici axes
+    within a slice.  Virtual CPU devices have no slice_index, so slices are
+    contiguous blocks — same topology the scaling recipe produces."""
+
+    def test_axis_layout(self):
+        devices = get_devices('cpu')[:8]
+        mesh = create_hybrid_mesh({'dp': 2, 'tp': 2}, {'dcn': 2},
+                                  devices = devices)
+        assert tuple(mesh.axis_names) == ('dcn', 'dp', 'tp')
+        assert dict(mesh.shape) == {'dcn': 2, 'dp': 2, 'tp': 2}
+        # ici axes never straddle a slice boundary: each dcn slab is one
+        # contiguous 4-device block
+        ids = np.vectorize(lambda d: d.id)(mesh.devices)
+        assert sorted(ids[0].ravel().tolist()) == [d.id for d in devices[:4]]
+        assert sorted(ids[1].ravel().tolist()) == [d.id for d in devices[4:]]
+        assert data_axes(mesh) == ('dcn', 'dp')
+
+    def test_coverage_validation(self):
+        devices = get_devices('cpu')[:8]
+        with pytest.raises(ValueError):
+            create_hybrid_mesh({'dp': 3}, {'dcn': 2}, devices = devices)
+        with pytest.raises(ValueError):
+            create_hybrid_mesh({'dp': 2, 'dcn': 2}, {'dcn': 2},
+                               devices = devices[:8])
+
+    def test_hybrid_dp_dcn_tp_train_step_parity(self):
+        """One WaveGlow NLL train step on a dcn=2 x dp=2 x tp=2 hybrid mesh
+        (batch over ('dcn','dp'), WN channels over tp) matches the
+        single-device step."""
+        import optax
+        devices = get_devices('cpu')[:8]
+        arch, params, mel = _wg_setup()
+        audio = jax.random.normal(jax.random.PRNGKey(2), (4, 16 * 8))
+        tx = optax.sgd(1e-3)
+
+        def step(p, o, mel, audio):
+            loss, g = jax.value_and_grad(arch.loss)(p, mel, audio)
+            up, o = tx.update(g, o, p)
+            return optax.apply_updates(p, up), loss
+
+        p_ref, ref_loss = jax.jit(step)(params, tx.init(params), mel, audio)
+
+        mesh = create_hybrid_mesh({'dp': 2, 'tp': 2}, {'dcn': 2},
+                                  devices = devices)
+        p_tp = shard_params(params, mesh, waveglow_param_specs(params))
+        batch = shard_batch((mel, audio), mesh, axis = data_axes(mesh))
+        p_got, got_loss = jax.jit(step)(p_tp, tx.init(p_tp), * batch)
+
+        assert abs(float(got_loss) - float(ref_loss)) \
+            < 1e-5 * max(1., abs(float(ref_loss)))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol = 1e-5),
+            p_got, p_ref)
+
+    def test_shard_batch_tuple_axis_sharding(self):
+        devices = get_devices('cpu')[:8]
+        mesh = create_hybrid_mesh({'dp': 2, 'tp': 2}, {'dcn': 2},
+                                  devices = devices)
+        x = np.arange(8 * 3, dtype = np.float32).reshape(8, 3)
+        y = shard_batch(x, mesh, axis = ('dcn', 'dp'))
+        # 4-way sharded on the leading axis: each shard is 2 rows
+        assert {s.data.shape for s in y.addressable_shards} == {(2, 3)}
+        np.testing.assert_array_equal(np.asarray(y), x)
 
 
 class TestHiFiGANDataParallel:

@@ -8,7 +8,10 @@ data-parallel gradient reduction, all-gathers for tensor-parallel layers).
 Axes convention:
   - ``dp``: data parallel — batches sharded on their leading axis;
   - ``tp``: tensor parallel — wide channel dims (e.g. WaveGlow WN channels,
-    Tacotron encoder embedding) sharded across chips.
+    Tacotron encoder embedding) sharded across chips;
+  - ``dcn``: data parallel across *slices* (multi-slice/multi-pod meshes,
+    `create_hybrid_mesh`) — the outermost axis, carried by the data-center
+    network; only per-step gradient all-reduces cross it.
 """
 
 import logging
@@ -57,32 +60,99 @@ def create_mesh(axes = None, *, devices = None, platform = None):
     return Mesh(mesh_devices, tuple(axes.keys()))
 
 
+def create_hybrid_mesh(ici_axes, dcn_axes = None, *, devices = None,
+                       platform = None):
+    """Mesh spanning multiple TPU slices (multi-slice / multi-pod).
+
+    ``dcn_axes`` are laid out ACROSS slices — collectives over them ride the
+    data-center network — and come first in the mesh so they are the
+    outermost (least frequent) communication.  ``ici_axes`` are laid out
+    WITHIN a slice and ride ICI.  The standard training recipe is
+    ``create_hybrid_mesh({'dp': d, 'tp': t}, {'dcn': n_slices})``: tp
+    collectives stay on ICI, and only the per-step gradient all-reduce
+    crosses DCN (shard batches over ``('dcn', 'dp')`` — see `shard_batch`).
+
+    On real multi-slice hardware devices are grouped by their
+    ``slice_index`` attribute so ICI axes never straddle a slice boundary;
+    devices without one (single slice, CPU/virtual meshes) fall back to
+    contiguous equal blocks — the same mesh topology, which is how tests
+    and the driver dryrun exercise this path.
+    """
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = get_devices(platform)
+    dcn = dict(dcn_axes) if dcn_axes else {'dcn': 1}
+    ici = dict(ici_axes)
+    overlap = set(dcn) & set(ici)
+    if overlap:
+        raise ValueError('axes {} appear in both dcn and ici'.format(overlap))
+
+    n_slices = int(np.prod(list(dcn.values())))
+    per_slice = int(np.prod(list(ici.values())))
+    if n_slices * per_slice != len(devices):
+        raise ValueError(
+            'hybrid mesh dcn={} x ici={} does not cover {} devices'.format(
+                dcn, ici, len(devices)))
+
+    slice_ids = [getattr(d, 'slice_index', None) for d in devices]
+    if all(s is not None for s in slice_ids):
+        if len(set(slice_ids)) != n_slices:
+            raise ValueError(
+                'devices span {} slices but dcn axes request {}'.format(
+                    len(set(slice_ids)), n_slices))
+        devices = sorted(devices, key = lambda d: (d.slice_index, d.id))
+        counts = {s: slice_ids.count(s) for s in set(slice_ids)}
+        if set(counts.values()) != {per_slice}:
+            raise ValueError(
+                'uneven devices per slice {} vs ici size {}'.format(
+                    counts, per_slice))
+
+    mesh_devices = np.asarray(devices).reshape(
+        tuple(dcn.values()) + tuple(ici.values()))
+    return Mesh(mesh_devices, tuple(dcn.keys()) + tuple(ici.keys()))
+
+
+def data_axes(mesh, candidates = ('dcn', 'dp')):
+    """The mesh's data-parallel axes (outermost first) — the tuple to shard
+    batch leading dims over: ('dcn', 'dp') on a hybrid mesh, ('dp',) on a
+    single-slice mesh."""
+    return tuple(a for a in candidates if a in mesh.shape)
+
+
 def replicated(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
     return NamedSharding(mesh, P())
 
 
 def batch_sharding(mesh, axis = 'dp'):
-    """Sharding for a batch leaf: leading axis over `axis`, rest replicated."""
+    """Sharding for a batch leaf: leading axis over `axis` (a name or a
+    tuple of names, e.g. ('dcn', 'dp') on hybrid meshes), rest replicated."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+    if isinstance(axis, (tuple, list)):
+        axis = tuple(axis)
     return NamedSharding(mesh, P(axis))
 
 
 def shard_batch(batch, mesh, axis = 'dp'):
     """device_put every leaf of `batch` with its leading axis sharded on
-    `axis` (leaves whose leading dim doesn't divide — or meshes without
-    the axis at all — stay replicated)."""
+    `axis` — a name or tuple of names; names the mesh lacks are dropped
+    (leaves whose leading dim doesn't divide, or meshes with none of the
+    axes, stay replicated)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if axis not in mesh.shape:
+    axes = tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
+    axes = tuple(a for a in axes if a in mesh.shape)
+    if not axes:
         return jax.device_put(batch, replicated(mesh))
-    n = mesh.shape[axis]
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    spec = P(axes if len(axes) > 1 else axes[0])
 
     def put(leaf):
         leaf = np.asarray(leaf)
         if leaf.ndim >= 1 and leaf.shape[0] % n == 0:
-            return jax.device_put(leaf, NamedSharding(mesh, P(axis)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, batch)
@@ -94,7 +164,11 @@ def pad_batch_to_devices(batch, mesh, axis = 'dp', multiple = None):
     `multiple` overrides the divisor (e.g. dp x microbatches for the
     pipeline-parallel train step)."""
     import jax
-    n = multiple if multiple is not None else mesh.shape.get(axis, 1)
+    if multiple is not None:
+        n = multiple
+    else:
+        axes = tuple(axis) if isinstance(axis, (tuple, list)) else (axis,)
+        n = int(np.prod([mesh.shape.get(a, 1) for a in axes]))
 
     def pad(leaf):
         leaf = np.asarray(leaf)
