@@ -1,6 +1,8 @@
 """End-to-end training integration: tiny models, synthetic data, real fit()
 loop with checkpointing + history, single-device and 8-device CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -94,6 +96,47 @@ class TestFitWaveGlow:
         losses = history.get_metric('loss')
         assert len(losses) == 3
         assert losses[-1] < losses[0]
+
+
+class TestOverfitTrainedInference:
+    @pytest.mark.slow
+    def test_overfit_then_autoregressive_synthesis(self, model_root):
+        """Overfit on one real utterance, then run AR predict() with the
+        TRAINED weights: loss must collapse and the decode must produce a
+        finite mel (examples/overfit_single_utterance.py is the full-size
+        version of this, incl. gate-timed stop + Griffin-Lim wavs)."""
+        from text_to_speech_tpu.ops.audio_io import read_audio
+
+        wav = '/root/reference/tests/data/audio_test.wav'
+        if not os.path.isfile(wav):
+            pytest.skip('reference test utterance unavailable')
+        rate, audio = read_audio(wav)
+        audio = audio[:int(1.5 * rate)]
+
+        model = Tacotron2(
+            lang = 'en', name = 'overfit_t', ** {
+                ** TINY_TACO, 'encoder_embedding_dim': 32,
+                'attention_rnn_dim': 64, 'decoder_rnn_dim': 64,
+                'prenet_sizes': (32, 32), 'lsa_attention_dim': 16,
+                'max_decoder_steps': 200,
+            })
+        text = 'a short test utterance.'
+        rows = [{'text': text, 'audio': audio, 'rate': rate}] * 8
+        history = model.fit(rows, epochs = 25, batch_size = 2,
+                            valid_size = 0., lr = 2e-3,
+                            frame_multiple = 16, token_multiple = 8)
+        losses = history.get_metric('loss')
+        assert losses[-1] < losses[0] / 5.
+
+        out = model.predict(text, max_trial = 2, save = False)[0]
+        mel = np.asarray(out['mel'][0])
+        assert mel.ndim == 2 and mel.shape[1] == 80
+        assert np.isfinite(mel).all()
+        # trained mel must be far closer to the target than an untrained one
+        gt = np.asarray(model.get_audio({'audio': audio, 'rate': rate}))
+        n = min(len(mel), len(gt))
+        assert n > 16
+        assert np.abs(mel[:n] - gt[:n]).mean() < np.abs(gt).mean()
 
 
 class TestFitOnMesh:
