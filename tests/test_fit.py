@@ -156,6 +156,21 @@ class TestFitOnMesh:
         assert history.epochs == 1
         assert np.isfinite(history.get_metric('loss')[0])
 
+    def test_hybrid_dcn_mesh_fit(self):
+        """fit() on a multi-slice hybrid mesh shards batches over
+        ('dcn', 'dp')."""
+        from text_to_speech_tpu.parallel import create_hybrid_mesh
+        devices = get_devices('cpu')
+        mesh = create_hybrid_mesh({'dp': 2}, {'dcn': 2},
+                                  devices = devices[:4])
+        model = Tacotron2(lang = 'en', name = 'fit_dcn', ** TINY_TACO)
+        history = model.fit(
+            synthetic_rows(8), epochs = 1, batch_size = 8, valid_size = 0.,
+            mesh = mesh, frame_multiple = 16, token_multiple = 8,
+        )
+        assert history.epochs == 1
+        assert np.isfinite(history.get_metric('loss')[0])
+
     def test_dp_mesh_train_step(self):
         """Full train step jitted over an 8-device CPU mesh (dp sharding)."""
         devices = get_devices('cpu')

@@ -24,7 +24,8 @@ import numpy as np
 from .losses import get_loss
 from .optimizers import get_optimizer
 from ..utils.sequence_utils import pad_to_multiple
-from ..parallel import shard_batch, pad_batch_to_devices, replicated
+from ..parallel import (
+    shard_batch, pad_batch_to_devices, replicated, data_axes)
 
 logger = logging.getLogger(__name__)
 
@@ -232,7 +233,10 @@ def fit(model,
     pp_microbatches = None
     batch_multiple = None
     if mesh is not None:
-        batch_multiple = mesh.shape.get('dp', 1)
+        # data-parallel divisor spans all data axes (('dcn', 'dp') on
+        # multi-slice hybrid meshes)
+        batch_multiple = int(np.prod(
+            [mesh.shape[a] for a in data_axes(mesh)] or [1]))
         if 'pp' in mesh.shape:
             pp_microbatches = kwargs.get('pp_microbatches') \
                 or 2 * mesh.shape['pp']
@@ -308,8 +312,8 @@ def fit(model,
                         inputs, mesh, multiple = batch_multiple)
                     targets = pad_batch_to_devices(
                         targets, mesh, multiple = batch_multiple)
-                    inputs = shard_batch(inputs, mesh)
-                    targets = shard_batch(targets, mesh)
+                    inputs = shard_batch(inputs, mesh, axis = data_axes(mesh))
+                    targets = shard_batch(targets, mesh, axis = data_axes(mesh))
                 rng, step_rng = jax.random.split(rng)
                 params, state, opt_state, metrics = train_step(
                     params, state, opt_state, step_rng, inputs, targets
@@ -330,8 +334,13 @@ def fit(model,
                         frame_multiple = frame_multiple,
                     )
                     if mesh is not None:
-                        inputs = shard_batch(pad_batch_to_devices(inputs, mesh), mesh)
-                        targets = shard_batch(pad_batch_to_devices(targets, mesh), mesh)
+                        axes = data_axes(mesh)
+                        inputs = shard_batch(
+                            pad_batch_to_devices(inputs, mesh, axis = axes),
+                            mesh, axis = axes)
+                        targets = shard_batch(
+                            pad_batch_to_devices(targets, mesh, axis = axes),
+                            mesh, axis = axes)
                     rng, step_rng = jax.random.split(rng)
                     m = eval_step(params, state, step_rng, inputs, targets)
                     for k, v in m.items():
