@@ -14,5 +14,17 @@ cd "$(dirname "$0")/.."
     timeout 2400 python benchmarks/ab_int8_kernel.py
   echo "=== hifigan rtf ($(date)) ==="
   timeout 1200 python benchmarks/hifigan_rtf.py --batch 32 --frames 256
+  echo "=== e2e waveglow-int8 single + batched ($(date)) ==="
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 1 --runs 3 \
+    --dtype bfloat16 --fused-decoder --int8-vocoder
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 16 --runs 3 \
+    --dtype bfloat16 --int8-vocoder --batch 16
+  echo "=== e2e hifigan single + batched ($(date)) ==="
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 1 --runs 3 \
+    --dtype bfloat16 --fused-decoder --vocoder hifigan
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 16 --runs 3 \
+    --dtype bfloat16 --vocoder hifigan --batch 16
+  echo "=== streaming latency ($(date)) ==="
+  timeout 1200 python benchmarks/streaming_latency.py
   echo "=== done ($(date)) rc=$? ==="
 } > /tmp/tpu_session.log 2>&1
