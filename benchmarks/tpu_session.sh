@@ -9,6 +9,12 @@ cd "$(dirname "$0")/.."
 {
   echo "=== bench.py ($(date)) ==="
   timeout 1800 python bench.py
+  # persistent XLA executable cache for everything after the (pristine)
+  # bench stage: repeat compiles of the same full-size programs drop from
+  # 3-5 min to seconds across these stages and future sessions
+  export JAX_COMPILATION_CACHE_DIR=/root/.cache/tts_tpu_xla
+  export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=0.5
+  mkdir -p "$JAX_COMPILATION_CACHE_DIR"
   echo "=== unroll A/B ($(date)) ==="
   SWEEP_CONFIGS=fori_c512,fori_c2048,unroll_c2048,unroll_c4096 \
     timeout 2400 python benchmarks/ab_int8_kernel.py
