@@ -216,6 +216,91 @@ class TestWaveGlow:
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestReductionFactor:
+    """n_frames_per_step = r > 1: the decoder emits r frames per sequential
+    step — the latency axis divides by r (the reference declares the hparam
+    but never exercises it; here it is a first-class TPU latency lever)."""
+
+    R = 3
+
+    @pytest.fixture(scope = 'class')
+    def taco_r(self):
+        model = Tacotron2(** {** TINY_TACO, 'n_frames_per_step': self.R})
+        params, state = model.init(KEY)
+        return model, params, state
+
+    def test_teacher_forced_frame_rate_outputs(self, taco_r):
+        model, params, state = taco_r
+        tokens = tokens_batch()
+        G = 5                                   # decode steps (groups)
+        mel_in = jax.random.normal(KEY, (2, G, 6))    # group-rate inputs
+        lengths = jnp.array([5, 3])
+        (dec, post, gates), _ = model(
+            params, state, tokens, mel_in, mel_lengths = lengths,
+            train = True, rng = KEY,
+        )
+        assert dec.shape == (2, G * self.R, 6)  # frame-rate outputs
+        assert post.shape == (2, G * self.R, 6)
+        assert gates.shape == (2, G * self.R)
+        # group mask unfolds to frames: row 1 is zero past 3 groups
+        assert float(jnp.abs(dec[1, 3 * self.R:]).max()) == 0.
+        assert float(jnp.abs(dec[1, :3 * self.R]).max()) > 0.
+
+    def test_infer_steps_divided_by_r(self, taco_r):
+        model, params, state = taco_r
+        out = model.infer(params, state, tokens_batch(), rng = KEY,
+                          early_stopping = False, max_length = 15)
+        # 15 frames -> ceil(15/3) = 5 sequential steps -> 15 frames out
+        assert out.mel.shape == (2, 15, 6)
+        assert out.stop_tokens.shape == (2, 15)
+        assert out.attention_weights.shape == (2, 5, 7)   # one per STEP
+        assert np.isfinite(np.asarray(out.mel)).all()
+        # lengths are frame counts, always whole groups
+        lengths = np.asarray(out.lengths)
+        assert (lengths % self.R == 0).all() and (lengths <= 15).all()
+
+    def test_infer_jits(self, taco_r):
+        model, params, state = taco_r
+        fn = jax.jit(lambda p, s, t: model.infer(
+            p, s, t, deterministic = True, early_stopping = True,
+            max_length = 15))
+        out = fn(params, state, tokens_batch())
+        assert np.isfinite(np.asarray(out.mel)).all()
+
+    def test_fit_and_predict_through_task_model(self, tmp_path, monkeypatch):
+        """prepare_data grouping + bucket_pad target coupling + AR predict
+        through the public API at r=2."""
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2 as TacoTask
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        try:
+            model = TacoTask(
+                lang = 'en', name = 'taco_r2', n_frames_per_step = 2,
+                encoder_embedding_dim = 8, encoder_n_conv = 1,
+                encoder_kernel_size = 3, prenet_sizes = (4, 4),
+                lsa_attention_dim = 4, lsa_attention_filters = 2,
+                lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+                decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+                postnet_kernel_size = 3, max_decoder_steps = 16,
+            )
+            rng = np.random.RandomState(0)
+            rows = [{'text': 'hello world', 'rate': 22050,
+                     'audio': (rng.randn(2200) * 0.1).astype(np.float32)}] * 4
+            history = model.fit(rows, epochs = 1, batch_size = 2,
+                                valid_size = 0., frame_multiple = 8,
+                                token_multiple = 8)
+            assert np.isfinite(history.get_metric('loss')[0])
+
+            out = model.predict('hello world', max_trial = 1, save = False)[0]
+            mel = np.asarray(out['mel'][0])
+            assert mel.shape[1] == 80 and np.isfinite(mel).all()
+        finally:
+            reset_instances()
+
+
 class TestRegistry:
     def test_listing(self):
         assert 'tacotron2' in list_architectures()

@@ -377,13 +377,22 @@ class Tacotron2:
 
         # projections hoisted out of the scan: full-sequence matmuls
         frames, gates = self._project(params['decoder'], cell_outputs)
-        gates = gates[..., 0] if hp.n_frames_per_step == 1 else gates.reshape(gates.shape[0], -1)
-
         frames = jnp.where(dec_mask[..., None], frames, 0.)
+
+        r = hp.n_frames_per_step
+        if r == 1:
+            gates = gates[..., 0]
+            out_mask = dec_mask
+        else:
+            # reduction factor: each scan step emitted r frames; unfold to
+            # frame rate before the postnet (reference `:588-594`)
+            gates = gates.reshape(gates.shape[0], -1)
+            frames = frames.reshape(frames.shape[0], -1, hp.n_mel_channels)
+            out_mask = jnp.repeat(dec_mask, r, axis = 1)
         decoder_output = frames
 
         postnet_out, state = self.postnet(params, state, decoder_output,
-                                          train = train, rng = rng_post, mask = dec_mask)
+                                          train = train, rng = rng_post, mask = out_mask)
         mel_postnet = decoder_output + postnet_out
         return (decoder_output, mel_postnet, gates), state
 
@@ -436,7 +445,8 @@ class Tacotron2:
         def step(carry, t):
             frame, cell_state = carry
             pre = self.prenet(
-                params['decoder'], frame, rng = jax.random.fold_in(rng, t),
+                params['decoder'], frame[:, -hp.n_mel_channels:],
+                rng = jax.random.fold_in(rng, t),
                 speaker_embedding = speaker_embedding,
                 deterministic = deterministic,
             )
@@ -445,7 +455,8 @@ class Tacotron2:
                 cell_state,
             )
             frame, gate = self._project(params['decoder'], cell_out)
-            return (frame, cell_state), (frame, gate[..., 0])
+            # gate of the group's last subframe (== the only one at r=1)
+            return (frame, cell_state), (frame, gate[..., -1])
 
         (frame, cell_state), (frames, gates) = lax.scan(
             step, (frame, cell_state),
@@ -475,9 +486,14 @@ class Tacotron2:
         Returns ``Tacotron2InferenceOutput``.
         """
         hp = self.hp
+        r = hp.n_frames_per_step
         if rng is None: rng = jax.random.PRNGKey(0)
-        if max_length is None: max_length = hp.max_decoder_steps
-        max_length = int(max_length)
+        # `max_length` is in mel FRAMES; the loop runs over decode STEPS
+        # (groups of r frames — the reduction factor divides the number of
+        # sequential steps, the decoder's latency axis)
+        if max_length is None:
+            max_length = hp.max_decoder_steps * r
+        max_length = -(-int(max_length) // r)
 
         compute_dtype = dtype or jnp.float32
         if dtype is not None:
@@ -533,8 +549,10 @@ class Tacotron2:
                 attn_mask = enc_mask
 
             step_rng = jax.random.fold_in(s['rng'], s['t'])
+            # feedback = the LAST (most recent) frame of the previous group
+            # (identical to the whole frame at r=1)
             prenet_out = self.prenet(
-                params['decoder'], s['frame'][:, :hp.n_mel_channels],
+                params['decoder'], s['frame'][:, -hp.n_mel_channels:],
                 rng = step_rng, speaker_embedding = speaker_embedding,
                 deterministic = deterministic,
             )
@@ -579,7 +597,9 @@ class Tacotron2:
 
         return Tacotron2InferenceOutput(
             mel = mel,
-            lengths = final['lengths'],
+            # step count -> mel frames (identity at r=1); attention_weights
+            # stay per-STEP (one alignment per group)
+            lengths = final['lengths'] * r,
             stop_tokens = stop_tokens,
             attention_weights = final['attention_weights'],
             decoder_output = outputs,

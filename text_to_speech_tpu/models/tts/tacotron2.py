@@ -528,14 +528,33 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         return mel, gate
 
     def prepare_data(self, data):
-        """Teacher-forcing pair: ((tokens, mel[:-1], len), (mel[1:], gate[1:]))."""
+        """Teacher-forcing pair: ((tokens, mel[:-1], len), (mel[1:], gate[1:])).
+
+        With a reduction factor (``n_frames_per_step = r > 1``) the decoder
+        emits r frames per step, so inputs are group-rate: step g consumes
+        ``mel[g*r]`` (the frame just before its first target) and its targets
+        are frames ``mel[1 + g*r : 1 + (g+1)*r]``; ``len`` counts GROUPS
+        (what the teacher-forced scan masks over) while targets stay at
+        frame rate for the loss.
+        """
         tokens = self.prepare_input(data)
         mel, gate = self.prepare_output(data)
-        return (tokens, mel[:-1], len(mel) - 1), (mel[1:], gate[1:])
+        r = self.arch.hp.n_frames_per_step
+        if r == 1:
+            return (tokens, mel[:-1], len(mel) - 1), (mel[1:], gate[1:])
+        n_groups = -(-(len(mel) - 1) // r)
+        pad = 1 + n_groups * r - len(mel)
+        if pad > 0:
+            mel = np.pad(mel, ((0, pad), (0, 0)),
+                         constant_values = self.pad_mel_value)
+            gate = np.concatenate([gate, np.ones((pad,), gate.dtype)])
+        mel_in = mel[0 : n_groups * r : r]
+        return (tokens, mel_in, n_groups), (mel[1:], gate[1:])
 
     def filter_data(self, inputs, outputs):
+        r = self.arch.hp.n_frames_per_step
         return (len(inputs[0]) <= self.max_input_length
-                and inputs[-1] <= self.max_output_length)
+                and inputs[-1] * r <= self.max_output_length)
 
     def get_padding_values(self):
         return ((self.blank_token_idx, self.pad_mel_value, 0),

@@ -367,6 +367,10 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
 
     arch = model.arch
     n_mel = arch.hp.n_mel_channels
+    if arch.hp.n_frames_per_step != 1:
+        raise NotImplementedError(
+            'the serving stepper assumes 1 frame/step; decode with '
+            'infer()/predict() for reduction-factor models')
     limit = max_steps or arch.hp.max_decoder_steps
     threshold = arch.hp.gate_threshold
     if stream_audio and vocoder is None:

@@ -165,9 +165,15 @@ def bucket_pad(batch, model, *, token_multiple = 32, frame_multiple = 64):
     mel_idx = len(parts) - 2
     parts[mel_idx] = pad_to_multiple(np.asarray(parts[mel_idx]), frame_multiple,
                                      axis = 1, constant_values = pad_in[1])
-    mel_out = pad_to_multiple(np.asarray(targets[0]), frame_multiple, axis = 1,
+    # targets must be exactly r x the (padded) input step count: with a
+    # reduction factor the decoder inputs are group-rate and emit r frames
+    # per step (identical to frame_multiple padding at r=1)
+    hp = getattr(getattr(model, 'arch', None), 'hp', None)
+    r = getattr(hp, 'n_frames_per_step', 1) if hp is not None else 1
+    out_len = parts[mel_idx].shape[1] * r
+    mel_out = pad_to_multiple(np.asarray(targets[0]), out_len, axis = 1,
                               constant_values = pad_out[0])
-    gate = pad_to_multiple(np.asarray(targets[1]), frame_multiple, axis = 1,
+    gate = pad_to_multiple(np.asarray(targets[1]), out_len, axis = 1,
                            constant_values = pad_out[1])
     return tuple(parts), (mel_out, gate)
 
