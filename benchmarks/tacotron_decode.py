@@ -26,6 +26,10 @@ def main():
     parser.add_argument('--int8-lstm', action = 'store_true',
                         help = 'int8 LSTM weights inside the fused kernel '
                                '(halves the weight stream, the B=1 bound)')
+    parser.add_argument('--r', type = int, default = 1,
+                        help = 'reduction factor n_frames_per_step: r mel '
+                               'frames per sequential step (train-time '
+                               'choice; divides the latency axis by r)')
     args = parser.parse_args()
 
     import numpy as np
@@ -33,7 +37,10 @@ def main():
     import jax.numpy as jnp
     from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
 
-    arch = Tacotron2()
+    arch = Tacotron2(n_frames_per_step = args.r)
+    if args.fused and args.r != 1:
+        raise SystemExit('--fused requires r=1 (kernel covers the '
+                         'reference configuration)')
     params, state = arch.init(jax.random.PRNGKey(0))
     tokens = np.ones((args.batch, args.tokens), np.int32)
     dtype = None if args.dtype == 'float32' else getattr(jnp, args.dtype)
@@ -57,9 +64,13 @@ def main():
         best = min(best, time.perf_counter() - start)
 
     fps = args.batch * args.steps / best
-    print('batch={} steps={} dtype={}'.format(args.batch, args.steps, args.dtype))
-    print('{:.1f} us/step -> {:.0f} frames/s -> {:.1f}x real-time'.format(
-        best / args.steps * 1e6, fps, fps / AUDIO_FPS))
+    loop_steps = -(-args.steps // args.r)    # frames -> sequential steps
+    print('batch={} frames={} r={} dtype={}'.format(
+        args.batch, args.steps, args.r, args.dtype))
+    print('{:.1f} us/seq-step ({:.1f} us/frame) -> {:.0f} frames/s '
+          '-> {:.1f}x real-time'.format(
+              best / loop_steps * 1e6, best / args.steps * 1e6,
+              fps, fps / AUDIO_FPS))
 
 
 if __name__ == '__main__':

@@ -30,6 +30,11 @@ cd "$(dirname "$0")/.."
     --dtype bfloat16 --fused-decoder --vocoder hifigan
   timeout 1800 python benchmarks/e2e_tts.py --sentences 16 --runs 3 \
     --dtype bfloat16 --vocoder hifigan --batch 16
+  echo "=== reduction-factor decode (r=1/2/3, B=1 latency) ($(date)) ==="
+  for R in 1 2 3; do
+    timeout 900 python benchmarks/tacotron_decode.py \
+      --batch 1 --steps 256 --tokens 64 --dtype bfloat16 --r "$R"
+  done
   echo "=== streaming latency ($(date)) ==="
   timeout 1200 python benchmarks/streaming_latency.py
   echo "=== done ($(date)) rc=$? ==="
