@@ -15,8 +15,10 @@ label.  Single-utterance overfitting learns a monotonic text→mel alignment
 and a near-exact mel reconstruction either way, which is what the numbers
 printed at the end measure.
 
-Usage:  python examples/overfit_single_utterance.py [epochs] [out.wav]
-        (CPU-friendly: ~2-3 min at the default 50 epochs on one core)
+Usage:  python examples/overfit_single_utterance.py [epochs] [out_dir] [r]
+        (CPU-friendly: ~2-3 min at the default 50 epochs on one core;
+        r > 1 trains with the reduction factor — r mel frames per
+        sequential decoder step, so the AR decode runs in 1/r the steps)
 """
 
 import os
@@ -53,14 +55,16 @@ def load_utterance(max_seconds = 3.0):
     raise FileNotFoundError('no test utterance found in ' + str(WAV_CANDIDATES))
 
 
-def main(epochs = 50, out_path = None):
+def main(epochs = 50, out_path = None, r = 1):
     from text_to_speech_tpu.models.tts import Tacotron2
     from text_to_speech_tpu.ops.audio_io import write_audio
 
     rate, audio = load_utterance()
     print('utterance: %.2fs @ %d Hz' % (len(audio) / rate, rate))
 
-    model = Tacotron2(lang = 'en', name = 'overfit_demo', ** MODEL_HP)
+    name = 'overfit_demo' if r == 1 else 'overfit_demo_r{}'.format(r)
+    model = Tacotron2(lang = 'en', name = name, n_frames_per_step = r,
+                      ** MODEL_HP)
     gt_mel = np.asarray(model.get_audio({'audio': audio, 'rate': rate}))
     print('ground-truth mel: %s frames x %s' % gt_mel.shape)
 
@@ -77,7 +81,8 @@ def main(epochs = 50, out_path = None):
     # autoregressive synthesis with the trained weights (no teacher forcing)
     out = model.predict(TEXT, max_trial = 3, save = False)[0]
     mel = np.asarray(out['mel'][0])
-    print('AR decode: %d frames (ground truth %d)' % (len(mel), len(gt_mel)))
+    print('AR decode: %d frames in %d sequential steps (ground truth %d)' %
+          (len(mel), -(-len(mel) // r), len(gt_mel)))
 
     n = min(len(mel), len(gt_mel))
     mae = float(np.abs(mel[:n] - gt_mel[:n]).mean())
@@ -103,4 +108,5 @@ def main(epochs = 50, out_path = None):
 if __name__ == '__main__':
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     out = sys.argv[2] if len(sys.argv) > 2 else None
-    main(epochs, out)
+    r = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    main(epochs, out, r)
