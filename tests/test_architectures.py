@@ -267,6 +267,49 @@ class TestReductionFactor:
         out = fn(params, state, tokens_batch())
         assert np.isfinite(np.asarray(out.mel)).all()
 
+    @pytest.mark.parametrize('n_frames, r', [(10, 3), (12, 3), (13, 2), (7, 4)])
+    def test_prepare_data_grouping_invariants(self, tmp_path, monkeypatch,
+                                              n_frames, r):
+        """For any utterance length: targets cover mel[1:] padded to whole
+        groups, inputs are the frames just before each group's first
+        target, lengths count groups."""
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2 as TacoTask
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        try:
+            model = TacoTask(
+                lang = 'en', name = 'taco_prep_r{}_{}'.format(r, n_frames),
+                n_frames_per_step = r, encoder_embedding_dim = 8,
+                encoder_n_conv = 1, encoder_kernel_size = 3,
+                prenet_sizes = (4, 4), lsa_attention_dim = 4,
+                lsa_attention_filters = 2, lsa_attention_kernel_size = 5,
+                attention_rnn_dim = 8, decoder_rnn_dim = 8,
+                postnet_n_conv = 1, postnet_filters = 4,
+                postnet_kernel_size = 3,
+            )
+            mel = np.arange(n_frames * 80, dtype = np.float32).reshape(n_frames, 80)
+            gate = np.zeros((n_frames,), np.float32)
+            gate[-1] = 1.
+            monkeypatch.setattr(model, 'prepare_input', lambda d: np.arange(5))
+            monkeypatch.setattr(model, 'prepare_output', lambda d: (mel, gate))
+
+            (tok, mel_in, n_groups), (mel_out, gate_out) = model.prepare_data({})
+            assert n_groups == -(-(n_frames - 1) // r)
+            assert mel_in.shape == (n_groups, 80)
+            assert mel_out.shape == (n_groups * r, 80)
+            assert gate_out.shape == (n_groups * r,)
+            # inputs: the frame just before each group's first target
+            for g in range(n_groups):
+                np.testing.assert_array_equal(mel_in[g], mel[g * r])
+            # targets: mel[1:] then pad; padded gate is 1 (finished)
+            np.testing.assert_array_equal(mel_out[:n_frames - 1], mel[1:])
+            assert (gate_out[n_frames - 1:] == 1.).all()
+        finally:
+            reset_instances()
+
     def test_fit_and_predict_through_task_model(self, tmp_path, monkeypatch):
         """prepare_data grouping + bucket_pad target coupling + AR predict
         through the public API at r=2."""
