@@ -14,7 +14,7 @@ logger = logging.getLogger(__name__)
 
 def _model_classes():
     from .interfaces.base_model import BaseModel
-    from .tts import Tacotron2, SV2TTSTacotron2, WaveGlow
+    from .tts import Tacotron2, SV2TTSTacotron2, FastSpeech2, WaveGlow
     from .encoder import SpeakerEncoder
 
     classes = {}

@@ -43,6 +43,8 @@ def _register_builtins():
     register_architecture('waveglow', WaveGlow)
     from .hifigan_arch import HiFiGAN
     register_architecture('hifigan', HiFiGAN)
+    from .fastspeech2_arch import FastSpeech2
+    register_architecture('fastspeech2', FastSpeech2)
     register_architecture('audio_encoder', AudioEncoder)
     register_architecture('audioencoder', AudioEncoder)   # lower(class name)
     register_architecture('transformer', Transformer)

@@ -9,6 +9,7 @@ import logging
 
 from .tacotron2 import Tacotron2
 from .sv2tts_tacotron2 import SV2TTSTacotron2
+from .fastspeech2 import FastSpeech2
 from .waveglow import WaveGlow
 from .hifigan import HiFiGAN
 

@@ -160,6 +160,88 @@ class WaveGlowLoss:
         return {'class_name': 'WaveGlowLoss', 'sigma': self.sigma}
 
 
+@register_loss('FastSpeech2Loss')
+class FastSpeech2Loss:
+    """Non-autoregressive TTS objective (FastSpeech 2, Ren et al., 2021):
+
+    loss = mel(decoder) + mel(postnet) + MSE(log-duration) + MSE(pitch)
+           + MSE(energy), each averaged over VALID frames / tokens only
+    (masks come from the model output — no silent padding dilution).
+
+    Counterpart of the reference's TacotronLoss normalization strategy
+    (``/root/reference/custom_train_objects/losses/tacotron_loss.py:104``)
+    for the parallel synthesizer this framework adds beyond the reference.
+    """
+
+    def __init__(self, mel_loss = 'mae', duration_weight = 1.,
+                 pitch_weight = 1., energy_weight = 1.,
+                 name = 'fastspeech2_loss', ** kwargs):
+        self.mel_loss = mel_loss
+        self.duration_weight = duration_weight
+        self.pitch_weight = pitch_weight
+        self.energy_weight = energy_weight
+        self.name = name
+
+    @property
+    def output_names(self):
+        return ['loss', 'mel_loss', 'mel_postnet_loss', 'duration_loss',
+                'pitch_loss', 'energy_loss']
+
+    def _mel_err(self, y_true, y_pred, frame_mask):
+        err = jnp.abs(y_true - y_pred) if self.mel_loss == 'mae' \
+            else jnp.square(y_true - y_pred)
+        err = jnp.sum(err, axis = 2) * frame_mask
+        denom = jnp.maximum(jnp.sum(frame_mask, axis = 1), 1.) * y_pred.shape[2]
+        return jnp.sum(err, axis = 1) / denom
+
+    @staticmethod
+    def _masked_mse(target, pred, mask):
+        err = jnp.square(target - pred) * mask
+        return jnp.sum(err, axis = 1) / jnp.maximum(jnp.sum(mask, axis = 1), 1.)
+
+    def __call__(self, y_true, y_pred):
+        mel_target, durations, pitch_target, energy_target = (
+            list(y_true) + [None, None])[:4]
+        (mel, mel_post, log_d_pred, pitch_pred, energy_pred,
+         frame_mask, token_mask) = y_pred[:7]
+        frame_mask = frame_mask.astype(mel.dtype)
+        token_mask = token_mask.astype(mel.dtype)
+
+        T = min(mel.shape[1], mel_target.shape[1])
+        mel_l = self._mel_err(mel_target[:, :T], mel[:, :T], frame_mask[:, :T])
+        post_l = self._mel_err(mel_target[:, :T], mel_post[:, :T],
+                               frame_mask[:, :T])
+
+        log_d_target = jnp.log1p(durations.astype(jnp.float32))
+        dur_l = self._masked_mse(log_d_target, log_d_pred, token_mask)
+
+        zero = jnp.zeros_like(dur_l)
+        # phoneme-level variances mask by token, frame-level by frame
+        def _var_loss(target, pred):
+            if target is None or pred is None:
+                return zero
+            mask = token_mask if pred.shape[1] == token_mask.shape[1] \
+                else frame_mask
+            return self._masked_mse(target, pred, mask)
+
+        pitch_l = _var_loss(pitch_target, pitch_pred)
+        energy_l = _var_loss(energy_target, energy_pred)
+
+        total = (mel_l + post_l + self.duration_weight * dur_l
+                 + self.pitch_weight * pitch_l + self.energy_weight * energy_l)
+        return {'loss': total, 'mel_loss': mel_l, 'mel_postnet_loss': post_l,
+                'duration_loss': dur_l, 'pitch_loss': pitch_l,
+                'energy_loss': energy_l}
+
+    def get_config(self):
+        return {
+            'class_name': 'FastSpeech2Loss', 'mel_loss': self.mel_loss,
+            'duration_weight': self.duration_weight,
+            'pitch_weight': self.pitch_weight,
+            'energy_weight': self.energy_weight,
+        }
+
+
 @register_loss('TextLoss')
 class TextLoss:
     """Padded-token-masked sparse crossentropy over logits (B, T, V)."""

@@ -30,15 +30,32 @@ from ..parallel import (
 logger = logging.getLogger(__name__)
 
 
-def model_forward(model, params, state, inputs, *, rng, train = True):
+def model_forward(model, params, state, inputs, *, rng, train = True,
+                  targets = None):
     """Dispatch a padded batch to the model's architecture forward pass.
 
+    `targets` is only consulted for static shape information (e.g. the
+    FastSpeech-2 expansion buffer must match the padded mel target length).
     Returns (y_pred, new_state)."""
     from ..models.tts.tacotron2 import Tacotron2 as TacoTask
+    from ..models.tts.fastspeech2 import FastSpeech2 as FS2Task
     from ..models.tts.waveglow import WaveGlow as WGTask
     from ..models.encoder.speaker_encoder import SpeakerEncoder
 
     arch = model.arch
+    if isinstance(model, FS2Task):      # subclasses TacoTask: dispatch first
+        if len(inputs) == 5:
+            tokens, embeddings, durations, pitch, energy = inputs
+        else:
+            tokens, durations, pitch, energy = inputs
+            embeddings = None
+        max_frames = targets[0].shape[1] if targets is not None else None
+        preds, new_state = arch(
+            params, state, tokens, durations = durations, pitch = pitch,
+            energy = energy, speaker_embedding = embeddings,
+            max_frames = max_frames, train = train, rng = rng,
+        )
+        return preds, new_state
     if isinstance(model, WGTask):
         mel, audio = inputs
         # per-flow remat: 12x less activation memory, and the compiler
@@ -108,7 +125,8 @@ def make_train_step(model, loss_fn, optimizer, *, mesh = None,
     def train_step(params, state, opt_state, rng, inputs, targets):
         def loss_of(p):
             preds, new_state = model_forward(model, p, state, inputs,
-                                             rng = rng, train = True)
+                                             rng = rng, train = True,
+                                             targets = targets)
             losses = loss_fn(targets, preds)
             return jnp.mean(losses['loss']), (losses, new_state)
 
@@ -133,7 +151,7 @@ def make_eval_step(model, loss_fn, *, mesh = None):
 
     def eval_step(params, state, rng, inputs, targets):
         preds, _ = model_forward(model, params, state, inputs,
-                                 rng = rng, train = False)
+                                 rng = rng, train = False, targets = targets)
         losses = loss_fn(targets, preds)
         return {k: jnp.mean(v) for k, v in losses.items()}
 
@@ -147,6 +165,10 @@ def bucket_pad(batch, model, *, token_multiple = 32, frame_multiple = 64):
 
     if hasattr(model, 'collate_ge2e'):
         return inputs, targets            # GE2E batches are pre-bucketed
+
+    if hasattr(model, 'bucket_pad'):      # task-specific bucketing override
+        return model.bucket_pad(batch, token_multiple = token_multiple,
+                                frame_multiple = frame_multiple)
 
     if isinstance(model, WGTask):
         mel, audio = inputs if isinstance(inputs, tuple) else (inputs, targets)
