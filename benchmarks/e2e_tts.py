@@ -26,6 +26,10 @@ def main():
                         choices = ('waveglow', 'hifigan'),
                         help = 'hifigan: full-size v1 generator (~100x '
                                'cheaper per audio-second)')
+    parser.add_argument('--synthesizer', default = 'tacotron2',
+                        choices = ('tacotron2', 'fastspeech2'),
+                        help = 'fastspeech2: parallel (non-AR) text->mel — '
+                               'one forward per bucketed batch')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
     parser.add_argument('--gate', action = 'store_true',
@@ -49,7 +53,13 @@ def main():
         extra['min_fpt_ratio'] = -1.
         extra['max_fpt_ratio'] = float('inf')
 
-    model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+    if args.synthesizer == 'fastspeech2':
+        if args.fused_decoder:
+            parser.error('--fused-decoder applies to the Tacotron-2 AR path only')
+        from text_to_speech_tpu.models.tts import FastSpeech2
+        model = FastSpeech2(lang = 'en', name = 'bench_fastspeech2')
+    else:
+        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     if args.vocoder == 'hifigan':
         if args.int8_vocoder:
             parser.error('--int8-vocoder applies to the WaveGlow path only')

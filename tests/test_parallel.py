@@ -315,3 +315,75 @@ class TestHiFiGANDataParallel:
             shard_params(params, mesh), shard_batch(mel, mesh))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol = 1e-5)
+
+
+class TestFastSpeech2TensorParallel:
+    FS2_TINY = dict(vocab_size = 32, n_mel_channels = 8, dim = 16,
+                    n_heads = 2, encoder_layers = 1, decoder_layers = 1,
+                    ffn_dim = 32, variance_filters = 8, postnet_n_conv = 2,
+                    postnet_filters = 8, max_position = 64, max_frames = 32)
+
+    def _setup(self):
+        from text_to_speech_tpu.models.fastspeech2_arch import FastSpeech2
+        arch = FastSpeech2(** self.FS2_TINY)
+        params, state = arch.init(jax.random.PRNGKey(0))
+        tokens = np.tile(np.arange(1, 9, dtype = np.int32), (4, 1))
+        return arch, params, state, tokens
+
+    def test_tp_specs_shard_the_fft_blocks(self):
+        from text_to_speech_tpu.parallel import fastspeech2_param_specs
+        arch, params, _, _ = self._setup()
+        specs = fastspeech2_param_specs(params)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        sharded = ['/'.join(getattr(k, 'key', str(k)) for k in path)
+                   for path, spec in flat if spec != jax.sharding.PartitionSpec()]
+        assert any('query' in n for n in sharded)
+        assert any('conv1' in n for n in sharded)
+        assert any('conv2' in n for n in sharded)
+        # variance predictors and embeddings stay replicated
+        assert not any('predictor' in n or 'embedding' in n for n in sharded)
+
+    def test_tp_infer_parity(self):
+        """dp=2 x tp=4 parallel synthesis matches single-device (same
+        program, f32) — the multi-chip path of the non-AR family."""
+        from text_to_speech_tpu.parallel import fastspeech2_param_specs
+        devices = get_devices('cpu')
+        arch, params, state, tokens = self._setup()
+
+        fn = jax.jit(lambda p, s, t: arch.infer(p, s, t, max_frames = 32).mel)
+        ref = fn(params, state, tokens)
+
+        mesh = create_mesh({'dp': 2, 'tp': 4}, devices = devices[:8])
+        p_tp = shard_params(params, mesh, fastspeech2_param_specs(params))
+        s_rep = jax.device_put(state, replicated(mesh))
+        out = fn(p_tp, s_rep, shard_batch(tokens, mesh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol = 1e-5)
+
+    def test_tp_train_step_parity(self):
+        """Loss under dp x tp matches the single-device loss."""
+        from text_to_speech_tpu.parallel import fastspeech2_param_specs
+        from text_to_speech_tpu.train.losses import FastSpeech2Loss
+        devices = get_devices('cpu')
+        arch, params, state, tokens = self._setup()
+        loss_fn = FastSpeech2Loss()
+        durations = np.full((4, 8), 4, np.int32)
+        pitch = np.zeros((4, 8), np.float32)
+        energy = np.zeros((4, 8), np.float32)
+        mel = np.zeros((4, 32, 8), np.float32)
+
+        def loss_of(p, s, batch):
+            tokens, durations, pitch, energy, mel = batch
+            preds, _ = arch(p, s, tokens, durations = durations,
+                            pitch = pitch, energy = energy, max_frames = 32)
+            return jnp.mean(loss_fn((mel, durations, pitch, energy),
+                                    preds)['loss'])
+
+        batch = (tokens, durations, pitch, energy, mel)
+        ref = float(jax.jit(loss_of)(params, state, batch))
+
+        mesh = create_mesh({'dp': 2, 'tp': 4}, devices = devices[:8])
+        p_tp = shard_params(params, mesh, fastspeech2_param_specs(params))
+        s_rep = jax.device_put(state, replicated(mesh))
+        got = float(jax.jit(loss_of)(p_tp, s_rep, shard_batch(batch, mesh)))
+        assert abs(got - ref) < 1e-5 * max(1., abs(ref))

@@ -241,6 +241,39 @@ def moe_param_specs(params, axis = 'ep'):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def fastspeech2_param_specs(params, axis = 'tp'):
+    """PartitionSpec tree for FastSpeech-2 (or any FFT-block transformer
+    built on `init_mha` + conv FFN): Megatron-style tensor parallelism —
+    QKV projections and FFN conv1 sharded on their output (head / hidden)
+    dim, attention output and FFN conv2 sharded on their input dim, so each
+    block needs exactly one all-reduce per sub-layer.  Variance predictors /
+    embeddings / norms are replicated (tiny)."""
+    from jax.sharding import PartitionSpec as P
+    import jax
+
+    def spec_for(path, leaf):
+        names = [getattr(p, 'key', str(p)) for p in path]
+        name = '/'.join(names)
+        if 'layer_' not in name:
+            return P()
+        if leaf.ndim == 2:                       # dense kernels (in, out)
+            if any(k in name for k in ('query/', 'key/', 'value/')):
+                return P(None, axis)
+            if 'output/' in name:
+                return P(axis, None)
+        if leaf.ndim == 3:                       # conv kernels (W, in, out)
+            if 'conv1' in name:
+                return P(None, None, axis)
+            if 'conv2' in name:
+                return P(None, axis, None)
+        if leaf.ndim == 1 and any(k in name for k in
+                                  ('query/', 'key/', 'value/', 'conv1')):
+            return P(axis)                       # biases on the sharded dim
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def tacotron2_param_specs(params, axis = 'tp'):
     """PartitionSpec tree for Tacotron-2: the big decoder LSTM kernels and
     projection matmuls sharded on their output dim.
