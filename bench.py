@@ -101,18 +101,23 @@ def worker():
         params = jax.device_put(params, tpu)
 
     dtype = jnp.bfloat16 if mode != 'float32' else jnp.float32
-    infer = jax.jit(lambda p, m, r: jnp.sum(arch.infer(p, m, rng = r, dtype = dtype)))
+    # the per-iteration key derivation lives INSIDE the jitted program (the
+    # iteration index is the traced argument): a bare `fold_in` between
+    # launches would be a separate eager dispatch riding the axon tunnel
+    # (~30 ms round-trip) inside the timed loop — host artifact, not chip time
+    infer = jax.jit(lambda p, m, i: jnp.sum(arch.infer(
+        p, m, rng = jax.random.fold_in(rng, i), dtype = dtype)))
 
     # compile + warm to steady state (the first post-compile iterations run
     # ~15% slow while the chip ramps)
-    sync(infer(params, mel, rng))
+    sync(infer(params, mel, np.int32(1000)))
     for i in range(3):
-        out = infer(params, mel, jax.random.fold_in(rng, 100 + i))
+        out = infer(params, mel, np.int32(100 + i))
     sync(out)
 
     start = time.perf_counter()
     for i in range(ITERS):
-        out = infer(params, mel, jax.random.fold_in(rng, i))
+        out = infer(params, mel, np.int32(i))
     sync(out)
     elapsed = time.perf_counter() - start
 
