@@ -307,3 +307,62 @@ class TestFusedWNBlockInt8TPU:
         sig = float(jnp.mean(w_f ** 2))
         snr = 10 * np.log10(sig / max(noise, 1e-20))
         assert snr > 25., 'end-to-end int8 SNR too low: %.1f dB' % snr
+
+
+class TestFusedPathDtypeContract:
+    """The whole-block fused path is a bf16/int8 matmul machine: f32 callers
+    must get bf16 kernel operands (VMEM: f32 weights+buffers exceed the v5e
+    budget at serving tiles — measured 167 MB of 128 MB) and their f32 dtype
+    back.  Trace-level check; no kernel execution."""
+
+    @staticmethod
+    def _find_pallas_calls(jaxpr):
+        found = []
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == 'pallas_call':
+                found.append(eqn)
+            for p in eqn.params.values():
+                inner = getattr(p, 'jaxpr', None)
+                if inner is not None and hasattr(inner, 'eqns'):
+                    found += TestFusedPathDtypeContract._find_pallas_calls(inner)
+                elif hasattr(p, 'eqns'):
+                    found += TestFusedPathDtypeContract._find_pallas_calls(p)
+        return found
+
+    def _trace(self, quantize, caller_dtype):
+        from text_to_speech_tpu.models.waveglow_arch import WaveGlow
+        arch = WaveGlow(n_flows = 1, wn_layers = 2, wn_channels = 128,
+                        upsample_width = 32, upsample_stride = 16)
+        packed = arch.pack_pallas_params(arch.init(jax.random.PRNGKey(0)))
+        if quantize:
+            packed = arch.quantize_pallas_params(packed)
+        block = packed['flow_0']['block']
+        n_half = block['start']['kernel'].shape[1]
+        S = block['packed_q' if quantize else 'packed']['w_cond'].shape[1]
+        audio = jnp.zeros((1, 512, n_half), caller_dtype)
+        spect = jnp.zeros((1, 512, S), caller_dtype)
+        jaxpr = jax.make_jaxpr(
+            lambda a, s: arch.wn_block(block, a, s, fused = True))(audio, spect)
+        calls = self._find_pallas_calls(jaxpr.jaxpr)
+        assert calls, 'fused path did not lower to a pallas_call'
+        return jaxpr, calls
+
+    @pytest.mark.parametrize('quantize', [False, True])
+    def test_f32_caller_bf16_operands_f32_out(self, quantize):
+        jaxpr, calls = self._trace(quantize, jnp.float32)
+        for eqn in calls:
+            for var in eqn.invars:
+                dt = var.aval.dtype
+                # per-channel int8 scales / biases are intentionally f32
+                # (tiny, ndim<=2); the VMEM killers are the ndim>=3
+                # activation buffers and weight stacks
+                if jnp.issubdtype(dt, jnp.floating) \
+                        and len(var.aval.shape) >= 3:
+                    assert dt == jnp.bfloat16, (
+                        'f32 operand reached the fused kernel: %s %s'
+                        % (var.aval.shape, dt))
+        assert jaxpr.out_avals[0].dtype == jnp.float32
+
+    def test_bf16_caller_unchanged(self):
+        jaxpr, calls = self._trace(False, jnp.bfloat16)
+        assert jaxpr.out_avals[0].dtype == jnp.bfloat16

@@ -265,8 +265,15 @@ class WaveGlow:
             pad = wn_block_pad_int8(hp.wn_layers) if int8_kernel \
                 else wn_block_pad(hp.wn_layers)
             buf_dtype = spect.dtype
-            if int8_kernel and T <= 8192 \
-                    and jnp.dtype(buf_dtype).itemsize == 2:
+            if jnp.dtype(buf_dtype).itemsize > 2:
+                # the fused kernels are bf16/int8 matmul machines with f32
+                # accumulation; f32 buffers + VMEM-resident weights would
+                # blow past the per-core VMEM budget at serving tiles (and
+                # halve the MXU rate).  f32 callers get mixed precision —
+                # bf16 kernel operands, f32 skip accumulation and a f32
+                # return — the same contract as int8 serving.
+                buf_dtype = jnp.bfloat16
+            if int8_kernel and T <= 8192:
                 # single-tile mode: no internal tile boundaries → the kernel
                 # skips ALL halo recompute (the tiled path redoes 2×halo rows
                 # per tile per layer — 12.5% extra at tile=4096); VMEM-bound
@@ -279,13 +286,15 @@ class WaveGlow:
             x = jnp.pad(x.astype(buf_dtype), ((0, 0), (pad, pad), (0, 0)))
             if spect_padded is None:
                 spect_padded = jnp.pad(spect, ((0, 0), (pad, pad), (0, 0)))
+            spect_padded = spect_padded.astype(buf_dtype)
             if int8_kernel:
                 skip_sum = fused_wn_block_int8(
                     x, spect_padded, block['packed_q'],
                     tile = tile, seq_len = T,
                 )
             else:
-                p = block['packed']
+                p = jax.tree_util.tree_map(
+                    lambda l: l.astype(buf_dtype), block['packed'])
                 skip_sum = fused_wn_block(
                     x, spect_padded, p['w_cond'], p['b_cond'], p['w_in'],
                     p['b_in'], p['w_rs'], p['b_rs'], p['w_rs_last'],
@@ -300,7 +309,10 @@ class WaveGlow:
                              preferred_element_type = jnp.float32)
             if 'bias' in block['end']:
                 out = out + block['end']['bias'].astype(jnp.float32)
-            return out if int8_kernel else out.astype(buf_dtype)
+            # int8 keeps the f32 audio-stream contract; the bf16 kernel
+            # returns in the CALLER's dtype (f32 callers forced to bf16
+            # buffers above still get their f32 back)
+            return out if int8_kernel else out.astype(spect.dtype)
         x = nn.conv1d(block['start'], audio_half)
         cond_all = None
         if 'cond_layer' in block:
