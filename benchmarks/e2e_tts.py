@@ -30,6 +30,11 @@ def main():
                         choices = ('tacotron2', 'fastspeech2'),
                         help = 'fastspeech2: parallel (non-AR) text->mel — '
                                'one forward per bucketed batch')
+    parser.add_argument('--min-duration', type = int, default = 6,
+                        help = 'fastspeech2 only: floor frames/token — random '
+                               'weights predict ~0 durations, so without a '
+                               'floor the benchmark synthesizes ~no audio '
+                               '(6 ~= natural speech rate at 86 frames/s)')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
     parser.add_argument('--gate', action = 'store_true',
@@ -58,6 +63,7 @@ def main():
             parser.error('--fused-decoder applies to the Tacotron-2 AR path only')
         from text_to_speech_tpu.models.tts import FastSpeech2
         model = FastSpeech2(lang = 'en', name = 'bench_fastspeech2')
+        extra['min_duration'] = args.min_duration
     else:
         model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     if args.vocoder == 'hifigan':

@@ -143,6 +143,16 @@ class TestFastSpeech2Arch:
                           d_control = 0.5)
         assert int(slow.lengths[0]) >= int(fast.lengths[0])
 
+    def test_min_duration_floors_nonpad_tokens(self):
+        arch = make_arch()
+        params, state = arch.init(jax.random.PRNGKey(5))
+        tokens = jnp.array([[3, 4, 5, 6, 0, 0]])
+        out = arch.infer(params, state, tokens, max_frames = 64,
+                         min_duration = 5)
+        dur = np.asarray(out.durations[0])
+        assert np.all(dur[:4] >= 5)          # non-pad tokens floored
+        assert np.all(dur[4:] == 0)          # pads stay zero
+
     def test_frame_level_variances(self):
         arch = make_arch(variance_level = 'frame')
         params, state = arch.init(jax.random.PRNGKey(0))

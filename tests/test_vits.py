@@ -1,0 +1,193 @@
+"""VITS end-to-end family: arch pieces (MAS, flow invertibility, masks),
+training forward/losses, and the task-model surface."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp
+from itertools import product
+
+from text_to_speech_tpu.models.vits_arch import (
+    VITS, maximum_path, neg_cross_entropy,
+)
+
+
+def make_arch(** kwargs):
+    base = dict(
+        vocab_size = 40, spec_channels = 33, inter_channels = 8,
+        hidden_channels = 16, filter_channels = 32, n_heads = 2,
+        n_text_layers = 1, posterior_layers = 2, flow_layers = 2,
+        flow_wn_layers = 2, duration_filters = 16,
+        upsample_rates = (4, 2), upsample_kernel_sizes = (8, 4),
+        upsample_initial_channel = 16, resblock_kernel_sizes = (3,),
+        resblock_dilation_sizes = ((1, 2),), mpd_periods = (2, 3),
+        msd_scales = 2, segment_frames = 8, max_frames = 64,
+    )
+    base.update(kwargs)
+    return VITS(** base)
+
+
+def brute_force_path(neg_cent, T, L):
+    """Enumerate all monotonic surjective alignments (start at token 0,
+    end at token L-1, advance 0/1 token per frame)."""
+    best, best_score = None, -np.inf
+    # choices: at each frame t>=1, advance or stay
+    for moves in product((0, 1), repeat = T - 1):
+        l, path, score = 0, [0], neg_cent[0, 0]
+        ok = True
+        for t, m in enumerate(moves, start = 1):
+            l += m
+            if l >= L:
+                ok = False
+                break
+            path.append(l)
+            score += neg_cent[t, l]
+        if ok and l == L - 1 and score > best_score:
+            best, best_score = path, score
+    onehot = np.zeros((T, L), np.float32)
+    for t, l in enumerate(best):
+        onehot[t, l] = 1.
+    return onehot, best_score
+
+
+class TestMAS:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(0)
+        for T, L in ((6, 3), (8, 5), (5, 5), (7, 2)):
+            nc = rng.normal(size = (1, T, L)).astype(np.float32)
+            fmask = np.ones((1, T), bool)
+            tmask = np.ones((1, L), bool)
+            path = np.asarray(maximum_path(jnp.asarray(nc), jnp.asarray(fmask),
+                                           jnp.asarray(tmask)))[0]
+            expected, escore = brute_force_path(nc[0], T, L)
+            got_score = float((path * nc[0]).sum())
+            assert got_score == pytest.approx(escore, abs = 1e-4), (T, L)
+            np.testing.assert_array_equal(path, expected)
+
+    def test_ragged_batch(self):
+        rng = np.random.default_rng(1)
+        T, L = 10, 6
+        nc = rng.normal(size = (2, T, L)).astype(np.float32)
+        fl, tl = [10, 7], [6, 3]
+        fmask = np.arange(T)[None] < np.asarray(fl)[:, None]
+        tmask = np.arange(L)[None] < np.asarray(tl)[:, None]
+        path = np.asarray(maximum_path(jnp.asarray(nc), jnp.asarray(fmask),
+                                       jnp.asarray(tmask)))
+        for b in range(2):
+            exp, _ = brute_force_path(nc[b][:fl[b], :tl[b]], fl[b], tl[b])
+            np.testing.assert_array_equal(path[b, :fl[b], :tl[b]], exp)
+            assert path[b, fl[b]:].sum() == 0
+            assert path[b, :, tl[b]:].sum() == 0
+            # each valid frame aligned to exactly one token, monotonic
+            np.testing.assert_array_equal(path[b, :fl[b]].sum(1), 1.)
+            idx = path[b, :fl[b]].argmax(1)
+            assert (np.diff(idx) >= 0).all() and (np.diff(idx) <= 1).all()
+            assert idx[0] == 0 and idx[-1] == tl[b] - 1
+
+    def test_jit_and_stop_gradient(self):
+        nc = jnp.zeros((1, 4, 2))
+        fmask = jnp.ones((1, 4), bool)
+        tmask = jnp.ones((1, 2), bool)
+        path = jax.jit(maximum_path)(nc, fmask, tmask)
+        assert path.shape == (1, 4, 2)
+        g = jax.grad(lambda x: (maximum_path(x, fmask, tmask) * x).sum())(nc)
+        # path is stop-gradient: only the direct multiplication contributes
+        np.testing.assert_allclose(np.asarray(g), np.asarray(path))
+
+
+class TestNegCrossEntropy:
+    def test_matches_direct_gaussian(self):
+        rng = np.random.default_rng(2)
+        z = rng.normal(size = (1, 4, 3)).astype(np.float32)
+        m = rng.normal(size = (1, 2, 3)).astype(np.float32)
+        logs = rng.normal(size = (1, 2, 3)).astype(np.float32) * 0.3
+        tmask = np.ones((1, 2), bool)
+        got = np.asarray(neg_cross_entropy(
+            jnp.asarray(z), jnp.asarray(m), jnp.asarray(logs),
+            jnp.asarray(tmask)))
+        for t in range(4):
+            for l in range(2):
+                var = np.exp(2 * logs[0, l])
+                ll = (-0.5 * np.log(2 * np.pi) - logs[0, l]
+                      - 0.5 * (z[0, t] - m[0, l]) ** 2 / var).sum()
+                assert got[0, t, l] == pytest.approx(ll, abs = 1e-3)
+
+
+class TestVITSArch:
+    def test_flow_invertible(self):
+        arch = make_arch()
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 8))
+        fmask = jnp.ones((2, 12), bool)
+        z = arch.flow(params, x, fmask)
+        back = arch.flow(params, z, fmask, reverse = True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol = 1e-4)
+
+    def test_train_forward_shapes_and_losses(self):
+        arch = make_arch()
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        B, L, T = 2, 6, 24
+        hop = arch.upsample_rate
+        tokens = jnp.asarray([[3, 4, 5, 6, 7, 8], [3, 4, 5, 0, 0, 0]])
+        spec = jax.random.normal(jax.random.PRNGKey(2), (B, T, 33)) ** 2
+        lengths = jnp.asarray([24, 16])
+        audio = jax.random.normal(jax.random.PRNGKey(3), (B, T * hop)) * 0.1
+        out = arch.train_forward(params, tokens, spec, lengths, audio,
+                                 jax.random.PRNGKey(4))
+        assert out['audio_hat'].shape == (B, arch.hp.segment_frames * hop)
+        assert out['audio_seg'].shape == out['audio_hat'].shape
+        assert out['z_p'].shape == (B, T, 8)
+        # durations tile the valid frames over valid tokens
+        w = np.asarray(out['durations'])
+        assert w[0].sum() == 24 and w[1].sum() == 16
+        assert w[1, 3:].sum() == 0
+        kl = arch.kl_loss(out['z_p'], out['logs_q'], out['m_p'],
+                          out['logs_p'], out['frame_mask'])
+        dur = arch.duration_loss(out['log_durations_hat'], out['durations'],
+                                 out['token_mask'])
+        assert np.isfinite(float(kl)) and np.isfinite(float(dur))
+
+    def test_infer_shapes_and_min_duration(self):
+        arch = make_arch()
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5, 0]])
+        out = jax.jit(lambda p, t: arch.infer(p, {}, t, max_frames = 32,
+                                              min_duration = 4))(params, tokens)
+        hop = arch.upsample_rate
+        assert out.audio.shape == (1, 32 * hop)
+        dur = np.asarray(out.durations[0])
+        assert (dur[:3] >= 4).all() and dur[3] == 0
+        n = int(out.lengths[0])
+        assert n == min(int(dur.sum()), 32)
+        # audio past the valid frames is silence (masked latents)
+        a = np.asarray(out.attention_weights[0])
+        if n:
+            np.testing.assert_allclose(a[:n].sum(1), 1.)
+        assert np.all(a[n:] == 0)
+
+    def test_speaker_conditioning_paths(self):
+        arch = make_arch(n_speakers = 4, speaker_embedding_dim = 5,
+                         gin_channels = 8)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5]])
+        o1 = arch.infer(params, {}, tokens, max_frames = 16,
+                        speaker_ids = jnp.asarray([0]))
+        o2 = arch.infer(params, {}, tokens, max_frames = 16,
+                        speaker_ids = jnp.asarray([2]))
+        assert not np.allclose(np.asarray(o1.audio), np.asarray(o2.audio))
+        emb = jnp.ones((1, 5))
+        o3 = arch.infer(params, {}, tokens, max_frames = 16,
+                        speaker_ids = jnp.asarray([0]),
+                        speaker_embedding = emb)
+        assert not np.allclose(np.asarray(o1.audio), np.asarray(o3.audio))
+
+    def test_bf16_infer(self):
+        arch = make_arch()
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5]])
+        out = arch.infer(params, {}, tokens, max_frames = 16,
+                         dtype = jnp.bfloat16)
+        assert out.audio.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out.audio)).all()

@@ -399,9 +399,13 @@ class FastSpeech2:
 
     def infer(self, params, state, tokens, *, speaker_embedding = None,
               max_frames = None, d_control = 1., p_control = 1.,
-              e_control = 1., dtype = None, rng = None, ** _):
+              e_control = 1., min_duration = 0, dtype = None, rng = None,
+              ** _):
         """Single-pass parallel inference.  Predicted durations drive the
         length regulator; `d/p/e_control` scale speed / pitch / energy.
+        `min_duration` floors each non-pad token's frame count (static int) —
+        a production guard against collapsed duration predictions (and the
+        way random-weight benchmarks get realistic mel lengths).
 
         Returns `FastSpeech2InferenceOutput` — field-compatible with
         `Tacotron2InferenceOutput` (`attention_weights` is the hard
@@ -428,7 +432,7 @@ class FastSpeech2:
                                          pad_mask = pad_mask)
         durations = jnp.round(
             (jnp.exp(log_d.astype(jnp.float32)) - 1.) * d_control)
-        durations = jnp.maximum(durations, 0.).astype(jnp.int32)
+        durations = jnp.maximum(durations, float(min_duration)).astype(jnp.int32)
         durations = durations * (pad_mask[..., 0] > 0)
 
         pitch_pred = energy_pred = None

@@ -114,13 +114,20 @@ class HiFiGAN:
             x = x + h
         return x
 
-    def apply(self, params, mel, *, dtype = None):
-        """mel (B, T, n_mel) → waveform (B, T * 256)."""
+    def apply(self, params, mel, *, cond = None, dtype = None):
+        """mel (B, T, n_mel) → waveform (B, T * 256).
+
+        `cond` (B, upsample_initial_channel) is an optional global
+        conditioning bias added after `conv_pre` — the hook VITS-style
+        end-to-end models use for speaker conditioning (the projection
+        itself lives in the caller's params)."""
         hp = self.hp
         x = mel.astype(dtype) if dtype is not None else mel
         if dtype is not None:
             params = jax.tree_util.tree_map(lambda p: p.astype(dtype), params)
         x = nn.conv1d(params['conv_pre'], x)
+        if cond is not None:
+            x = x + cond[:, None, :].astype(x.dtype)
         for i, (rate, width) in enumerate(zip(hp.upsample_rates,
                                               hp.upsample_kernel_sizes)):
             stage = params['up{}'.format(i)]

@@ -45,6 +45,8 @@ def _register_builtins():
     register_architecture('hifigan', HiFiGAN)
     from .fastspeech2_arch import FastSpeech2
     register_architecture('fastspeech2', FastSpeech2)
+    from .vits_arch import VITS
+    register_architecture('vits', VITS)
     register_architecture('audio_encoder', AudioEncoder)
     register_architecture('audioencoder', AudioEncoder)   # lower(class name)
     register_architecture('transformer', Transformer)

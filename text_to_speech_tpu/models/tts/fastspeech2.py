@@ -60,6 +60,7 @@ class FastSpeech2(Tacotron2):
                        d_control = 1.,
                        p_control = 1.,
                        e_control = 1.,
+                       min_duration = 0,
                        dtype = None,
                        ** _
                       ):
@@ -87,7 +88,8 @@ class FastSpeech2(Tacotron2):
                              self.arch.hp.max_position))
         max_frames = -(-max_frames // padding_multiple) * padding_multiple
 
-        key = ('infer', max_frames, dtype, speaker_embedding is not None)
+        key = ('infer', max_frames, dtype, speaker_embedding is not None,
+               int(min_duration))
 
         def builder():
             def fn(params, state, tokens, controls, spk):
@@ -95,7 +97,7 @@ class FastSpeech2(Tacotron2):
                     params, state, tokens, speaker_embedding = spk,
                     max_frames = max_frames, d_control = controls[0],
                     p_control = controls[1], e_control = controls[2],
-                    dtype = dtype,
+                    min_duration = int(min_duration), dtype = dtype,
                 )
             return fn
 
