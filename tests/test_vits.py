@@ -8,9 +8,39 @@ jax = pytest.importorskip('jax')
 import jax.numpy as jnp
 from itertools import product
 
+from text_to_speech_tpu.models import saving
+from text_to_speech_tpu.models.interfaces import reset_instances
 from text_to_speech_tpu.models.vits_arch import (
     VITS, maximum_path, neg_cross_entropy,
 )
+
+TINY_VITS = dict(
+    spec_channels = 9, inter_channels = 8, hidden_channels = 16,
+    filter_channels = 32, n_heads = 2, n_text_layers = 1,
+    posterior_layers = 2, flow_layers = 2, flow_wn_layers = 2,
+    duration_filters = 16, upsample_rates = (4, 2),
+    upsample_kernel_sizes = (8, 4), upsample_initial_channel = 16,
+    resblock_kernel_sizes = (3,), resblock_dilation_sizes = ((1, 2),),
+    mpd_periods = (2,), msd_scales = 1, segment_frames = 8,
+    max_frames = 64, max_position = 512,
+)
+
+
+@pytest.fixture
+def model_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+    reset_instances()
+    yield str(tmp_path)
+    reset_instances()
+
+
+def make_model(name = 'test_vits', ** kwargs):
+    from text_to_speech_tpu.models.tts import VITS as VITSModel
+    from text_to_speech_tpu.ops.stft import TacotronSTFT
+    mel_fn = TacotronSTFT(sampling_rate = 8000, hop_length = 8,
+                          filter_length = 16, win_length = 16)
+    return VITSModel(lang = 'en', name = name, mel_fn = mel_fn,
+                     ** {** TINY_VITS, ** kwargs})
 
 
 def make_arch(** kwargs):
@@ -191,3 +221,110 @@ class TestVITSArch:
                          dtype = jnp.bfloat16)
         assert out.audio.dtype == jnp.float32
         assert np.isfinite(np.asarray(out.audio)).all()
+
+
+class TestVITSTraining:
+    def _batch(self, arch, B = 2, L = 5, T = 16, seed = 0):
+        rng = np.random.default_rng(seed)
+        hop = arch.upsample_rate
+        tokens = np.zeros((B, L), np.int32)
+        for b in range(B):
+            n = L - b
+            tokens[b, :n] = rng.integers(3, 30, n)
+        spec = (rng.normal(
+            size = (B, T, arch.hp.spec_channels)).astype(np.float32)) ** 2
+        lengths = np.asarray([T, T - 4], np.int32)[:B]
+        audio = rng.normal(size = (B, T * hop)).astype(np.float32) * 0.1
+        return (jnp.asarray(tokens), jnp.asarray(spec),
+                jnp.asarray(lengths), jnp.asarray(audio))
+
+    @pytest.mark.slow
+    def test_gan_step_updates_and_decreases(self):
+        import optax
+        from text_to_speech_tpu.train.gan import (
+            make_vits_train_step, init_vits_train_state,
+        )
+        arch = make_arch()
+        state = init_vits_train_state(arch, jax.random.PRNGKey(0),
+                                      optax.adam(2e-4), optax.adam(2e-4))
+        step = make_vits_train_step(arch, optax.adam(2e-4), optax.adam(2e-4),
+                                    donate = False)
+        batch = self._batch(arch)
+        first = None
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+            if first is None: first = metrics
+        # the VAE terms must respond to optimization on a fixed batch
+        assert float(metrics['kl'] + metrics['duration']) \
+            < float(first['kl'] + first['duration'])
+
+    def test_mel_term_optional(self):
+        import optax
+        from text_to_speech_tpu.train.gan import (
+            make_vits_train_step, init_vits_train_state,
+        )
+        from text_to_speech_tpu.train.gan import mel_fn_from_stft
+        from text_to_speech_tpu.ops.stft import TacotronSTFT
+        mel_fn = mel_fn_from_stft(TacotronSTFT(
+            sampling_rate = 8000, n_mel_channels = 8, hop_length = 8,
+            filter_length = 16, win_length = 16, mel_fmax = 4000.))
+        arch = make_arch()
+        state = init_vits_train_state(arch, jax.random.PRNGKey(0),
+                                      optax.adam(2e-4), optax.adam(2e-4))
+        step = make_vits_train_step(arch, optax.adam(2e-4), optax.adam(2e-4),
+                                    mel_fn = mel_fn, donate = False)
+        _, metrics = step(state, self._batch(arch), jax.random.PRNGKey(0))
+        assert float(metrics['mel']) > 0.
+
+
+class TestVITSModel:
+    def test_persistence_roundtrip(self, model_root):
+        from text_to_speech_tpu.models.tts import VITS as VITSModel
+        model = make_model()
+        model.save()
+        reset_instances()
+        reloaded = VITSModel(name = 'test_vits')
+        assert reloaded.arch.hp.inter_channels == TINY_VITS['inter_channels']
+        assert reloaded.arch.hp.flow_layers == TINY_VITS['flow_layers']
+        assert reloaded.upsample_rate == 8
+
+    def test_infer_through_task_surface(self, model_root):
+        out = make_model(name = 'test_vits_infer').infer(
+            'hello world', fetch_attention = True)
+        assert 'audio' in out and out['audio'].ndim == 1
+        assert len(out['audio']) > 0 and out['rate'] == 8000
+        # attention (the hard duration alignment) rides along when requested
+        assert out['attention'][0] is not None
+
+    def test_tts_facade_resolves_self_as_vocoder(self, model_root):
+        from text_to_speech_tpu.models.tts import get_models, tts
+        model = make_model(name = 'test_vits_facade')
+        resolved, vocoder = get_models(model = model)
+        assert vocoder is model
+        results = tts(['hello world', 'goodbye'], model = model,
+                      save = False, display = False)
+        assert len(results) == 2 and all('audio' in r for r in results)
+
+    def test_predict_batched(self, model_root):
+        model = make_model(name = 'test_vits_batch')
+        results = model.predict(['hello world', 'goodbye world'],
+                                batch_size = 2, save = False)
+        assert len(results) == 2
+        assert all('audio' in r and len(r['audio']) for r in results)
+
+    def test_prepare_and_collate(self, model_root):
+        model = make_model(name = 'test_vits_data')
+        rng = np.random.default_rng(0)
+        rows = [{'text': 'hello world', 'audio': rng.normal(size = (400,))
+                 .astype(np.float32) * 0.1, 'rate': 8000},
+                {'text': 'bye', 'audio': rng.normal(size = (240,))
+                 .astype(np.float32) * 0.1, 'rate': 8000}]
+        prepared = [model.prepare_data(r) for r in rows]
+        for tokens, spec, n, audio in prepared:
+            assert spec.shape == (n, 9)
+            assert len(audio) == n * 8
+            assert model.filter_data(tokens, spec, n, audio)
+        tokens, spec, lengths, audio = model.collate(prepared)
+        assert tokens.shape[0] == spec.shape[0] == len(lengths) == 2
+        assert audio.shape[1] == spec.shape[1] * 8

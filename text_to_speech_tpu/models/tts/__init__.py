@@ -10,6 +10,7 @@ import logging
 from .tacotron2 import Tacotron2
 from .sv2tts_tacotron2 import SV2TTSTacotron2
 from .fastspeech2 import FastSpeech2
+from .vits import VITS
 from .waveglow import WaveGlow
 from .hifigan import HiFiGAN
 
@@ -52,6 +53,11 @@ def get_models(model = None, lang = None, vocoder = None):
     if isinstance(model, str):
         model = get_pretrained(model)
 
+    if getattr(model, 'is_end_to_end', False):
+        # the model synthesizes waveforms directly (e.g. VITS) — it is its
+        # own vocoder unless one is explicitly forced
+        return model, (vocoder if vocoder not in (None, _default_vocoder)
+                       else model)
     if vocoder is None:
         vocoder = _default_vocoder
     if isinstance(vocoder, str):
