@@ -27,9 +27,10 @@ def main():
                         help = 'hifigan: full-size v1 generator (~100x '
                                'cheaper per audio-second)')
     parser.add_argument('--synthesizer', default = 'tacotron2',
-                        choices = ('tacotron2', 'fastspeech2'),
+                        choices = ('tacotron2', 'fastspeech2', 'vits'),
                         help = 'fastspeech2: parallel (non-AR) text->mel — '
-                               'one forward per bucketed batch')
+                               'one forward per bucketed batch; vits: '
+                               'end-to-end text->waveform (no vocoder)')
     parser.add_argument('--min-duration', type = int, default = 6,
                         help = 'fastspeech2 only: floor frames/token — random '
                                'weights predict ~0 durations, so without a '
@@ -64,9 +65,17 @@ def main():
         from text_to_speech_tpu.models.tts import FastSpeech2
         model = FastSpeech2(lang = 'en', name = 'bench_fastspeech2')
         extra['min_duration'] = args.min_duration
+    elif args.synthesizer == 'vits':
+        if args.fused_decoder or args.int8_vocoder:
+            parser.error('--fused-decoder/--int8-vocoder do not apply to vits')
+        from text_to_speech_tpu.models.tts import VITS
+        model = VITS(lang = 'en', name = 'bench_vits')
+        extra['min_duration'] = args.min_duration
     else:
         model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
-    if args.vocoder == 'hifigan':
+    if getattr(model, 'is_end_to_end', False):
+        vocoder = None          # the facade resolves the model as its vocoder
+    elif args.vocoder == 'hifigan':
         if args.int8_vocoder:
             parser.error('--int8-vocoder applies to the WaveGlow path only')
         from text_to_speech_tpu.models.tts import HiFiGAN

@@ -317,6 +317,44 @@ class TestHiFiGANDataParallel:
                                    atol = 1e-5)
 
 
+class TestVITSParallel:
+    def test_vits_dp_tp_infer_parity(self):
+        """End-to-end VITS inference with dp-sharded tokens + tp-sharded
+        params (vits_param_specs) matches the single-device audio."""
+        from text_to_speech_tpu.models.vits_arch import VITS
+        from text_to_speech_tpu.parallel import vits_param_specs
+
+        devices = get_devices('cpu')
+        arch = VITS(vocab_size = 32, spec_channels = 9, inter_channels = 8,
+                    hidden_channels = 16, filter_channels = 32, n_heads = 2,
+                    n_text_layers = 1, posterior_layers = 2, flow_layers = 2,
+                    flow_wn_layers = 2, duration_filters = 16,
+                    upsample_rates = (4, 2), upsample_kernel_sizes = (8, 4),
+                    upsample_initial_channel = 16,
+                    resblock_kernel_sizes = (3,),
+                    resblock_dilation_sizes = ((1, 2),), mpd_periods = (2,),
+                    msd_scales = 1, segment_frames = 8, max_frames = 64,
+                    max_position = 128)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = np.tile(np.arange(1, 7, dtype = np.int32), (4, 1))
+        infer = jax.jit(lambda p, t: arch.infer(
+            p, {}, t, max_frames = 16, min_duration = 2,
+            rng = jax.random.PRNGKey(7)))
+
+        ref = infer(params, tokens)
+
+        mesh = create_mesh({'dp': 2, 'tp': 2}, devices = devices[:4])
+        specs = vits_param_specs(params)
+        flat = jax.tree_util.tree_flatten(specs)[0]
+        assert any(s != jax.sharding.PartitionSpec() for s in flat)
+        got = infer(shard_params(params, mesh, specs),
+                    shard_batch(tokens, mesh))
+        np.testing.assert_allclose(np.asarray(got.audio),
+                                   np.asarray(ref.audio), atol = 1e-4)
+        np.testing.assert_array_equal(np.asarray(got.lengths),
+                                      np.asarray(ref.lengths))
+
+
 class TestFastSpeech2TensorParallel:
     FS2_TINY = dict(vocab_size = 32, n_mel_channels = 8, dim = 16,
                     n_heads = 2, encoder_layers = 1, decoder_layers = 1,

@@ -217,8 +217,12 @@ class TestVITSArch:
         arch = make_arch()
         params, _ = arch.init(jax.random.PRNGKey(0))
         tokens = jnp.asarray([[3, 4, 5]])
-        out = arch.infer(params, {}, tokens, max_frames = 16,
-                         dtype = jnp.bfloat16)
+        # controls as traced f32 scalars, exactly like the task model's
+        # compiled path — catches bf16→f32 promotion leaks in the flow
+        out = jax.jit(lambda p, t, c: arch.infer(
+            p, {}, t, max_frames = 16, dtype = jnp.bfloat16,
+            noise_scale = c[0], d_control = c[1]))(
+                params, tokens, jnp.asarray([0.667, 1.], jnp.float32))
         assert out.audio.dtype == jnp.float32
         assert np.isfinite(np.asarray(out.audio)).all()
 

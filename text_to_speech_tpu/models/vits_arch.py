@@ -530,7 +530,10 @@ class VITS:
         m_p_f, logs_p_f = jnp.split(stats, 2, axis = -1)
 
         eps = jax.random.normal(rng, m_p_f.shape, jnp.float32).astype(m_p_f.dtype)
-        z_p = m_p_f + eps * jnp.exp(logs_p_f) * noise_scale
+        # noise_scale may arrive as a traced f32 scalar (task-model controls
+        # array): cast so it cannot promote bf16 latents back to f32
+        z_p = m_p_f + eps * jnp.exp(logs_p_f) \
+            * jnp.asarray(noise_scale, m_p_f.dtype)
         z_p = z_p * frame_mask[..., None].astype(z_p.dtype)
         z = self.flow(params, z_p, frame_mask, g = g, reverse = True)
         z = z * frame_mask[..., None].astype(z.dtype)

@@ -274,6 +274,49 @@ def fastspeech2_param_specs(params, axis = 'tp'):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def vits_param_specs(params, axis = 'tp'):
+    """PartitionSpec tree for VITS: Megatron-style TP on the text-encoder
+    FFT blocks (QKV/conv1 on output, output/conv2 on input — one all-reduce
+    per sub-layer), channel-TP on the posterior/flow WaveNet stacks
+    (`in_conv` hidden in-dim, `res_skip_conv` hidden in-dim, like
+    `waveglow_param_specs`), and the HiFi-GAN decoder's widest convs
+    (`conv_pre` out, first upsample stage in) on `axis`.  Small leaves
+    (norms, embeddings, duration predictor, projections) replicate."""
+    from jax.sharding import PartitionSpec as P
+    import jax
+
+    def spec_for(path, leaf):
+        names = [getattr(p, 'key', str(p)) for p in path]
+        name = '/'.join(names)
+        if 'text_encoder/' in name:
+            if leaf.ndim == 2:
+                if any(k in name for k in ('query/', 'key/', 'value/')):
+                    return P(None, axis)
+                if 'output/' in name:
+                    return P(axis, None)
+            if leaf.ndim == 3:
+                if 'conv1' in name:
+                    return P(None, None, axis)
+                if 'conv2' in name:
+                    return P(None, axis, None)
+            if leaf.ndim == 1 and any(k in name for k in
+                                      ('query/', 'key/', 'value/', 'conv1')):
+                return P(axis)
+        if '/wn/' in name and leaf.ndim == 3:
+            if 'in_conv' in name:
+                return P(None, axis, None)
+            if 'res_skip_conv' in name:
+                return P(None, axis, None)
+        if 'generator/' in name and leaf.ndim == 3:
+            if 'conv_pre' in name:
+                return P(None, None, axis)
+            if 'up0/up' in name:
+                return P(None, axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def tacotron2_param_specs(params, axis = 'tp'):
     """PartitionSpec tree for Tacotron-2: the big decoder LSTM kernels and
     projection matmuls sharded on their output dim.
