@@ -227,6 +227,138 @@ class TestVITSArch:
         assert np.isfinite(np.asarray(out.audio)).all()
 
 
+class TestRationalQuadraticSpline:
+    def _params(self, shape, K = 6, seed = 0):
+        rng = np.random.default_rng(seed)
+        return (jnp.asarray(rng.normal(size = shape + (K,)), jnp.float32),
+                jnp.asarray(rng.normal(size = shape + (K,)), jnp.float32),
+                jnp.asarray(rng.normal(size = shape + (K - 1,)), jnp.float32))
+
+    def test_invertible_inside_and_identity_tails(self):
+        from text_to_speech_tpu.nn.flows import rational_quadratic_spline
+        w, h, d = self._params((32,))
+        x = jnp.linspace(-8., 8., 32)
+        y, ld = rational_quadratic_spline(x, w, h, d, tail_bound = 4.)
+        back, ld_inv = rational_quadratic_spline(y, w, h, d, inverse = True,
+                                                 tail_bound = 4.)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol = 1e-4)
+        np.testing.assert_allclose(np.asarray(ld + ld_inv),
+                                   np.zeros(32), atol = 1e-4)
+        outside = np.abs(np.asarray(x)) > 4.
+        np.testing.assert_allclose(np.asarray(y)[outside],
+                                   np.asarray(x)[outside])
+        assert (np.asarray(ld)[outside] == 0.).all()
+
+    def test_logdet_matches_autodiff(self):
+        from text_to_speech_tpu.nn.flows import rational_quadratic_spline
+        w, h, d = self._params((), seed = 3)
+        for xv in (-3.5, -1., 0.2, 2.7):
+            fn = lambda x: rational_quadratic_spline(
+                x, w, h, d, tail_bound = 4.)[0]
+            grad = float(jax.grad(fn)(jnp.asarray(xv)))
+            ld = float(rational_quadratic_spline(
+                jnp.asarray(xv), w, h, d, tail_bound = 4.)[1])
+            assert ld == pytest.approx(np.log(abs(grad)), abs = 1e-4), xv
+
+    def test_monotonic(self):
+        from text_to_speech_tpu.nn.flows import rational_quadratic_spline
+        w, h, d = self._params((), seed = 5)
+        x = jnp.linspace(-4., 4., 257)
+        y, _ = rational_quadratic_spline(
+            x, jnp.broadcast_to(w, (257,) + w.shape),
+            jnp.broadcast_to(h, (257,) + h.shape),
+            jnp.broadcast_to(d, (257,) + d.shape), tail_bound = 4.)
+        assert (np.diff(np.asarray(y)) > 0).all()
+
+
+class TestStochasticDurationPredictor:
+    def test_flow_stack_invertible(self):
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        stack = params['duration_predictor']['flows']
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 2))
+        mask = jnp.ones((2, 5, 1))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 16))
+        fwd, ld = arch._flow_stack(stack, z, mask, cond)
+        back, ld_inv = arch._flow_stack(stack, fwd, mask, cond,
+                                        reverse = True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(z),
+                                   atol = 1e-4)
+        np.testing.assert_allclose(np.asarray(ld + ld_inv), np.zeros(2),
+                                   atol = 1e-4)
+
+    def test_nll_finite_and_trains(self):
+        import optax
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        h = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 16))
+        w = jnp.asarray([[2., 3., 1., 4., 2.], [1., 2., 3., 0., 0.]])
+        tmask = jnp.asarray([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], bool)
+
+        def loss(p, rng):
+            return arch.sdp_nll(p, h, w, tmask, rng = rng)
+
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        first = None
+        for i in range(30):
+            val, grads = jax.value_and_grad(loss)(params, jax.random.PRNGKey(7))
+            assert np.isfinite(float(val))
+            if first is None: first = float(val)
+            updates, opt = tx.update(grads, opt, params)
+            import optax as _o
+            params = _o.apply_updates(params, updates)
+        assert float(val) < first
+
+    def test_sdp_inference_and_training_paths(self):
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5, 0]])
+        out = jax.jit(lambda p, t, r: arch.infer(
+            p, {}, t, max_frames = 32, min_duration = 1, rng = r))(
+                params, tokens, jax.random.PRNGKey(1))
+        assert out.audio.shape == (1, 32 * arch.upsample_rate)
+        dur = np.asarray(out.durations[0])
+        assert (dur[:3] >= 1).all() and dur[3] == 0
+        # stochastic: different rng → (almost surely) different durations
+        out2 = arch.infer(params, {}, tokens, max_frames = 32,
+                          min_duration = 1, rng = jax.random.PRNGKey(123),
+                          noise_scale_w = 2.)
+        assert not np.array_equal(np.asarray(out2.durations), dur) \
+            or not np.allclose(np.asarray(out2.audio), np.asarray(out.audio))
+        # the full train_forward reports the NLL instead of logw
+        spec = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 33)) ** 2
+        audio = jnp.zeros((1, 12 * arch.upsample_rate))
+        tf = arch.train_forward(params, tokens, spec, jnp.asarray([12]),
+                                audio, jax.random.PRNGKey(3))
+        assert tf['log_durations_hat'] is None
+        assert np.isfinite(float(tf['duration_nll']))
+
+    def test_gan_step_with_sdp(self):
+        import optax
+        from text_to_speech_tpu.train.gan import (
+            make_vits_train_step, init_vits_train_state,
+        )
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        state = init_vits_train_state(arch, jax.random.PRNGKey(0),
+                                      optax.adam(2e-4), optax.adam(2e-4))
+        step = make_vits_train_step(arch, optax.adam(2e-4), optax.adam(2e-4),
+                                    donate = False)
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray([[3, 4, 5, 6, 7]])
+        spec = jnp.asarray(rng.normal(size = (1, 12, 33)) ** 2, jnp.float32)
+        audio = jnp.asarray(rng.normal(size = (1, 12 * arch.upsample_rate)),
+                            jnp.float32) * 0.1
+        _, metrics = step(state, (tokens, spec, jnp.asarray([12]), audio),
+                          jax.random.PRNGKey(1))
+        assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+
+
 class TestVITSTraining:
     def _batch(self, arch, B = 2, L = 5, T = 16, seed = 0):
         rng = np.random.default_rng(seed)

@@ -65,6 +65,7 @@ class VITS(Tacotron2):
                        max_length = None,
                        padding_multiple = 64,
                        noise_scale = 0.667,
+                       noise_scale_w = 0.8,
                        d_control = 1.,
                        min_duration = 0,
                        dtype = None,
@@ -105,12 +106,14 @@ class VITS(Tacotron2):
                 return self.arch.infer(
                     params, state, tokens, speaker_embedding = spk,
                     max_frames = max_frames, noise_scale = controls[0],
-                    d_control = controls[1], min_duration = int(min_duration),
-                    dtype = dtype, rng = rng,
+                    d_control = controls[1], noise_scale_w = controls[2],
+                    min_duration = int(min_duration), dtype = dtype,
+                    rng = rng,
                 )
             return fn
 
-        controls = jnp.asarray([noise_scale, d_control], jnp.float32)
+        controls = jnp.asarray([noise_scale, d_control, noise_scale_w],
+                               jnp.float32)
         fn = self.get_compiled(key, builder)
         return fn(self.params, self.state, tokens, controls, rng,
                   None if speaker_embedding is None

@@ -69,10 +69,19 @@ HParamsVITS = HParams(
     flow_wn_layers = 4,
     flow_kernel_size = 5,
 
-    # deterministic duration predictor (conv stack; log-domain)
+    # duration predictor: deterministic conv stack (log-domain) or the
+    # published stochastic flow (`use_sdp`)
     duration_filters = 256,
     duration_kernel_size = 3,
     duration_drop_rate = 0.5,
+    use_sdp = False,
+    sdp_filter_channels = 192,
+    sdp_kernel_size = 3,
+    sdp_n_flows = 4,
+    sdp_dds_layers = 3,
+    sdp_n_bins = 10,
+    sdp_tail_bound = 5.0,
+    sdp_drop_rate = 0.5,
 
     # speaker conditioning: a learned table (n_speakers) and/or an external
     # SV2TTS-style embedding projected to gin_channels
@@ -237,7 +246,9 @@ class VITS:
                 'proj': nn.init_conv1d(next(keys), 1, hp.hidden_channels,
                                        2 * hp.inter_channels),
             },
-            'duration_predictor': self._init_duration_predictor(next(keys)),
+            'duration_predictor': (self._init_sdp(next(keys)) if hp.use_sdp
+                                   else self._init_duration_predictor(
+                                       next(keys))),
             'generator': self.generator.init(next(keys)),
         }
         half = self.half_channels
@@ -276,6 +287,210 @@ class VITS:
             'norm2': nn.init_layer_norm(hp.duration_filters),
             'proj': nn.init_dense(next(keys), hp.duration_filters, 1),
         }
+
+    # -- stochastic duration predictor (published VITS flow) --------------------
+
+    def _init_dds(self, key, channels):
+        """Dilated depth-separable conv stack params."""
+        hp = self.hp
+        keys = nn.split_keys(key, 2 * hp.sdp_dds_layers)
+        dds = {}
+        for i in range(hp.sdp_dds_layers):
+            dds['layer_{}'.format(i)] = {
+                'depthwise': nn.init_conv1d(next(keys), hp.sdp_kernel_size,
+                                            1, channels),
+                'pointwise': nn.init_conv1d(next(keys), 1, channels, channels),
+                'norm1': nn.init_layer_norm(channels),
+                'norm2': nn.init_layer_norm(channels),
+            }
+        return dds
+
+    def _init_conv_flow(self, key):
+        hp = self.hp
+        f = hp.sdp_filter_channels
+        keys = nn.split_keys(key, 3)
+        return {
+            'pre': nn.init_conv1d(next(keys), 1, 1, f),
+            'dds': self._init_dds(next(keys), f),
+            # zero-init proj: the spline starts as the identity
+            'proj': {'kernel': jnp.zeros((1, f, 3 * hp.sdp_n_bins - 1)),
+                     'bias': jnp.zeros((3 * hp.sdp_n_bins - 1,))},
+        }
+
+    def _init_flow_stack(self, key):
+        hp = self.hp
+        keys = nn.split_keys(key, hp.sdp_n_flows + 1)
+        stack = {'affine': {'m': jnp.zeros((2,)), 'logs': jnp.zeros((2,))}}
+        for i in range(hp.sdp_n_flows):
+            stack['conv_flow_{}'.format(i)] = self._init_conv_flow(next(keys))
+        return stack
+
+    def _init_sdp(self, key):
+        hp = self.hp
+        f = hp.sdp_filter_channels
+        keys = nn.split_keys(key, 8)
+        sdp = {
+            'pre': nn.init_conv1d(next(keys), 1, hp.hidden_channels, f),
+            'dds': self._init_dds(next(keys), f),
+            'proj': nn.init_conv1d(next(keys), 1, f, f),
+            'flows': self._init_flow_stack(next(keys)),
+            'post_pre': nn.init_conv1d(next(keys), 1, 1, f),
+            'post_dds': self._init_dds(next(keys), f),
+            'post_proj': nn.init_conv1d(next(keys), 1, f, f),
+            'post_flows': self._init_flow_stack(next(keys)),
+        }
+        if self.uses_global_cond:
+            sdp['cond'] = nn.init_dense(next(keys), hp.gin_channels, f)
+        return sdp
+
+    def _dds(self, dds, x, mask, *, g = None, train = False, rng = None,
+             salt = 0):
+        """Dilated depth-separable convs: depthwise (groups = C) → LN → GELU
+        → pointwise → LN → GELU → residual."""
+        hp = self.hp
+        if g is not None:
+            x = x + g
+        for i in range(hp.sdp_dds_layers):
+            p = dds['layer_{}'.format(i)]
+            d = hp.sdp_kernel_size ** i
+            kernel = p['depthwise']['kernel']          # (W, 1, C) depthwise
+            h = lax.conv_general_dilated(
+                x * mask, kernel, window_strides = (1,), padding = 'SAME',
+                rhs_dilation = (d,), feature_group_count = x.shape[-1],
+                dimension_numbers = ('NWC', 'WIO', 'NWC'),
+            ) + p['depthwise']['bias']
+            h = jax.nn.gelu(nn.layer_norm(p['norm1'], h, hp.epsilon))
+            h = nn.conv1d(p['pointwise'], h)
+            h = jax.nn.gelu(nn.layer_norm(p['norm2'], h, hp.epsilon))
+            h = self._dropout(h, hp.sdp_drop_rate, train, rng, salt + i)
+            x = (x + h) * mask
+        return x
+
+    def _flow_stack(self, stack, z, mask, cond, *, reverse = False,
+                    train = False, rng = None, salt = 0):
+        """[ElementwiseAffine] + n × [spline ConvFlow, Flip] on (B, L, 2).
+        Returns (z, total logdet) (logdet is 0-filled when reversed)."""
+        from ..nn.flows import rational_quadratic_spline
+        hp = self.hp
+        logdet = jnp.zeros(z.shape[:1], jnp.float32)
+        m2 = mask[..., 0]
+
+        def affine(z, reverse):
+            m, logs = stack['affine']['m'], stack['affine']['logs']
+            if reverse:
+                return (z - m) * jnp.exp(-logs) * mask, \
+                    -jnp.sum(logs * jnp.ones_like(z) * mask, axis = (1, 2))
+            return (m + jnp.exp(logs) * z) * mask, \
+                jnp.sum(logs * jnp.ones_like(z) * mask, axis = (1, 2))
+
+        def conv_flow(p, z, reverse, salt_i):
+            z0, z1 = z[..., :1], z[..., 1:]
+            h = nn.conv1d(p['pre'], z0)
+            h = self._dds(p['dds'], h, mask, g = cond, train = train,
+                          rng = rng, salt = salt_i)
+            params_out = nn.conv1d(p['proj'], h) * mask     # (B, L, 3K-1)
+            K = hp.sdp_n_bins
+            scale = jnp.sqrt(float(hp.sdp_filter_channels))
+            w_un = params_out[..., :K] / scale
+            h_un = params_out[..., K: 2 * K] / scale
+            d_un = params_out[..., 2 * K:]
+            # the spline returns the logdet of the direction it ran (the
+            # inverse call already negates) — no extra sign here
+            y1, ld = rational_quadratic_spline(
+                z1[..., 0], w_un, h_un, d_un, inverse = reverse,
+                tail_bound = hp.sdp_tail_bound)
+            z = jnp.concatenate([z0, y1[..., None]], axis = -1) * mask
+            return z, jnp.sum(ld * m2, axis = 1)
+
+        steps = ['affine'] + [
+            name for i in range(hp.sdp_n_flows)
+            for name in ('conv_flow_{}'.format(i), 'flip')]
+        if reverse:
+            steps = steps[::-1]
+        for si, name in enumerate(steps):
+            if name == 'affine':
+                z, ld = affine(z, reverse)
+            elif name == 'flip':
+                z, ld = z[..., ::-1], 0.
+            else:
+                z, ld = conv_flow(stack[name], z, reverse, salt + 10 * si)
+            logdet = logdet + ld
+        return z, logdet
+
+    def sdp_nll(self, params, h, w, token_mask, *, g = None, train = True,
+                rng = None):
+        """Stochastic-duration-predictor negative log-likelihood of the MAS
+        durations `w` (B, L), per batch row (masked mean over tokens).
+        Variational dequantization: posterior flows produce u∈(0,1) and an
+        auxiliary channel from noise; the main flows model (w−u, aux)."""
+        p = params['duration_predictor']
+        mask = token_mask[..., None].astype(jnp.float32)
+        w = w.astype(jnp.float32)[..., None] * mask              # (B, L, 1)
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        k_noise, k_drop = jax.random.split(rng)
+
+        x = nn.conv1d(p['pre'], lax.stop_gradient(h))
+        cond = None
+        if g is not None and 'cond' in p:
+            cond = nn.dense(p['cond'], lax.stop_gradient(g))[:, None, :]
+            x = x + cond
+        x = self._dds(p['dds'], x, mask, train = train, rng = k_drop,
+                      salt = 300)
+        x = nn.conv1d(p['proj'], x) * mask
+
+        # posterior q(u, aux | w, h)
+        h_w = nn.conv1d(p['post_pre'], w)
+        h_w = self._dds(p['post_dds'], h_w, mask, train = train, rng = k_drop,
+                        salt = 320)
+        h_w = nn.conv1d(p['post_proj'], h_w) * mask
+
+        e_q = jax.random.normal(k_noise, w.shape[:2] + (2,)) * mask
+        z_q, logdet_q = self._flow_stack(
+            p['post_flows'], e_q, mask, (x + h_w), train = train,
+            rng = k_drop, salt = 340)
+        z_u, z_aux = z_q[..., :1], z_q[..., 1:]
+        u = jax.nn.sigmoid(z_u) * mask
+        z0 = (w - u) * mask
+        # sigmoid logdet for u plus the base density of e_q
+        logdet_q = logdet_q + jnp.sum(
+            (jax.nn.log_sigmoid(z_u) + jax.nn.log_sigmoid(-z_u)) * mask,
+            axis = (1, 2))
+        logq = jnp.sum(-0.5 * (_LOG_2PI + e_q ** 2) * mask, axis = (1, 2)) \
+            - logdet_q
+
+        # main flows: log-transform the dequantized duration, then splines
+        z0 = jnp.log(jnp.maximum(z0, 1e-5)) * mask
+        logdet = jnp.sum(-z0 * mask, axis = (1, 2))              # d log(w)/dw
+        z = jnp.concatenate([z0, z_aux], axis = -1)
+        z, ld = self._flow_stack(p['flows'], z, mask, x, train = train,
+                                 rng = k_drop, salt = 360)
+        logdet = logdet + ld
+        nll = jnp.sum(0.5 * (_LOG_2PI + z ** 2) * mask, axis = (1, 2)) \
+            - logdet
+        denom = jnp.maximum(jnp.sum(token_mask.astype(jnp.float32)), 1.)
+        return jnp.sum(nll + logq) / denom
+
+    def sdp_sample(self, params, h, token_mask, *, g = None,
+                   noise_scale_w = 0.8, rng = None):
+        """Sample log-durations from the SDP flows (inference direction)."""
+        p = params['duration_predictor']
+        mask = token_mask[..., None].astype(h.dtype)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        x = nn.conv1d(p['pre'], lax.stop_gradient(h))
+        if g is not None and 'cond' in p:
+            x = x + nn.dense(p['cond'], lax.stop_gradient(g))[:, None, :]
+        x = self._dds(p['dds'], x, mask)
+        x = nn.conv1d(p['proj'], x) * mask
+
+        z = jax.random.normal(rng, mask.shape[:2] + (2,)).astype(jnp.float32)
+        z = z * jnp.asarray(noise_scale_w, jnp.float32) * mask
+        z, _ = self._flow_stack(p['flows'], z, mask.astype(jnp.float32),
+                                x.astype(jnp.float32), reverse = True)
+        return z[..., 0] * token_mask.astype(jnp.float32)
 
     # -- shared blocks -------------------------------------------------------
 
@@ -417,7 +632,7 @@ class VITS:
         spec_lengths (B,); audio (B, T*hop) waveform aligned to spec.
         """
         hp = self.hp
-        k_post, k_seg, k_drop = jax.random.split(rng, 3)
+        k_post, k_seg, k_drop, k_dur = jax.random.split(rng, 4)
         g = self.global_cond(params, speaker_ids = speaker_ids,
                              speaker_embedding = speaker_embedding)
 
@@ -440,9 +655,15 @@ class VITS:
         logs_p = jnp.einsum('btl,blc->btc', path, logs_p_tok)
         w = jnp.sum(path, axis = 1)                          # (B, L) durations
 
-        logw_hat = self.predict_log_durations(
-            params, h, tok_mask.astype(h.dtype), g = g, train = train,
-            rng = k_drop)
+        if hp.use_sdp:
+            duration_nll = self.sdp_nll(params, h, w, tok_mask, g = g,
+                                        train = train, rng = k_dur)
+            logw_hat = None
+        else:
+            duration_nll = None
+            logw_hat = self.predict_log_durations(
+                params, h, tok_mask.astype(h.dtype), g = g, train = train,
+                rng = k_drop)
 
         # -- random windowed decode ---------------------------------------------
         seg = hp.segment_frames
@@ -466,6 +687,7 @@ class VITS:
             'z_p': z_p, 'm_p': m_p, 'logs_p': logs_p, 'logs_q': logs_q,
             'frame_mask': frame_mask, 'token_mask': tok_mask,
             'durations': w, 'log_durations_hat': logw_hat,
+            'duration_nll': duration_nll,
             'audio_hat': audio_hat, 'audio_seg': audio_seg, 'starts': starts,
         }
 
@@ -492,8 +714,8 @@ class VITS:
 
     def infer(self, params, state, tokens, *, speaker_embedding = None,
               speaker_ids = None, max_frames = None, noise_scale = 0.667,
-              d_control = 1., min_duration = 0, dtype = None, rng = None,
-              ** _):
+              noise_scale_w = 0.8, d_control = 1., min_duration = 0,
+              dtype = None, rng = None, ** _):
         """One parallel pass: text → durations → expanded prior → inverse
         flow → HiFi-GAN decode.  Returns `VITSInferenceOutput`, field-
         compatible with `Tacotron2InferenceOutput` (`audio` replaces `mel`;
@@ -518,8 +740,14 @@ class VITS:
         h, m_p, logs_p, tok_valid = self.encode_text(params, tokens)
         tok_mask = tok_valid.astype(h.dtype)
 
-        logw = self.predict_log_durations(params, h, tok_mask, g = g)
-        w = jnp.exp(logw.astype(jnp.float32)) * tok_mask * d_control
+        k_dur, rng = jax.random.split(rng)
+        if hp.use_sdp:
+            logw = self.sdp_sample(params, h, tok_valid, g = g,
+                                   noise_scale_w = noise_scale_w, rng = k_dur)
+        else:
+            logw = self.predict_log_durations(params, h, tok_mask, g = g)
+        w = jnp.exp(logw.astype(jnp.float32)) \
+            * tok_mask.astype(jnp.float32) * d_control
         durations = jnp.ceil(w)
         durations = jnp.maximum(durations, float(min_duration)).astype(jnp.int32)
         durations = durations * tok_valid

@@ -129,8 +129,11 @@ def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
             if mel_fn is not None else 0.
         kl = arch.kl_loss(out['z_p'], out['logs_q'], out['m_p'],
                           out['logs_p'], out['frame_mask'])
-        dur = arch.duration_loss(out['log_durations_hat'], out['durations'],
-                                 out['token_mask'])
+        if out.get('duration_nll') is not None:     # stochastic DP (use_sdp)
+            dur = out['duration_nll']
+        else:
+            dur = arch.duration_loss(out['log_durations_hat'],
+                                     out['durations'], out['token_mask'])
         loss = (adv + lambda_fm * fm + lambda_mel * mel_l1
                 + lambda_kl * kl + lambda_dur * dur)
         return loss, {'adv': adv, 'fm': fm, 'mel': mel_l1, 'kl': kl,
