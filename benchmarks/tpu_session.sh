@@ -35,6 +35,14 @@ cd "$(dirname "$0")/.."
     timeout 900 python benchmarks/tacotron_decode.py \
       --batch 1 --steps 256 --tokens 64 --dtype bfloat16 --r "$R"
   done
+  echo "=== e2e non-AR synthesizers, matched audio length ($(date)) ==="
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 1 --runs 3 \
+    --dtype bfloat16 --synthesizer vits --min-duration 13
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 16 --runs 3 \
+    --dtype bfloat16 --synthesizer vits --batch 16 --min-duration 13
+  timeout 1800 python benchmarks/e2e_tts.py --sentences 16 --runs 3 \
+    --dtype bfloat16 --synthesizer fastspeech2 --vocoder hifigan \
+    --batch 16 --min-duration 13
   echo "=== streaming latency ($(date)) ==="
   timeout 1200 python benchmarks/streaming_latency.py
   echo "=== done ($(date)) rc=$? ==="

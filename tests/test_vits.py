@@ -414,6 +414,55 @@ class TestVITSTraining:
         assert float(metrics['mel']) > 0.
 
 
+class TestFitGan:
+    @pytest.mark.slow
+    def test_vits_fit_history_checkpoints_resume(self, model_root):
+        import os
+        rng = np.random.default_rng(0)
+        model = make_model(name = 'test_vits_fit')
+        rows = [{'text': t,
+                 'audio': rng.normal(size = (480,)).astype(np.float32) * 0.1,
+                 'rate': 8000}
+                for t in ('hello world', 'goodbye now', 'one two three',
+                          'four five six')]
+        hist = model.fit(rows, epochs = 2, batch_size = 2, lr = 2e-4,
+                         token_multiple = 8, frame_multiple = 8)
+        assert model.epochs == 2
+        assert len(hist.epoch_logs) == 2
+        last = hist.epoch_logs[-1]['metrics']
+        for key in ('loss', 'disc_loss', 'kl', 'duration', 'mel'):
+            assert key in last and np.isfinite(last[key]), last
+        from text_to_speech_tpu.models import saving
+        gan_path = saving.get_model_dir(model.name, 'saving',
+                                        'gan_state.npz')
+        assert os.path.exists(gan_path)
+        # resume: epoch counter continues and the side state loads
+        hist2 = model.fit(rows, epochs = 1, batch_size = 2, lr = 2e-4,
+                          token_multiple = 8, frame_multiple = 8)
+        assert model.epochs == 3
+
+    @pytest.mark.slow
+    def test_hifigan_fit(self, model_root):
+        from text_to_speech_tpu.models.tts import HiFiGAN
+        from text_to_speech_tpu.ops.stft import TacotronSTFT
+        rng = np.random.default_rng(1)
+        mel_fn = TacotronSTFT(sampling_rate = 8000, n_mel_channels = 8,
+                              hop_length = 8, filter_length = 16,
+                              win_length = 16, mel_fmax = 4000.)
+        voc = HiFiGAN(name = 'test_hifi_fit', mel_fn = mel_fn,
+                      upsample_rates = (4, 2), upsample_kernel_sizes = (8, 4),
+                      upsample_initial_channel = 16,
+                      resblock_kernel_sizes = (3,),
+                      resblock_dilation_sizes = ((1, 2),),
+                      mpd_periods = (2,), msd_scales = 1)
+        rows = [{'audio': rng.normal(size = (400,)).astype(np.float32) * 0.1,
+                 'rate': 8000} for _ in range(4)]
+        hist = voc.fit(rows, epochs = 1, batch_size = 2, frame_multiple = 8)
+        assert voc.epochs == 1
+        metrics = hist.epoch_logs[-1]['metrics']
+        assert np.isfinite(metrics['loss']) and 'disc_loss' in metrics
+
+
 class TestVITSModel:
     def test_persistence_roundtrip(self, model_root):
         from text_to_speech_tpu.models.tts import VITS as VITSModel
@@ -448,6 +497,21 @@ class TestVITSModel:
                                 batch_size = 2, save = False)
         assert len(results) == 2
         assert all('audio' in r and len(r['audio']) for r in results)
+
+    def test_speaker_embedding_through_task_surface(self, model_root):
+        """External (SV2TTS-style) speaker embeddings ride the same
+        `embeddings` kwarg as the Tacotron family."""
+        model = make_model(name = 'test_vits_spk',
+                           speaker_embedding_dim = 6, gin_channels = 8)
+        e1 = np.ones((6,), np.float32)
+        e2 = -np.ones((6,), np.float32)
+        rng = __import__('jax').random.PRNGKey(0)
+        o1 = model.infer('hello world', embeddings = e1, rng = rng)
+        o2 = model.infer('hello world', embeddings = e2, rng = rng,
+                         overwrite = True)
+        assert len(o1['audio']) and len(o2['audio'])
+        n = min(len(o1['audio']), len(o2['audio']))
+        assert not np.allclose(o1['audio'][:n], o2['audio'][:n])
 
     def test_prepare_and_collate(self, model_root):
         model = make_model(name = 'test_vits_data')

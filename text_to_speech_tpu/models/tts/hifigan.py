@@ -93,6 +93,32 @@ class HiFiGAN(BaseAudioModel, BaseModel):
 
     __call__ = infer
 
+    # -- training data pipeline (adversarial: `train/gan.fit_gan`) -------------
+
+    def prepare_data(self, data):
+        """audio row → (mel (T, n_mel), waveform (T·hop,)) aligned pair."""
+        from ...ops.audio_io import load_audio
+
+        audio = np.asarray(load_audio(data, self.rate), np.float32)
+        mel = np.asarray(self.get_audio({'audio': audio, 'rate': self.rate}))
+        hop = self.mel_fn.hop_length
+        n = min(mel.shape[0], len(audio) // hop)
+        return mel[:n], audio[: n * hop]
+
+    def filter_data(self, * args):
+        if len(args) == 1: args = args[0]
+        return args[0].shape[0] >= 8            # enough frames to window
+
+    def collate(self, batch):
+        from ...utils import pad_batch
+        mel = pad_batch([b[0] for b in batch], pad_value = self.pad_mel_value)
+        audio = pad_batch([b[1] for b in batch], pad_value = 0.)
+        return mel, audio
+
+    def fit(self, data, ** kwargs):
+        from ...train.gan import fit_gan
+        return fit_gan(self, data, ** kwargs)
+
     def get_config(self):
         return {** super().get_config(), ** self.get_config_audio()}
 

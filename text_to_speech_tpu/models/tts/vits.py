@@ -192,6 +192,13 @@ class VITS(Tacotron2):
 
     # -- training data pipeline ---------------------------------------------------
 
+    def fit(self, data, ** kwargs):
+        """Adversarial training (the family's only objective): History +
+        rotating checkpoints + discriminator/optimizer-state resume via
+        `train/gan.fit_gan`."""
+        from ...train.gan import fit_gan
+        return fit_gan(self, data, ** kwargs)
+
     def prepare_data(self, data):
         """(tokens, linear spectrogram (T, n_fft//2+1), T, waveform (T*hop,))
         — the `train/gan.make_vits_train_step` batch layout."""

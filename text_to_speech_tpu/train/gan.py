@@ -159,6 +159,195 @@ def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
     return jax.jit(step, donate_argnums = (0,) if donate else ())
 
 
+def fit_gan(model,
+            data,
+            *,
+            epochs = 1,
+            batch_size = 8,
+            optimizer = 'adam',
+            lr = 2e-4,
+            betas = (0.8, 0.99),
+            mesh = None,
+            shuffle = True,
+            lambda_mel = 45.,
+            lambda_fm = 2.,
+            lambda_kl = 1.,
+            lambda_dur = 1.,
+            use_mel_loss = True,
+            token_multiple = 16,
+            frame_multiple = 32,
+            terminate_on_nan = True,
+            seed = 0,
+            verbose = True,
+            ** kwargs
+           ):
+    """`fit()`-style adversarial training for the GAN families (HiFi-GAN
+    vocoder, VITS end-to-end): History + rotating checkpoints + resume from
+    `model.epochs`, over the model's own `prepare_data`/`collate` pipeline.
+
+    The generator side lives in `model.params` (persisted by `model.save`
+    like any other family); the discriminators + both optimizer states are
+    checkpointed alongside in `<model dir>/saving/gan_state.npz` so an
+    interrupted adversarial run resumes exactly.
+    """
+    import os
+    import time
+    import logging
+
+    import numpy as np
+    import jax
+
+    from .datasets import prepare_dataset
+    from .optimizers import get_optimizer
+    from ..models import saving as saving_utils
+    from ..utils import pad_to_multiple
+    from ..parallel import shard_batch, data_axes, replicated, \
+        pad_batch_to_devices
+
+    logger = logging.getLogger(__name__)
+    arch = model.arch
+    is_vits = hasattr(arch, 'train_forward')
+    hifigan = arch.generator if is_vits else arch
+
+    tx_g = get_optimizer(optimizer, lr = lr, b1 = betas[0], b2 = betas[1])
+    tx_d = get_optimizer(optimizer, lr = lr, b1 = betas[0], b2 = betas[1])
+    mel_fn = mel_fn_from_stft(model.mel_fn) if use_mel_loss else None
+
+    if is_vits:
+        step = make_vits_train_step(
+            arch, tx_g, tx_d, mel_fn = mel_fn, lambda_mel = lambda_mel,
+            lambda_fm = lambda_fm, lambda_kl = lambda_kl,
+            lambda_dur = lambda_dur, donate = True)
+    else:
+        base = make_hifigan_train_step(
+            arch, tx_g, tx_d, mel_fn = mel_fn, lambda_mel = lambda_mel,
+            lambda_fm = lambda_fm, donate = True)
+        step = lambda state, batch, rng: base(state, * batch)
+
+    train_ds = prepare_dataset(
+        data, prepare_fn = model.prepare_data,
+        filter_fn = getattr(model, 'filter_data', None),
+        collate_fn = getattr(model, 'collate', None),
+        batch_size = batch_size, shuffle = shuffle,
+    )
+
+    def pad_batch_shapes(batch):
+        """Bucket the time/token axes so XLA compiles a bounded number of
+        executables (VITS keeps spec frames × hop == audio samples)."""
+        if is_vits:
+            tokens, spec, lengths, audio = batch
+            tokens = pad_to_multiple(np.asarray(tokens), token_multiple,
+                                     axis = 1,
+                                     constant_values = model.blank_token_idx)
+            spec = pad_to_multiple(np.asarray(spec), frame_multiple, axis = 1)
+            audio = pad_to_multiple(np.asarray(audio),
+                                    frame_multiple * arch.upsample_rate,
+                                    axis = 1)
+            return tokens, spec, np.asarray(lengths, np.int32), audio
+        mel, audio = batch
+        mel = pad_to_multiple(np.asarray(mel), frame_multiple, axis = 1,
+                              constant_values = model.pad_mel_value)
+        audio = pad_to_multiple(np.asarray(audio),
+                                frame_multiple * arch.total_upsampling,
+                                axis = 1)
+        return mel, audio
+
+    # -- state: fresh or resumed -------------------------------------------------
+    gan_path = saving_utils.get_model_dir(model.name, 'saving',
+                                          'gan_state.npz')
+    key = jax.random.PRNGKey(seed)
+    if is_vits:
+        state = init_vits_train_state(arch, key, tx_g, tx_d)
+        state['gen'] = model.params
+    else:
+        state = init_hifigan_train_state(arch, key, tx_g, tx_d)
+        if model.params:
+            state['gen'] = model.params
+    state['gen_opt'] = tx_g.init(state['gen'])
+
+    _SIDE = ('disc', 'gen_opt', 'disc_opt')
+
+    def save_side(path):
+        # optax states are namedtuples → serialize leaves against the live
+        # treedef (restored below with the identical arch/optimizer config)
+        leaves = jax.tree_util.tree_leaves(
+            jax.device_get({k: state[k] for k in _SIDE}))
+        os.makedirs(os.path.dirname(path), exist_ok = True)
+        np.savez(path, ** {'leaf_{:05d}'.format(i): np.asarray(v)
+                           for i, v in enumerate(leaves)})
+
+    if os.path.exists(gan_path):
+        sub = {k: state[k] for k in _SIDE}
+        treedef = jax.tree_util.tree_structure(sub)
+        with np.load(gan_path) as d:
+            loaded = [d[k] for k in sorted(d.files)]
+        if len(loaded) == treedef.num_leaves:
+            logger.info('resuming discriminator/optimizer state from %s',
+                        gan_path)
+            state.update(jax.tree_util.tree_unflatten(treedef, loaded))
+        else:
+            logger.warning('%s does not match the current GAN state '
+                           '(%d vs %d leaves); starting discriminators fresh',
+                           gan_path, len(loaded), treedef.num_leaves)
+
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    history = model.history
+    history.set_config({
+        'epochs': epochs, 'batch_size': batch_size, 'optimizer': 'gan-' + str(
+            optimizer), 'lr': lr, 'loss': 'vits_gan' if is_vits else
+        'hifigan_gan', 'mesh': str(mesh.shape) if mesh is not None else None,
+    })
+
+    rng = jax.random.PRNGKey(seed + 1 + model.epochs)
+    initial_epoch = model.epochs
+    interrupted = False
+    try:
+        for epoch in range(initial_epoch, initial_epoch + epochs):
+            history.on_epoch_begin(epoch)
+            epoch_metrics, n_batches = {}, 0
+            start = time.time()
+            for batch in train_ds:
+                batch = pad_batch_shapes(batch)
+                if mesh is not None:
+                    batch = pad_batch_to_devices(batch, mesh)
+                    batch = shard_batch(batch, mesh, axis = data_axes(mesh))
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step(state, batch, step_rng)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics['loss'] = metrics['gen_loss']
+                if terminate_on_nan and not np.isfinite(metrics['loss']):
+                    logger.error('NaN gen loss at epoch %d; stopping', epoch)
+                    raise FloatingPointError('NaN loss')
+                history.on_batch_end(metrics)
+                for k, v in metrics.items():
+                    epoch_metrics[k] = epoch_metrics.get(k, 0.) + v
+                n_batches += 1
+            epoch_metrics = {k: v / max(n_batches, 1)
+                             for k, v in epoch_metrics.items()}
+            history.on_epoch_end(epoch_metrics, epoch = epoch)
+            if verbose:
+                logger.info('epoch %d: %s (%.1fs)', epoch,
+                            {k: round(v, 4) for k, v in epoch_metrics.items()},
+                            time.time() - start)
+            model.set_weights(state['gen'])
+            model.save(epoch = epoch + 1,
+                       metric = epoch_metrics.get('loss'))
+            save_side(gan_path)
+    except KeyboardInterrupt:
+        interrupted = True
+        logger.warning('adversarial training interrupted; saving state')
+    except FloatingPointError:
+        interrupted = True
+
+    model.set_weights(state['gen'])
+    if interrupted:
+        model.save(epoch = model.epochs, metric = None)
+        save_side(gan_path)
+    return history
+
+
 def init_vits_train_state(arch, key, gen_optimizer, disc_optimizer):
     """Initialise VITS params (the whole VAE+decoder is the 'generator'
     side) + MPD/MSD discriminators + optimizer states."""
