@@ -35,6 +35,45 @@ class VITS(Tacotron2):
     def __init__(self, lang = None, *, name = None, ** kwargs):
         super().__init__(lang, name = name or 'vits', ** kwargs)
 
+    @classmethod
+    def from_torch_pretrained(cls, checkpoint, *, name = 'pretrained_vits',
+                              lang = 'en', config = None, ** kwargs):
+        """Create a model from a published torch VITS checkpoint (the
+        official LJSpeech / VCTK ``SynthesizerTrn`` releases).
+
+        Architecture hyperparameters are inferred from the state dict's
+        tensor shapes (``tts_checkpoints.vits_config_from_state_dict``);
+        pass `config` overrides for the few non-derivable fields (e.g.
+        `upsample_rates` if the training config used stride != kernel//2).
+        The tokenizer must reproduce the checkpoint's symbol table — pass
+        `tokenizer = {'vocab': [...], 'level': 'char', ...}` matching the
+        original training config."""
+        import jax
+        import jax.numpy as jnp
+        from ..tts_checkpoints import (
+            _load_state_dict, remove_torch_weight_norm, convert_vits,
+            vits_config_from_state_dict,
+        )
+
+        sd = remove_torch_weight_norm(_load_state_dict(checkpoint))
+        inferred = vits_config_from_state_dict(sd)
+        inferred.update(config or {})
+
+        # pad_token is a training-config fact (0 = '_' in the official
+        # symbol tables), not shape-derivable; override via `config`
+        model = cls(lang = lang, name = name,
+                    tts_model = {'architecture': 'vits', ** inferred},
+                    ** kwargs)
+        if model.vocab_size != inferred['vocab_size']:
+            logger.warning(
+                'tokenizer vocab (%d) != checkpoint embedding table (%d): '
+                'pass a `tokenizer` matching the original training config',
+                model.vocab_size, inferred['vocab_size'])
+        model.set_weights(jax.tree_util.tree_map(
+            jnp.asarray, convert_vits(sd)))
+        model.save()
+        return model
+
     def build(self, *, model = None, tts_model = None, ** kwargs):
         if tts_model is not None: model = tts_model
         if model is None:

@@ -218,6 +218,278 @@ def load_hifigan(path_or_sd, ** kwargs):
     return convert_hifigan(sd, ** kwargs)
 
 
+def _dense1x1(sd, prefix):
+    """torch Conv1d k=1 (out, in, 1) → dense kernel (in, out)."""
+    out = {'kernel': _t(np.asarray(sd[prefix + '.weight'])[..., 0])}
+    if prefix + '.bias' in sd:
+        out['bias'] = np.asarray(sd[prefix + '.bias'])
+    return out
+
+
+def _count(sd, pattern):
+    idx = [int(m.group(1)) for k in sd
+           for m in [re.match(pattern, k)] if m]
+    return 1 + max(idx) if idx else 0
+
+
+def _vits_wn(sd, prefix):
+    """Official WN module (`in_layers`, `res_skip_layers`, optional
+    `cond_layer`) → this framework's wn subtree."""
+    wn = {}
+    n_layers = _count(sd, re.escape(prefix) + r'\.in_layers\.(\d+)\.')
+    for i in range(n_layers):
+        wn['in_conv_{}'.format(i)] = _conv(
+            sd, '{}.in_layers.{}'.format(prefix, i))
+        wn['res_skip_conv_{}'.format(i)] = _conv(
+            sd, '{}.res_skip_layers.{}'.format(prefix, i))
+    if '{}.cond_layer.weight'.format(prefix) in sd:
+        wn['cond'] = _dense1x1(sd, prefix + '.cond_layer')
+    return wn
+
+
+def _vits_dds(sd, prefix):
+    """Official DDSConv (`convs_sep` depthwise + `convs_1x1` + LayerNorms)
+    → this framework's dds subtree."""
+    dds = {}
+    n = _count(sd, re.escape(prefix) + r'\.convs_sep\.(\d+)\.')
+    for i in range(n):
+        dds['layer_{}'.format(i)] = {
+            'depthwise': _conv(sd, '{}.convs_sep.{}'.format(prefix, i)),
+            'pointwise': _dense_to_conv(
+                _dense1x1(sd, '{}.convs_1x1.{}'.format(prefix, i))),
+            'norm1': {'gamma': np.asarray(
+                sd['{}.norms_1.{}.gamma'.format(prefix, i)]).reshape(-1),
+                'beta': np.asarray(
+                sd['{}.norms_1.{}.beta'.format(prefix, i)]).reshape(-1)},
+            'norm2': {'gamma': np.asarray(
+                sd['{}.norms_2.{}.gamma'.format(prefix, i)]).reshape(-1),
+                'beta': np.asarray(
+                sd['{}.norms_2.{}.beta'.format(prefix, i)]).reshape(-1)},
+        }
+    return dds
+
+
+def _dense_to_conv(dense):
+    """dense (in, out) → conv1d kernel (1, in, out) (pointwise)."""
+    out = {'kernel': dense['kernel'][None]}
+    if 'bias' in dense:
+        out['bias'] = dense['bias']
+    return out
+
+
+def _vits_flow_stack(sd, prefix):
+    """Official SDP flow list ([ElementwiseAffine] + [ConvFlow, Flip]×n;
+    ConvFlows at odd indices) → this framework's stack subtree."""
+    stack = {'affine': {
+        'm': np.asarray(sd[prefix + '.0.m']).reshape(-1),
+        'logs': np.asarray(sd[prefix + '.0.logs']).reshape(-1),
+    }}
+    n_items = _count(sd, re.escape(prefix) + r'\.(\d+)\.')
+    conv_flows = [i for i in range(1, n_items)
+                  if '{}.{}.pre.weight'.format(prefix, i) in sd]
+    for out_i, i in enumerate(sorted(conv_flows)):
+        p = '{}.{}'.format(prefix, i)
+        stack['conv_flow_{}'.format(out_i)] = {
+            'pre': _conv(sd, p + '.pre'),
+            'dds': _vits_dds(sd, p + '.convs'),
+            'proj': _conv(sd, p + '.proj'),
+        }
+    return stack
+
+
+def convert_vits(sd):
+    """Official torch VITS ``SynthesizerTrn`` state_dict (weight-norm
+    removed) → params tree matching ``models.vits_arch.VITS``.
+
+    Covers: relative-window text encoder (`enc_p`), WaveNet posterior
+    (`enc_q`), residual coupling flow (`flow`, couplings at even indices —
+    flips carry no params), HiFi-GAN decoder (`dec`, via
+    ``convert_hifigan``), both duration predictors (`dp`: stochastic when
+    `dp.flows.0.m` exists, conv stack otherwise), and speaker conditioning
+    (`emb_g`, `dec.cond`, per-module cond layers)."""
+    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    params = {
+        'embedding': {'embeddings': np.asarray(sd['enc_p.emb.weight'])},
+        'text_proj': _conv(sd, 'enc_p.proj'),
+        'posterior': {
+            'pre': _conv(sd, 'enc_q.pre'),
+            'wn': _vits_wn(sd, 'enc_q.enc'),
+            'proj': _conv(sd, 'enc_q.proj'),
+        },
+        'generator': convert_hifigan(
+            {k[len('dec.'):]: v for k, v in sd.items()
+             if k.startswith('dec.') and not k.startswith('dec.cond')}),
+    }
+
+    n_text = _count(sd, r'enc_p\.encoder\.attn_layers\.(\d+)\.')
+    text = {}
+    for i in range(n_text):
+        a = 'enc_p.encoder.attn_layers.{}'.format(i)
+        blk = {
+            'attention': {
+                'query': _dense1x1(sd, a + '.conv_q'),
+                'key': _dense1x1(sd, a + '.conv_k'),
+                'value': _dense1x1(sd, a + '.conv_v'),
+                'output': _dense1x1(sd, a + '.conv_o'),
+            },
+            'attention_norm': {
+                'gamma': np.asarray(
+                    sd['enc_p.encoder.norm_layers_1.{}.gamma'.format(i)]
+                ).reshape(-1),
+                'beta': np.asarray(
+                    sd['enc_p.encoder.norm_layers_1.{}.beta'.format(i)]
+                ).reshape(-1)},
+            'conv1': _conv(sd, 'enc_p.encoder.ffn_layers.{}.conv_1'.format(i)),
+            'conv2': _conv(sd, 'enc_p.encoder.ffn_layers.{}.conv_2'.format(i)),
+            'ffn_norm': {
+                'gamma': np.asarray(
+                    sd['enc_p.encoder.norm_layers_2.{}.gamma'.format(i)]
+                ).reshape(-1),
+                'beta': np.asarray(
+                    sd['enc_p.encoder.norm_layers_2.{}.beta'.format(i)]
+                ).reshape(-1)},
+        }
+        if a + '.emb_rel_k' in sd:     # (1, 2w+1, head_dim), heads shared
+            blk['rel_k'] = np.asarray(sd[a + '.emb_rel_k'])[0]
+            blk['rel_v'] = np.asarray(sd[a + '.emb_rel_v'])[0]
+        text['layer_{}'.format(i)] = blk
+    params['text_encoder'] = text
+
+    couplings = sorted({
+        int(m.group(1)) for k in sd
+        for m in [re.match(r'flow\.flows\.(\d+)\.pre\.', k)] if m})
+    for out_k, k in enumerate(couplings):
+        p = 'flow.flows.{}'.format(k)
+        params['flow_{}'.format(out_k)] = {
+            'pre': _conv(sd, p + '.pre'),
+            'wn': _vits_wn(sd, p + '.enc'),
+            'post': _conv(sd, p + '.post'),
+        }
+
+    if 'dp.flows.0.m' in sd:           # stochastic duration predictor
+        dp = {
+            'pre': _conv(sd, 'dp.pre'),
+            'dds': _vits_dds(sd, 'dp.convs'),
+            'proj': _conv(sd, 'dp.proj'),
+            'flows': _vits_flow_stack(sd, 'dp.flows'),
+            'post_pre': _conv(sd, 'dp.post_pre'),
+            'post_dds': _vits_dds(sd, 'dp.post_convs'),
+            'post_proj': _conv(sd, 'dp.post_proj'),
+            'post_flows': _vits_flow_stack(sd, 'dp.post_flows'),
+        }
+        if 'dp.cond.weight' in sd:
+            dp['cond'] = _dense1x1(sd, 'dp.cond')
+        params['duration_predictor'] = dp
+    else:                              # deterministic conv predictor
+        params['duration_predictor'] = {
+            'conv1': _conv(sd, 'dp.conv_1'),
+            'norm1': {'gamma': np.asarray(sd['dp.norm_1.gamma']).reshape(-1),
+                      'beta': np.asarray(sd['dp.norm_1.beta']).reshape(-1)},
+            'conv2': _conv(sd, 'dp.conv_2'),
+            'norm2': {'gamma': np.asarray(sd['dp.norm_2.gamma']).reshape(-1),
+                      'beta': np.asarray(sd['dp.norm_2.beta']).reshape(-1)},
+            'proj': _dense1x1(sd, 'dp.proj'),
+        }
+        if 'dp.cond.weight' in sd:
+            params['duration_cond'] = _dense1x1(sd, 'dp.cond')
+
+    if 'emb_g.weight' in sd:
+        params['speaker_embedding'] = {
+            'embeddings': np.asarray(sd['emb_g.weight'])}
+    if 'dec.cond.weight' in sd:
+        params['generator_cond'] = _dense1x1(sd, 'dec.cond')
+    return params
+
+
+def load_vits(path_or_sd):
+    """Load a published torch VITS checkpoint (e.g. the official LJSpeech /
+    VCTK releases) → params tree for ``models.vits_arch.VITS``."""
+    sd = _load_state_dict(path_or_sd)
+    sd = remove_torch_weight_norm(sd)
+    return convert_vits(sd)
+
+
+def vits_config_from_state_dict(sd):
+    """Infer the ``HParamsVITS`` fields that are derivable from an official
+    ``SynthesizerTrn`` state dict's tensor shapes, so
+    ``VITS.from_torch_pretrained`` can build a matching architecture without
+    the original ``config.json``.
+
+    Not shape-derivable (defaults kept; pass overrides if the training
+    config differed): `n_heads` when no relative embeddings are present,
+    `upsample_rates` (strides — inferred as kernel//2, the published
+    convention), `resblock_dilation_sizes`, and the dropout rates."""
+    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    shp = lambda k: tuple(np.shape(sd[k]))
+
+    config = {}
+    config['vocab_size'], config['hidden_channels'] = shp('enc_p.emb.weight')
+    config['inter_channels'] = shp('enc_p.proj.weight')[0] // 2
+    config['spec_channels'] = shp('enc_q.pre.weight')[1]
+
+    config['n_text_layers'] = _count(
+        sd, r'enc_p\.encoder\.attn_layers\.(\d+)\.')
+    f_w = shp('enc_p.encoder.ffn_layers.0.conv_1.weight')
+    config['filter_channels'], _, config['text_kernel_size'] = f_w
+    rel = 'enc_p.encoder.attn_layers.0.emb_rel_k'
+    if rel in sd:
+        _, n_rel, head_dim = shp(rel)
+        config['text_rel_window'] = (n_rel - 1) // 2
+        config['n_heads'] = config['hidden_channels'] // head_dim
+    else:
+        config['text_rel_window'] = None
+
+    config['posterior_layers'] = _count(
+        sd, r'enc_q\.enc\.in_layers\.(\d+)\.')
+    config['posterior_kernel_size'] = shp('enc_q.enc.in_layers.0.weight')[2]
+
+    config['flow_layers'] = len({
+        int(m.group(1)) for k in sd
+        for m in [re.match(r'flow\.flows\.(\d+)\.pre\.', k)] if m})
+    config['flow_wn_layers'] = _count(
+        sd, r'flow\.flows\.0\.enc\.in_layers\.(\d+)\.')
+    config['flow_kernel_size'] = shp('flow.flows.0.enc.in_layers.0.weight')[2]
+
+    config['use_sdp'] = 'dp.flows.0.m' in sd
+    if config['use_sdp']:
+        config['sdp_filter_channels'] = shp('dp.pre.weight')[0]
+        config['sdp_kernel_size'] = shp('dp.convs.convs_sep.0.weight')[2]
+        config['sdp_dds_layers'] = _count(
+            sd, r'dp\.convs\.convs_sep\.(\d+)\.')
+        config['sdp_n_flows'] = sum(
+            1 for k in sd if re.match(r'dp\.flows\.\d+\.pre\.weight$', k))
+        # ConvFlow proj: out = half_channels * (3 * n_bins - 1), half = 1
+        first_cf = min(int(m.group(1)) for k in sd for m in
+                       [re.match(r'dp\.flows\.(\d+)\.proj\.weight$', k)] if m)
+        config['sdp_n_bins'] = \
+            (shp('dp.flows.{}.proj.weight'.format(first_cf))[0] + 1) // 3
+    else:
+        config['duration_filters'] = shp('dp.conv_1.weight')[0]
+        config['duration_kernel_size'] = shp('dp.conv_1.weight')[2]
+
+    if 'emb_g.weight' in sd:
+        config['n_speakers'], config['gin_channels'] = shp('emb_g.weight')
+
+    # HiFi-GAN decoder
+    config['upsample_initial_channel'] = shp('dec.conv_pre.weight')[0]
+    n_up = _count(sd, r'dec\.ups\.(\d+)\.')
+    kernels = [shp('dec.ups.{}.weight'.format(i))[2] for i in range(n_up)]
+    config['upsample_kernel_sizes'] = tuple(kernels)
+    config['upsample_rates'] = tuple(k // 2 for k in kernels)
+    n_res = _count(sd, r'dec\.resblocks\.(\d+)\.')
+    num_kernels = n_res // n_up
+    config['resblock_version'] = \
+        1 if 'dec.resblocks.0.convs1.0.weight' in sd else 2
+    res_key = 'convs1' if config['resblock_version'] == 1 else 'convs'
+    config['resblock_kernel_sizes'] = tuple(
+        shp('dec.resblocks.{}.{}.0.weight'.format(j, res_key))[2]
+        for j in range(num_kernels))
+    n_dil = _count(sd, r'dec\.resblocks\.0\.{}\.(\d+)\.'.format(res_key))
+    config['resblock_dilation_sizes'] = tuple(
+        tuple((1, 3, 5)[:n_dil]) for _ in range(num_kernels))
+    return config
+
+
 def remove_torch_weight_norm(sd):
     """Fold torch weight-norm (weight_g/weight_v) pairs back into plain
     weights (the published WaveGlow checkpoint ships weight-normed)."""

@@ -58,6 +58,8 @@ HParamsVITS = HParams(
     n_heads = 2,
     n_text_layers = 6,
     text_kernel_size = 3,           # text-encoder conv-FFN kernel
+    text_rel_window = 4,            # windowed relative attention (published
+                                    # VITS design; None → plain MHA)
     drop_rate = 0.1,
     epsilon = 1e-9,
     max_position = 2048,
@@ -214,8 +216,8 @@ class VITS:
 
     def _init_text_block(self, key):
         hp = self.hp
-        keys = nn.split_keys(key, 3)
-        return {
+        keys = nn.split_keys(key, 5)
+        block = {
             'attention': init_mha(next(keys), hp.hidden_channels, hp.n_heads),
             'attention_norm': nn.init_layer_norm(hp.hidden_channels),
             'conv1': nn.init_conv1d(next(keys), hp.text_kernel_size,
@@ -224,6 +226,16 @@ class VITS:
                                     hp.filter_channels, hp.hidden_channels),
             'ffn_norm': nn.init_layer_norm(hp.hidden_channels),
         }
+        if hp.text_rel_window is not None:
+            w = hp.text_rel_window
+            head_dim = hp.hidden_channels // hp.n_heads
+            scale = head_dim ** -0.5
+            # shared across heads (the published heads_share=True layout)
+            block['rel_k'] = jax.random.normal(
+                next(keys), (2 * w + 1, head_dim)) * scale
+            block['rel_v'] = jax.random.normal(
+                next(keys), (2 * w + 1, head_dim)) * scale
+        return block
 
     def init(self, key):
         hp = self.hp
@@ -328,7 +340,7 @@ class VITS:
     def _init_sdp(self, key):
         hp = self.hp
         f = hp.sdp_filter_channels
-        keys = nn.split_keys(key, 8)
+        keys = nn.split_keys(key, 9)
         sdp = {
             'pre': nn.init_conv1d(next(keys), 1, hp.hidden_channels, f),
             'dds': self._init_dds(next(keys), f),
@@ -535,6 +547,52 @@ class VITS:
 
     # -- prior (text) side ----------------------------------------------------
 
+    def _text_attention(self, blk, x, attn_mask):
+        """Self-attention with windowed relative position terms (published
+        VITS text-encoder design): positions beyond ±window contribute zero
+        relative embeddings.  Text lengths are small (≤ a few hundred), so
+        the (L, L, D) relative gathers are cheap."""
+        hp = self.hp
+        if 'rel_k' not in blk:
+            out, _ = mha(blk['attention'], x, n_heads = hp.n_heads,
+                         mask = attn_mask)
+            return out
+        B, L, _ = x.shape
+        H = hp.n_heads
+        p = blk['attention']
+        D = p['query']['kernel'].shape[-1] // H
+        to_heads = lambda t: nn.dense(p[t], x).reshape(B, L, H, D) \
+            .transpose(0, 2, 1, 3)
+        q, k, v = to_heads('query'), to_heads('key'), to_heads('value')
+        scale = D ** -0.5
+
+        logits = jnp.einsum('bhld,bhmd->bhlm', q, k) * scale
+
+        w = hp.text_rel_window
+        pad = L - 1 - w
+
+        def table_for(emb):
+            emb = emb.astype(x.dtype)
+            if pad >= 0:                # zero beyond the window
+                return jnp.pad(emb, ((pad, pad), (0, 0)))
+            return emb[-pad: -pad + 2 * L - 1]
+        idx = jnp.clip(jnp.arange(L)[None, :] - jnp.arange(L)[:, None]
+                       + L - 1, 0, 2 * L - 2)                    # (L, L)
+
+        rel_local = jnp.einsum('bhld,rd->bhlr', q,
+                               table_for(blk['rel_k'])) * scale
+        logits = logits + jnp.take_along_axis(
+            rel_local, jnp.broadcast_to(idx, (B, H, L, L)), axis = -1)
+
+        logits = jnp.where(attn_mask, logits, jnp.asarray(-1e9, logits.dtype))
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis = -1) \
+            .astype(x.dtype)
+        out = jnp.einsum('bhlm,bhmd->bhld', attn, v)
+        out = out + jnp.einsum('bhlm,lmd->bhld', attn,
+                               table_for(blk['rel_v'])[idx])
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, H * D)
+        return nn.dense(p['output'], out)
+
     def encode_text(self, params, tokens, *, train = False, rng = None):
         """tokens (B, L) → (h (B, L, H), m_p, logs_p (B, L, C), token mask)."""
         hp = self.hp
@@ -551,14 +609,15 @@ class VITS:
         x = x * fmask.astype(x.dtype)
         for i in range(hp.n_text_layers):
             blk = params['text_encoder']['layer_{}'.format(i)]
-            h, _ = mha(blk['attention'], x, n_heads = hp.n_heads,
-                       mask = attn_mask)
+            h = self._text_attention(blk, x, attn_mask)
             h = self._dropout(h, hp.drop_rate, train, rng, 20 + 2 * i)
             x = nn.layer_norm(blk['attention_norm'], x + h, hp.epsilon)
             x = x * fmask.astype(x.dtype)
             h = jax.nn.relu(nn.conv1d(blk['conv1'], x))
             h = self._dropout(h, hp.drop_rate, train, rng, 21 + 2 * i)
-            h = nn.conv1d(blk['conv2'], h)
+            # mask between the k>1 convs: conv1's bias+relu make pad rows
+            # non-zero, and conv2 would leak them back into valid rows
+            h = nn.conv1d(blk['conv2'], h * fmask.astype(h.dtype))
             x = nn.layer_norm(blk['ffn_norm'], x + h, hp.epsilon)
             x = x * fmask.astype(x.dtype)
         stats = nn.conv1d(params['text_proj'], x) * fmask.astype(x.dtype)
