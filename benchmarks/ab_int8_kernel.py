@@ -44,8 +44,10 @@ def main():
     print('setup done', flush = True)
 
     def k12(x, spect, quant, chunk, unroll, probe = False):
+        # tile = T: the halo-free single-tile serving mode (what
+        # waveglow_arch's serving path selects at the bench shape)
         for _ in range(12):
-            out = pk.fused_wn_block_int8(x, spect, quant, tile = 4096,
+            out = pk.fused_wn_block_int8(x, spect, quant, tile = T,
                                          seq_len = T, chunk = chunk,
                                          unroll = unroll,
                                          aligned_probe = probe)

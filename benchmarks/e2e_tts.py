@@ -36,6 +36,10 @@ def main():
                                'weights predict ~0 durations, so without a '
                                'floor the benchmark synthesizes ~no audio '
                                '(6 ~= natural speech rate at 86 frames/s)')
+    parser.add_argument('--sdp', action = 'store_true',
+                        help = 'vits only: stochastic duration predictor '
+                               '(spline-flow sampling) instead of the '
+                               'deterministic conv stack')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
     parser.add_argument('--gate', action = 'store_true',
@@ -44,6 +48,8 @@ def main():
                                'would double-decode and measure retry logic '
                                'instead of the pipeline)')
     args = parser.parse_args()
+    if args.sdp and args.synthesizer != 'vits':
+        parser.error('--sdp applies to the vits synthesizer only')
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
     from text_to_speech_tpu import tts, Tacotron2, WaveGlow
@@ -69,7 +75,9 @@ def main():
         if args.fused_decoder or args.int8_vocoder:
             parser.error('--fused-decoder/--int8-vocoder do not apply to vits')
         from text_to_speech_tpu.models.tts import VITS
-        model = VITS(lang = 'en', name = 'bench_vits')
+        model = VITS(lang = 'en',
+                     name = 'bench_vits_sdp' if args.sdp else 'bench_vits',
+                     use_sdp = args.sdp)
         extra['min_duration'] = args.min_duration
     else:
         model = Tacotron2(lang = 'en', name = 'bench_tacotron2')

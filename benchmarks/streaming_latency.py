@@ -23,28 +23,43 @@ def main():
     parser.add_argument('--chunk', type = int, default = 32)
     parser.add_argument('--runs', type = int, default = 3)
     parser.add_argument('--int8-vocoder', action = 'store_true')
+    parser.add_argument('--synthesizer', default = 'tacotron2',
+                        choices = ('tacotron2', 'vits'),
+                        help = 'vits: windowed end-to-end decode over '
+                               'precomputed latents (make_vits_stepper) — '
+                               'no separate vocoder')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
     from text_to_speech_tpu import Tacotron2, WaveGlow
     from text_to_speech_tpu.runtimes.serving import (
-        ContinuousServingEngine, make_tacotron_stepper)
-
-    model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
-    vocoder = WaveGlow(name = 'bench_waveglow')
-    if args.int8_vocoder:
-        vocoder.quantize_for_serving()
-    # random weights gate immediately; force a fixed-length decode so the
-    # measurement covers real multi-chunk streaming
-    model.arch.hp.gate_threshold = 1.1
+        ContinuousServingEngine, make_tacotron_stepper, make_vits_stepper)
 
     text = ('The quick brown fox jumps over the lazy dog while the rain in '
             'Spain stays mainly in the plain, and the five boxing wizards '
             'jump quickly over everything else in sight.')
 
-    stepper = make_tacotron_stepper(
-        model, chunk = args.chunk, vocoder = vocoder,
-        stream_audio = True, max_steps = 512)
+    if args.synthesizer == 'vits':
+        if args.int8_vocoder:
+            parser.error('--int8-vocoder applies to the tacotron2 path only')
+        from text_to_speech_tpu.models.tts import VITS
+        model = VITS(lang = 'en', name = 'bench_vits')
+        # random weights predict ~0 durations: floor them so the stream
+        # covers multiple windows (~natural speech rate)
+        stepper = make_vits_stepper(model, window = args.chunk,
+                                    min_duration = 6)
+    else:
+        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+        vocoder = WaveGlow(name = 'bench_waveglow')
+        if args.int8_vocoder:
+            vocoder.quantize_for_serving()
+        # random weights gate immediately; force a fixed-length decode so the
+        # measurement covers real multi-chunk streaming
+        model.arch.hp.gate_threshold = 1.1
+
+        stepper = make_tacotron_stepper(
+            model, chunk = args.chunk, vocoder = vocoder,
+            stream_audio = True, max_steps = 512)
 
     with ContinuousServingEngine(*stepper, max_batch_size = 4) as engine:
         # warm-up: compiles encode / chunk-decode / windowed-vocode buckets

@@ -1,6 +1,8 @@
 """VITS end-to-end family: arch pieces (MAS, flow invertibility, masks),
 training forward/losses, and the task-model surface."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -661,6 +663,78 @@ class TestVITSImporter:
                        rng = jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
                                    atol = 1e-5)
+
+
+class TestVITSStreaming:
+    """Windowed HiFi-GAN decode over precomputed latents
+    (`runtimes/serving.make_vits_stepper`): incremental audio for the
+    end-to-end family, exact vs the one-shot decode."""
+
+    def _full_audio(self, model, text, rng, *, token_multiple = 8,
+                    min_duration = 3):
+        tokens = np.asarray(model.encode_text(text))[None, :]
+        s = -(-tokens.shape[1] // token_multiple) * token_multiple
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        out = model.arch.infer(model.params, {}, jnp.asarray(tokens),
+                               max_frames = 64, min_duration = min_duration,
+                               rng = rng)
+        n = int(out.lengths[0])
+        return np.asarray(out.audio)[0, : n * model.arch.upsample_rate], n
+
+    def test_windowed_decode_matches_full(self, model_root):
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('stream_vits')
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3)
+
+        rng = jax.random.PRNGKey(5)
+        chunks = []
+        st = start_fn('hello world streaming', on_audio = chunks.append,
+                      rng = rng)
+        states, done = [st], [False]
+        n_steps = 0
+        while not done[0]:
+            states, done = step_fn(states)
+            n_steps += 1
+            assert n_steps < 64
+        out = finish_fn(states[0])
+
+        full, n = self._full_audio(model, 'hello world streaming', rng)
+        assert out['frames'] == n
+        assert n_steps >= 2                          # truly incremental
+        np.testing.assert_array_equal(np.concatenate(chunks)[: len(full)],
+                                      out['audio'])
+        np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+        assert 'first_audio_s' in out
+
+    def test_inflight_admission_engine(self, model_root):
+        """A request admitted mid-stream completes and both results match
+        their independent one-shot decodes (batching never changes per-row
+        numerics beyond float tolerance)."""
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_vits_stepper)
+
+        model = make_model('stream_vits2')
+        stepper = make_vits_stepper(
+            model, window = 8, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3)
+        texts = ('the first rather long utterance to stream',
+                 'short second')
+        keys = (jax.random.PRNGKey(1), jax.random.PRNGKey(2))
+        with ContinuousServingEngine(* stepper, max_batch_size = 2) as engine:
+            first = engine.submit(texts[0], rng = keys[0])
+            time.sleep(0.3)                 # engine is mid-decode now
+            second = engine.submit(texts[1], rng = keys[1])
+            outs = [first.result.get(timeout = 300),
+                    second.result.get(timeout = 300)]
+
+        for text, key, out in zip(texts, keys, outs):
+            full, n = self._full_audio(model, text, key)
+            assert out['frames'] == n
+            np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
 
 
 class TestFitGan:

@@ -771,16 +771,19 @@ class VITS:
 
     # -- inference ------------------------------------------------------------------
 
-    def infer(self, params, state, tokens, *, speaker_embedding = None,
-              speaker_ids = None, max_frames = None, noise_scale = 0.667,
-              noise_scale_w = 0.8, d_control = 1., min_duration = 0,
-              dtype = None, rng = None, ** _):
-        """One parallel pass: text → durations → expanded prior → inverse
-        flow → HiFi-GAN decode.  Returns `VITSInferenceOutput`, field-
-        compatible with `Tacotron2InferenceOutput` (`audio` replaces `mel`;
-        `attention_weights` is the hard duration alignment) so the shared
-        task-model machinery applies.
-        """
+    def infer_latent(self, params, tokens, *, speaker_embedding = None,
+                     speaker_ids = None, max_frames = None,
+                     noise_scale = 0.667, noise_scale_w = 0.8,
+                     d_control = 1., min_duration = 0, dtype = None,
+                     rng = None):
+        """Everything up to (and including) the reverse flow: text →
+        durations → expanded prior → sampled latent `z` (B, max_frames, C).
+
+        This is the cheap part of inference (the HiFi-GAN decode is ~50-100×
+        the FLOPs of the flow stack), split out so the decode can run
+        windowed/incrementally over `z` — see `decode_frames` and
+        ``runtimes/serving.make_vits_stepper``.  Returns
+        ``(z, cond, lengths, durations, align)``."""
         hp = self.hp
         if max_frames is None:
             max_frames = hp.max_frames
@@ -827,10 +830,46 @@ class VITS:
 
         cond = nn.dense(params['generator_cond'], g) \
             if (g is not None and 'generator_cond' in params) else None
-        audio = self.generator.apply(params['generator'], z, cond = cond)
 
         align = jax.nn.one_hot(idx, tokens.shape[1], dtype = jnp.float32)
         align = align * frame_mask[..., None]
+        return z, cond, lengths, durations, align
+
+    def decode_frames(self, params, z, cond = None, *, dtype = None):
+        """Latent frames `z` (B, T, C) → waveform (B, T·rate).  Fully
+        convolutional, so a window of `z` with enough real left/right
+        context frames (≥ the generator's receptive field) reproduces the
+        full decode exactly on the interior — the basis of incremental
+        VITS streaming."""
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+                params)
+            z = z.astype(dtype)
+            if cond is not None:
+                cond = cond.astype(dtype)
+        return self.generator.apply(params['generator'], z, cond = cond)
+
+    def infer(self, params, state, tokens, *, speaker_embedding = None,
+              speaker_ids = None, max_frames = None, noise_scale = 0.667,
+              noise_scale_w = 0.8, d_control = 1., min_duration = 0,
+              dtype = None, rng = None, ** _):
+        """One parallel pass: text → durations → expanded prior → inverse
+        flow → HiFi-GAN decode.  Returns `VITSInferenceOutput`, field-
+        compatible with `Tacotron2InferenceOutput` (`audio` replaces `mel`;
+        `attention_weights` is the hard duration alignment) so the shared
+        task-model machinery applies.
+        """
+        z, cond, lengths, durations, align = self.infer_latent(
+            params, tokens, speaker_embedding = speaker_embedding,
+            speaker_ids = speaker_ids, max_frames = max_frames,
+            noise_scale = noise_scale, noise_scale_w = noise_scale_w,
+            d_control = d_control, min_duration = min_duration,
+            dtype = dtype, rng = rng)
+        cast_params = (jax.tree_util.tree_map(
+            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
+            params)) if dtype is not None else params
+        audio = self.generator.apply(cast_params['generator'], z, cond = cond)
 
         return VITSInferenceOutput(
             audio = audio.astype(jnp.float32),

@@ -560,6 +560,121 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     return start_fn, step_fn, finish_fn
 
 
+def make_vits_stepper(model, *, window = 64, context = 16,
+                      token_multiple = 64, max_frames = None,
+                      dtype = None, ** infer_kwargs):
+    """(start_fn, step_fn, finish_fn) driving a `VITS` task model through
+    WINDOWED waveform decode — incremental streaming for the end-to-end
+    family.
+
+    Admission runs the cheap latent stage once (`arch.infer_latent`: text
+    encode → durations → expanded prior → reverse flow; ~1-2 % of the
+    FLOPs), leaving a per-request latent buffer `z` (max_frames, C) on
+    device.  Every engine chunk then decodes ONE `window` of frames for the
+    whole active batch through the HiFi-GAN generator with `context` real
+    frames of left/right overlap — the generator is fully convolutional, so
+    windows with context ≥ its receptive field (~13 frames for the v1
+    config) are EXACT: the concatenated stream bit-matches the one-shot
+    decode (`tests/test_vits.py`).  First audio = one latent stage + one
+    window decode instead of the whole utterance, and new requests are
+    admitted at every window boundary (in-flight batching).
+
+    The reference has no streaming below whole text chunks
+    (``/root/reference/models/tts/tacotron2.py:103-209``); this is the VITS
+    counterpart of `make_tacotron_stepper(stream_audio=True)`."""
+    import jax
+    import jax.numpy as jnp
+
+    arch = model.arch
+    rate = arch.upsample_rate
+    max_frames = max_frames or arch.hp.max_frames
+    span = window + 2 * context
+    if max_frames < span:
+        raise ValueError('max_frames ({}) < window + 2*context ({})'.format(
+            max_frames, span))
+
+    latent = jax.jit(lambda p, tokens, rng: arch.infer_latent(
+        p, tokens, rng = rng, max_frames = max_frames, dtype = dtype,
+        ** infer_kwargs))
+
+    def _decode(p, z_stack, starts, cond_stack):
+        win = jax.vmap(lambda z, s: jax.lax.dynamic_slice(
+            z, (s, 0), (span, z.shape[-1])))(z_stack, starts)
+        return arch.decode_frames(p, win, cond_stack, dtype = dtype)
+
+    decode_cond = jax.jit(_decode)
+    decode_nocond = jax.jit(lambda p, z, s: _decode(p, z, s, None))
+
+    # the active batch's stacked latents live on device between chunks;
+    # restacked only when the active set changes (admission/removal)
+    batch = {'ids': (), 'z': None, 'cond': None}
+
+    def start_fn(text, on_audio = None, rng = None, ** kwargs):
+        tokens = np.asarray(model.encode_text(text))[None, :]
+        s = -(-tokens.shape[1] // token_multiple) * token_multiple
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        if rng is None:
+            rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
+        z, cond, lengths, _, _ = latent(model.params, jnp.asarray(tokens), rng)
+        return {
+            'text': text,
+            'z': z[0], 'cond': None if cond is None else cond[0],
+            'length': max(1, int(lengths[0])),
+            'emitted': 0, 'audio_parts': [], 'on_audio': on_audio,
+            't_start': time.perf_counter(), 't_first_audio': None,
+        }
+
+    def step_fn(states):
+        ids = tuple(id(st) for st in states)
+        if ids != batch['ids']:
+            batch['z'] = jnp.stack([st['z'] for st in states])
+            conds = [st['cond'] for st in states]
+            batch['cond'] = None if conds[0] is None else jnp.stack(conds)
+            batch['ids'] = ids
+
+        starts, offs, counts = [], [], []
+        for st in states:
+            e = st['emitted']
+            s0 = min(max(e - context, 0), max_frames - span)
+            starts.append(s0)
+            offs.append(e - s0)
+            counts.append(max(1, min(window, st['length'] - e)))
+        starts = jnp.asarray(starts, jnp.int32)
+        if batch['cond'] is None:
+            audio = decode_nocond(model.params, batch['z'], starts)
+        else:
+            audio = decode_cond(model.params, batch['z'], starts,
+                                batch['cond'])
+        audio_h = np.asarray(audio, np.float32)    # one bulk d2h per chunk
+
+        done = []
+        for i, st in enumerate(states):
+            part = audio_h[i, offs[i] * rate: (offs[i] + counts[i]) * rate]
+            st['audio_parts'].append(part)
+            st['emitted'] += counts[i]
+            if st['t_first_audio'] is None:
+                st['t_first_audio'] = time.perf_counter()
+            if st['on_audio'] is not None:
+                try:
+                    st['on_audio'](part)
+                except Exception:
+                    logger.exception('on_audio callback failed')
+            done.append(st['emitted'] >= st['length'])
+        return states, done
+
+    def finish_fn(st):
+        audio = np.concatenate(st['audio_parts']) if st['audio_parts'] \
+            else np.zeros((0,), np.float32)
+        result = {'text': st['text'], 'audio': audio[: st['length'] * rate],
+                  'rate': model.rate, 'frames': st['length']}
+        if st['t_first_audio'] is not None:
+            result['first_audio_s'] = st['t_first_audio'] - st['t_start']
+        return result
+
+    return start_fn, step_fn, finish_fn
+
+
 def make_tts_batch_fn(model, *, vocoder = None, ** infer_kwargs):
     """batch_fn for a `Tacotron2` task model: encodes the texts, pads into
     one token batch, runs ONE compiled AR decode, optionally vocodes, and
