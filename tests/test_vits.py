@@ -710,6 +710,40 @@ class TestVITSStreaming:
         np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
         assert 'first_audio_s' in out
 
+    def test_windowed_decode_speaker_conditioned(self, model_root):
+        """The cond path (generator global conditioning) streams exactly
+        like the unconditioned one."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('stream_vits_spk', n_speakers = 3,
+                           gin_channels = 8)
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3,
+            speaker_ids = np.asarray([1]))
+
+        rng = jax.random.PRNGKey(9)
+        st = start_fn('a conditioned stream', rng = rng)
+        assert st['cond'] is not None
+        states, done = [st], [False]
+        while not done[0]:
+            states, done = step_fn(states)
+        out = finish_fn(states[0])
+
+        tokens = np.asarray(model.encode_text('a conditioned stream'))[None]
+        s = -(-tokens.shape[1] // 8) * 8
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        full = model.arch.infer(
+            model.params, {}, jnp.asarray(tokens), max_frames = 64,
+            min_duration = 3, speaker_ids = jnp.asarray([1]), rng = rng)
+        n = int(full.lengths[0])
+        assert out['frames'] == n
+        np.testing.assert_allclose(
+            out['audio'],
+            np.asarray(full.audio)[0, : n * model.arch.upsample_rate],
+            atol = 1e-5)
+
     def test_inflight_admission_engine(self, model_root):
         """A request admitted mid-stream completes and both results match
         their independent one-shot decodes (batching never changes per-row
