@@ -199,6 +199,19 @@ class TestVITSArch:
             np.testing.assert_allclose(a[:n].sum(1), 1.)
         assert np.all(a[n:] == 0)
 
+    def test_sdp_infer_bf16(self):
+        """The SDP sampling path runs under dtype=bfloat16 (params cast);
+        spline math stays f32 internally."""
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5, 6]])
+        out = arch.infer(params, {}, tokens, max_frames = 32,
+                         dtype = jnp.bfloat16, rng = jax.random.PRNGKey(1))
+        a = np.asarray(out.audio)
+        assert a.dtype == np.float32 and np.all(np.isfinite(a))
+        assert int(out.lengths[0]) >= 1
+
     def test_relative_attention_window(self):
         """rel_k/rel_v terms are live (output differs from plain MHA on the
         same weights) and pad-invariant."""
@@ -663,6 +676,62 @@ class TestVITSImporter:
                        rng = jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
                                    atol = 1e-5)
+
+
+class TestSV2TTSVITS:
+    """Zero-shot cloning on the end-to-end family: the SV2TTS embedding
+    machinery over the VITS external-embedding conditioning."""
+
+    def _make(self, name = 'test_sv_vits', ** kwargs):
+        from text_to_speech_tpu.models.tts import SV2TTSVITS
+        from text_to_speech_tpu.ops.stft import TacotronSTFT
+        mel_fn = TacotronSTFT(sampling_rate = 8000, hop_length = 8,
+                              filter_length = 16, win_length = 16)
+        return SV2TTSVITS(lang = 'en', name = name, mel_fn = mel_fn,
+                          embedding_dim = 6,
+                          ** {** TINY_VITS, 'gin_channels': 8, ** kwargs})
+
+    def test_infer_with_embedding(self, model_root):
+        model = self._make()
+        assert model.arch.hp.speaker_embedding_dim == 6
+        emb = np.random.RandomState(0).randn(6).astype(np.float32)
+        out = model.infer('hello world', embeddings = emb, max_trial = 1)
+        audio = out['audio']
+        assert audio.ndim == 1 and audio.size > 0
+        assert np.all(np.isfinite(audio))
+        # the embedding is live: a different speaker changes the waveform
+        out2 = model.infer('hello world', embeddings = -3. * emb,
+                           max_trial = 1, overwrite = True)
+        assert not np.allclose(out['audio'][: out2['audio'].size],
+                               out2['audio'][: out['audio'].size])
+
+    def test_default_embedding_and_reload(self, model_root):
+        from text_to_speech_tpu.models import get_pretrained
+        model = self._make('test_sv_vits_reload')
+        with pytest.raises(ValueError):
+            model.get_speaker_embedding()
+        model.set_default_embedding(np.ones(6))
+        model.save()
+        reset_instances()
+        reloaded = get_pretrained('test_sv_vits_reload')
+        assert type(reloaded).__name__ == 'SV2TTSVITS'
+        assert reloaded.embedding_dim == 6
+        np.testing.assert_allclose(reloaded.get_speaker_embedding(),
+                                   np.ones(6))
+
+    def test_prepare_and_collate_with_embedding(self, model_root):
+        model = self._make('test_sv_vits_data')
+        rng = np.random.RandomState(1)
+        rows = [
+            {'text': 'ab', 'audio': rng.randn(400).astype(np.float32),
+             'rate': 8000, 'embedding': rng.randn(6).astype(np.float32)}
+            for _ in range(2)
+        ]
+        prepared = [model.prepare_data(r) for r in rows]
+        assert all(len(p) == 5 for p in prepared)
+        tokens, spec, lengths, audio, embs = model.collate(prepared)
+        assert embs.shape == (2, 6)
+        np.testing.assert_allclose(embs[0], rows[0]['embedding'])
 
 
 class TestVITSStreaming:

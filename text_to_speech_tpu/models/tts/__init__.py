@@ -11,6 +11,7 @@ from .tacotron2 import Tacotron2
 from .sv2tts_tacotron2 import SV2TTSTacotron2
 from .fastspeech2 import FastSpeech2
 from .vits import VITS
+from .sv2tts_vits import SV2TTSVITS
 from .waveglow import WaveGlow
 from .hifigan import HiFiGAN
 

@@ -403,16 +403,20 @@ class VITS:
             params_out = nn.conv1d(p['proj'], h) * mask     # (B, L, 3K-1)
             K = hp.sdp_n_bins
             scale = jnp.sqrt(float(hp.sdp_filter_channels))
+            # spline math in f32 regardless of the compute dtype (bin
+            # search + logdet are precision-sensitive)
+            params_out = params_out.astype(jnp.float32)
             w_un = params_out[..., :K] / scale
             h_un = params_out[..., K: 2 * K] / scale
             d_un = params_out[..., 2 * K:]
             # the spline returns the logdet of the direction it ran (the
             # inverse call already negates) — no extra sign here
             y1, ld = rational_quadratic_spline(
-                z1[..., 0], w_un, h_un, d_un, inverse = reverse,
-                tail_bound = hp.sdp_tail_bound)
-            z = jnp.concatenate([z0, y1[..., None]], axis = -1) * mask
-            return z, jnp.sum(ld * m2, axis = 1)
+                z1[..., 0].astype(jnp.float32), w_un, h_un, d_un,
+                inverse = reverse, tail_bound = hp.sdp_tail_bound)
+            z = jnp.concatenate([z0, y1[..., None].astype(z0.dtype)],
+                                axis = -1) * mask
+            return z, jnp.sum(ld * m2.astype(jnp.float32), axis = 1)
 
         steps = ['affine'] + [
             name for i in range(hp.sdp_n_flows)
@@ -498,11 +502,12 @@ class VITS:
         x = self._dds(p['dds'], x, mask)
         x = nn.conv1d(p['proj'], x) * mask
 
-        z = jax.random.normal(rng, mask.shape[:2] + (2,)).astype(jnp.float32)
-        z = z * jnp.asarray(noise_scale_w, jnp.float32) * mask
-        z, _ = self._flow_stack(p['flows'], z, mask.astype(jnp.float32),
-                                x.astype(jnp.float32), reverse = True)
-        return z[..., 0] * token_mask.astype(jnp.float32)
+        # run the flows in the compute dtype (params may be bf16-cast);
+        # the spline itself computes in f32 internally (see conv_flow)
+        z = jax.random.normal(rng, mask.shape[:2] + (2,)).astype(h.dtype)
+        z = z * jnp.asarray(noise_scale_w, h.dtype) * mask
+        z, _ = self._flow_stack(p['flows'], z, mask, x, reverse = True)
+        return z[..., 0].astype(jnp.float32) * token_mask.astype(jnp.float32)
 
     # -- shared blocks -------------------------------------------------------
 
