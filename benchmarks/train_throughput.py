@@ -158,6 +158,86 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
                                   1. / el, B / el))
 
 
+def bench_vits(batch, tokens, frames, iters):
+    """Full-size VITS adversarial step (VAE + MAS + GAN, windowed decode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from text_to_speech_tpu.models.vits_arch import VITS
+    from text_to_speech_tpu.ops.stft import TacotronSTFT
+    from text_to_speech_tpu.train.gan import (
+        make_vits_train_step, init_vits_train_state, mel_fn_from_stft)
+    from text_to_speech_tpu.train.optimizers import get_optimizer
+
+    arch = VITS()                       # published LJSpeech config
+    mel = TacotronSTFT()
+    tx_g = get_optimizer('adamw', lr = 2e-4)
+    tx_d = get_optimizer('adamw', lr = 2e-4)
+    state = init_vits_train_state(arch, jax.random.PRNGKey(0), tx_g, tx_d)
+    step = make_vits_train_step(arch, tx_g, tx_d, mel_fn_from_stft(mel))
+
+    hop = arch.upsample_rate
+    rs = np.random.RandomState(0)
+    tok = jnp.asarray(
+        rs.randint(1, arch.hp.vocab_size, (batch, tokens)), jnp.int32)
+    spec = jnp.asarray(
+        np.abs(rs.randn(batch, frames, arch.hp.spec_channels)), jnp.float32)
+    lengths = jnp.full((batch,), frames, jnp.int32)
+    audio = jnp.asarray(
+        rs.randn(batch, frames * hop) * 0.1, jnp.float32)
+    rng = jax.random.PRNGKey(1)
+
+    state, metrics = step(state, (tok, spec, lengths, audio), rng)
+    sync(metrics['gen_loss'])
+    start = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, (tok, spec, lengths, audio),
+                              jax.random.fold_in(rng, i))
+    sync(metrics['gen_loss'])
+    el = (time.perf_counter() - start) / iters
+    audio_s = batch * frames * hop / 22050.
+    print('VITS GAN step B=%d L=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
+          'realtime-audio)' % (batch, tokens, frames, el * 1e3, 1. / el,
+                               audio_s / el))
+
+
+def bench_hifigan(batch, frames, iters):
+    """Full-size HiFi-GAN v1 adversarial step (MPD+MSD, mel+FM terms)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+    from text_to_speech_tpu.ops.stft import TacotronSTFT
+    from text_to_speech_tpu.train.gan import (
+        make_hifigan_train_step, init_hifigan_train_state, mel_fn_from_stft)
+    from text_to_speech_tpu.train.optimizers import get_optimizer
+
+    arch = HiFiGAN()
+    mel_stft = TacotronSTFT()
+    tx_g = get_optimizer('adamw', lr = 2e-4)
+    tx_d = get_optimizer('adamw', lr = 2e-4)
+    state = init_hifigan_train_state(arch, jax.random.PRNGKey(0), tx_g, tx_d)
+    step = make_hifigan_train_step(arch, tx_g, tx_d,
+                                   mel_fn_from_stft(mel_stft))
+
+    hop = arch.total_upsampling
+    rs = np.random.RandomState(0)
+    mel = jnp.asarray(rs.randn(batch, frames, 80), jnp.float32)
+    audio = jnp.asarray(rs.randn(batch, frames * hop) * 0.1, jnp.float32)
+
+    state, metrics = step(state, mel, audio)
+    sync(metrics['gen_loss'])
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, mel, audio)
+    sync(metrics['gen_loss'])
+    el = (time.perf_counter() - start) / iters
+    audio_s = batch * frames * hop / 22050.
+    print('HiFi-GAN GAN step B=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
+          'realtime-audio)' % (batch, frames, el * 1e3, 1. / el,
+                               audio_s / el))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default = 'both')
@@ -174,6 +254,13 @@ def main():
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters)
     if args.model in ('encoder', 'both'):
         bench_speaker_encoder(args.iters)
+    if args.model == 'vits':
+        # memory-heavy (posterior WN over T frames + GAN): small batch
+        bench_vits(max(args.batch // 4, 1), args.tokens // 2,
+                   args.frames // 2, args.iters)
+    if args.model == 'hifigan':
+        # GAN training windows are short in practice (8192-sample segments)
+        bench_hifigan(max(args.batch // 2, 1), 32, args.iters)
 
 
 if __name__ == '__main__':
