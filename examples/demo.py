@@ -158,6 +158,39 @@ def demo_serving():
     print('scheduler:', engine.scheduler_stats)
 
 
+def demo_vits():
+    """The end-to-end family: one parallel text→waveform program (no
+    vocoder), exact windowed streaming, and zero-shot cloning on it —
+    all beyond the reference's two-model pipelines."""
+    import time
+    from text_to_speech_tpu import tts, VITS, SV2TTSVITS
+    from text_to_speech_tpu.runtimes.serving import (
+        ContinuousServingEngine, make_vits_stepper)
+
+    model = VITS(lang = 'en', name = 'demo_vits')
+    out = tts('One program from text to waveform.', model = model,
+              save = False, min_duration = 6)[0]
+    print('one-shot: {:.2f}s of audio'.format(out.get('time', 0.)))
+
+    # incremental streaming: latent stage once, windowed HiFi-GAN decode
+    # (bit-exact vs the one-shot path), in-flight admission
+    chunks = []
+    stepper = make_vits_stepper(model, window = 64, min_duration = 6)
+    with ContinuousServingEngine(* stepper, max_batch_size = 4) as engine:
+        t0 = time.perf_counter()
+        res = engine.submit('Streaming starts before the utterance ends.',
+                            on_audio = chunks.append).result.get(timeout = 600)
+    print('streamed {} chunks; first audio after {:.0f} ms'.format(
+        len(chunks), 1000 * res.get('first_audio_s', 0.)))
+
+    # zero-shot cloning: the SV2TTS embedding machinery over the same model
+    cloner = SV2TTSVITS(lang = 'en', name = 'demo_sv2tts_vits',
+                        embedding_dim = 256)
+    cloner.set_default_embedding(np.random.randn(256).astype(np.float32))
+    out = cloner.infer('Cloned end to end.', max_trial = 1)
+    print('cloned: audio shape', np.shape(out.get('audio')))
+
+
 def demo_parallel():
     """Multi-chip scaling recipes on a virtual CPU mesh (dp / tp / pp / sp):
     the same code drives real TPU meshes.  Run with
@@ -208,5 +241,6 @@ if __name__ == '__main__':
         'train': demo_train,
         'clone': demo_clone,
         'serving': demo_serving,
+        'vits': demo_vits,
         'parallel': demo_parallel,
     }[mode]()

@@ -212,6 +212,36 @@ class TestVITSArch:
         assert a.dtype == np.float32 and np.all(np.isfinite(a))
         assert int(out.lengths[0]) >= 1
 
+    def test_sdp_sample_skips_first_conv_flow(self):
+        """Published sampling quirk: the reverse path drops ConvFlow_0
+        (trained but never sampled through) — its params must not affect
+        samples, while ConvFlow_1's must."""
+        arch = make_arch(use_sdp = True, sdp_filter_channels = 16,
+                         sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4)
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5, 6]])
+        h, _, _, valid = arch.encode_text(params, tokens)
+        rng = jax.random.PRNGKey(7)
+        base = np.asarray(arch.sdp_sample(params, h, valid, rng = rng))
+
+        def with_proj(flow_name, value):
+            p = jax.tree_util.tree_map(lambda x: x, params)
+            cf = dict(p['duration_predictor']['flows'][flow_name])
+            cf['proj'] = {'kernel': jnp.full_like(cf['proj']['kernel'], value),
+                          'bias': jnp.full_like(cf['proj']['bias'], value)}
+            flows = dict(p['duration_predictor']['flows'])
+            flows[flow_name] = cf
+            p['duration_predictor'] = {** p['duration_predictor'],
+                                       'flows': flows}
+            return p
+
+        skipped = np.asarray(arch.sdp_sample(
+            with_proj('conv_flow_0', 0.5), h, valid, rng = rng))
+        np.testing.assert_array_equal(skipped, base)
+        used = np.asarray(arch.sdp_sample(
+            with_proj('conv_flow_1', 0.5), h, valid, rng = rng))
+        assert not np.allclose(used, base)
+
     def test_relative_attention_window(self):
         """rel_k/rel_v terms are live (output differs from plain MHA on the
         same weights) and pad-invariant."""
@@ -601,7 +631,9 @@ class TestVITSImporter:
                          sdp_n_flows = 2, sdp_dds_layers = 2, sdp_n_bins = 4,
                          n_speakers = 3, gin_channels = 8)
         params, _ = arch.init(jax.random.PRNGKey(0))
-        del params['duration_cond']     # ours-only extra head (det. DP)
+        # init matches the official tree exactly (no stray duration_cond
+        # in SDP mode)
+        assert 'duration_cond' not in params
         sd = self._export(arch, params)
         got = convert_vits(sd)
         self._assert_trees_equal(got, params)
@@ -676,6 +708,34 @@ class TestVITSImporter:
                        rng = jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(a.audio), np.asarray(b.audio),
                                    atol = 1e-5)
+
+
+class TestVITSExport:
+    def test_export_runtime_roundtrip(self, tmp_path):
+        """The whole end-to-end text→waveform program serializes through
+        StableHLO (`jax.export`) and replays bit-identically — the VITS
+        counterpart of the reference's SavedModel/ONNX export path."""
+        from text_to_speech_tpu.runtimes import ExportRuntime, build_runtime
+
+        arch = make_arch()
+        params, _ = arch.init(jax.random.PRNGKey(0))
+        tokens = jnp.asarray([[3, 4, 5, 6, 7, 8]])
+        rng = jax.random.PRNGKey(2)
+
+        def fn(p, t, r):
+            out = arch.infer(p, {}, t, max_frames = 32, min_duration = 2,
+                             rng = r)
+            return out.audio, out.lengths
+
+        path = str(tmp_path / 'vits.stablehlo')
+        ExportRuntime.export_function(fn, (params, tokens, rng), path)
+        rt = build_runtime('export', path)
+        audio, lengths = rt(params, tokens, rng)
+        ref_audio, ref_lengths = fn(params, tokens, rng)
+        np.testing.assert_array_equal(np.asarray(lengths),
+                                      np.asarray(ref_lengths))
+        np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
+                                   atol = 1e-6)
 
 
 class TestSV2TTSVITS:

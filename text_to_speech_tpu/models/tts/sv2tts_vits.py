@@ -17,7 +17,6 @@ import numpy as np
 
 from .vits import VITS
 from .speaker_embedding_mixin import SpeakerEmbeddingMixin
-from ...utils import pad_batch
 
 logger = logging.getLogger(__name__)
 

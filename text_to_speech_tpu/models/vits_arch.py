@@ -14,9 +14,10 @@ decoder) is batched MXU work with static shapes; MAS itself is two
 House style: pytree params + pure stateless apply fns.  Reuses this repo's
 building blocks by composition —
 
-  - `transformers/attention.init_mha/mha` for the text-encoder blocks
-    (sinusoidal positions; the published model uses windowed relative
-    attention — an architectural variant, noted for importers);
+  - the text-encoder blocks implement the published windowed relative
+    attention (`text_rel_window`, heads-shared rel_k/rel_v, no absolute
+    positional term — importer-exact); `text_rel_window=None` falls back
+    to `transformers/attention.mha` with sinusoidal positions;
   - the HiFi-GAN generator + MPD/MSD discriminators and GAN loss statics
     (`models/hifigan_arch.py`) as the waveform decoder, with the VITS
     global-conditioning hook (`apply(..., cond = g)`);
@@ -282,8 +283,12 @@ class VITS:
         if self.uses_global_cond:
             params['generator_cond'] = nn.init_dense(
                 next(keys), hp.gin_channels, hp.upsample_initial_channel)
-            params['duration_cond'] = nn.init_dense(
-                next(keys), hp.gin_channels, hp.hidden_channels)
+            if not hp.use_sdp:
+                # the SDP carries its own 'cond' head; a deterministic-DP
+                # cond here would be dead weight (and an init-vs-imported
+                # tree-shape mismatch)
+                params['duration_cond'] = nn.init_dense(
+                    next(keys), hp.gin_channels, hp.hidden_channels)
         return params, {}
 
     def _init_duration_predictor(self, key):
@@ -379,9 +384,15 @@ class VITS:
         return x
 
     def _flow_stack(self, stack, z, mask, cond, *, reverse = False,
-                    train = False, rng = None, salt = 0):
+                    train = False, rng = None, salt = 0,
+                    skip_conv_flow_0 = False):
         """[ElementwiseAffine] + n × [spline ConvFlow, Flip] on (B, L, 2).
-        Returns (z, total logdet) (logdet is 0-filled when reversed)."""
+        Returns (z, total logdet) (logdet is 0-filled when reversed).
+
+        `skip_conv_flow_0` reproduces the published SDP inference quirk:
+        the torch reverse path drops the first ConvFlow
+        (``flows[:-2] + [flows[-1]]`` — trained but never sampled through),
+        keeping its Flip."""
         from ..nn.flows import rational_quadratic_spline
         hp = self.hp
         logdet = jnp.zeros(z.shape[:1], jnp.float32)
@@ -423,6 +434,8 @@ class VITS:
             for name in ('conv_flow_{}'.format(i), 'flip')]
         if reverse:
             steps = steps[::-1]
+        if skip_conv_flow_0:
+            steps = [s for s in steps if s != 'conv_flow_0']
         for si, name in enumerate(steps):
             if name == 'affine':
                 z, ld = affine(z, reverse)
@@ -463,9 +476,12 @@ class VITS:
         h_w = nn.conv1d(p['post_proj'], h_w) * mask
 
         e_q = jax.random.normal(k_noise, w.shape[:2] + (2,)) * mask
+        # salt 500: disjoint from the main flows' 360+10*si range (340
+        # would collide at 370/390/410 → identical dropout masks across
+        # the two stacks)
         z_q, logdet_q = self._flow_stack(
             p['post_flows'], e_q, mask, (x + h_w), train = train,
-            rng = k_drop, salt = 340)
+            rng = k_drop, salt = 500)
         z_u, z_aux = z_q[..., :1], z_q[..., 1:]
         u = jax.nn.sigmoid(z_u) * mask
         z0 = (w - u) * mask
@@ -506,7 +522,10 @@ class VITS:
         # the spline itself computes in f32 internally (see conv_flow)
         z = jax.random.normal(rng, mask.shape[:2] + (2,)).astype(h.dtype)
         z = z * jnp.asarray(noise_scale_w, h.dtype) * mask
-        z, _ = self._flow_stack(p['flows'], z, mask, x, reverse = True)
+        # skip_conv_flow_0: the published sampling path (trained flows
+        # minus the first ConvFlow) — importer-exact behavior
+        z, _ = self._flow_stack(p['flows'], z, mask, x, reverse = True,
+                                skip_conv_flow_0 = True)
         return z[..., 0].astype(jnp.float32) * token_mask.astype(jnp.float32)
 
     # -- shared blocks -------------------------------------------------------
@@ -608,8 +627,13 @@ class VITS:
 
         x = nn.embedding(params['embedding'], tokens) \
             * jnp.sqrt(float(hp.hidden_channels))
-        x = x + sinusoidal_embedding(hp.max_position,
-                                     hp.hidden_channels)[None, :L].astype(x.dtype)
+        if hp.text_rel_window is None:
+            # plain-MHA variant needs absolute positions; the published
+            # windowed-relative encoder has NO absolute positional term —
+            # adding one would feed imported official checkpoints
+            # out-of-distribution activations
+            x = x + sinusoidal_embedding(
+                hp.max_position, hp.hidden_channels)[None, :L].astype(x.dtype)
         x = self._dropout(x, hp.drop_rate, train, rng, 10)
         x = x * fmask.astype(x.dtype)
         for i in range(hp.n_text_layers):
@@ -846,14 +870,17 @@ class VITS:
         context frames (≥ the generator's receptive field) reproduces the
         full decode exactly on the interior — the basis of incremental
         VITS streaming."""
+        gen = params['generator']
         if dtype is not None:
-            params = jax.tree_util.tree_map(
+            # cast only the generator subtree (the rest of the model is
+            # not touched here)
+            gen = jax.tree_util.tree_map(
                 lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
-                params)
+                gen)
             z = z.astype(dtype)
             if cond is not None:
                 cond = cond.astype(dtype)
-        return self.generator.apply(params['generator'], z, cond = cond)
+        return self.generator.apply(gen, z, cond = cond)
 
     def infer(self, params, state, tokens, *, speaker_embedding = None,
               speaker_ids = None, max_frames = None, noise_scale = 0.667,
@@ -871,10 +898,7 @@ class VITS:
             noise_scale = noise_scale, noise_scale_w = noise_scale_w,
             d_control = d_control, min_duration = min_duration,
             dtype = dtype, rng = rng)
-        cast_params = (jax.tree_util.tree_map(
-            lambda p: p.astype(dtype) if p.dtype == jnp.float32 else p,
-            params)) if dtype is not None else params
-        audio = self.generator.apply(cast_params['generator'], z, cond = cond)
+        audio = self.decode_frames(params, z, cond, dtype = dtype)
 
         return VITSInferenceOutput(
             audio = audio.astype(jnp.float32),

@@ -409,6 +409,10 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
              # no row ever re-consumes a prenet-dropout key from an earlier
              # chunk regardless of how far along its batch-mates are
              'rng_off': 0}
+    # per-request identity for the device-batch cache: id(st) is unsafe
+    # (CPython reuses freed dict addresses, so a new request could inherit
+    # a finished one's rows) — a monotonic sequence number never is
+    seq = itertools.count()
 
     def start_fn(text, on_audio = None, ** kwargs):
         tokens = np.asarray(model.encode_text(text))[None, :]
@@ -418,7 +422,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         memory, pm, mask = encode_jit(
             model.params, model.state, jnp.asarray(tokens))
         return {
-            'text': text,
+            'text': text, '_seq': next(seq),
             'memory': memory[0], 'pm': pm[0], 'mask': mask[0],   # device rows
             'frames': [], 'steps': 0,
             'on_audio': on_audio, 'emitted': 0, 'audio_parts': [],
@@ -491,7 +495,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         old = {sid: i for i, sid in enumerate(batch['ids'])}
         rows_f, rows_c = [], []
         for st in states:
-            i = old.get(id(st))
+            i = old.get(st['_seq'])
             if i is not None:
                 rows_f.append(batch['frame'][i])
                 rows_c.append(_extract_cell(batch['cell'], i, batch['s'], s))
@@ -507,12 +511,12 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         batch['mem'] = jnp.stack([_pad_row(st['memory'], s) for st in states])
         batch['pm'] = jnp.stack([_pad_row(st['pm'], s) for st in states])
         batch['mask'] = jnp.stack([_pad_row(st['mask'], s) for st in states])
-        batch['ids'] = tuple(id(st) for st in states)
+        batch['ids'] = tuple(st['_seq'] for st in states)
         batch['s'] = s
 
     def step_fn(states):
         s = max(int(st['memory'].shape[0]) for st in states)
-        ids = tuple(id(st) for st in states)
+        ids = tuple(st['_seq'] for st in states)
         if ids != batch['ids'] or s != batch['s']:
             _rebuild(states, s)
 
@@ -608,6 +612,10 @@ def make_vits_stepper(model, *, window = 64, context = 16,
     # the active batch's stacked latents live on device between chunks;
     # restacked only when the active set changes (admission/removal)
     batch = {'ids': (), 'z': None, 'cond': None}
+    # monotonic per-request identity (id(st) is unsafe: CPython reuses
+    # freed dict addresses, so a new request could inherit a finished
+    # one's cached device rows)
+    seq = itertools.count()
 
     def start_fn(text, on_audio = None, rng = None, ** kwargs):
         tokens = np.asarray(model.encode_text(text))[None, :]
@@ -618,7 +626,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
         z, cond, lengths, _, _ = latent(model.params, jnp.asarray(tokens), rng)
         return {
-            'text': text,
+            'text': text, '_seq': next(seq),
             'z': z[0], 'cond': None if cond is None else cond[0],
             'length': max(1, int(lengths[0])),
             'emitted': 0, 'audio_parts': [], 'on_audio': on_audio,
@@ -626,7 +634,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
         }
 
     def step_fn(states):
-        ids = tuple(id(st) for st in states)
+        ids = tuple(st['_seq'] for st in states)
         if ids != batch['ids']:
             batch['z'] = jnp.stack([st['z'] for st in states])
             conds = [st['cond'] for st in states]
