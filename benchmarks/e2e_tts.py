@@ -23,9 +23,10 @@ def main():
     parser.add_argument('--int8-vocoder', action = 'store_true',
                         help = 'int8 fused-block WaveGlow serving path')
     parser.add_argument('--vocoder', default = 'waveglow',
-                        choices = ('waveglow', 'hifigan'),
+                        choices = ('waveglow', 'hifigan', 'vocos'),
                         help = 'hifigan: full-size v1 generator (~100x '
-                               'cheaper per audio-second)')
+                               'cheaper per audio-second); vocos: '
+                               'frame-rate ConvNeXt + iSTFT (~600x)')
     parser.add_argument('--synthesizer', default = 'tacotron2',
                         choices = ('tacotron2', 'fastspeech2', 'vits'),
                         help = 'fastspeech2: parallel (non-AR) text->mel — '
@@ -83,11 +84,15 @@ def main():
         model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
     if getattr(model, 'is_end_to_end', False):
         vocoder = None          # the facade resolves the model as its vocoder
-    elif args.vocoder == 'hifigan':
+    elif args.vocoder in ('hifigan', 'vocos'):
         if args.int8_vocoder:
             parser.error('--int8-vocoder applies to the WaveGlow path only')
-        from text_to_speech_tpu.models.tts import HiFiGAN
-        vocoder = HiFiGAN(name = 'bench_hifigan')
+        if args.vocoder == 'vocos':
+            from text_to_speech_tpu.models.tts import Vocos
+            vocoder = Vocos(name = 'bench_vocos')
+        else:
+            from text_to_speech_tpu.models.tts import HiFiGAN
+            vocoder = HiFiGAN(name = 'bench_hifigan')
     else:
         vocoder = WaveGlow(name = 'bench_waveglow')
         if args.int8_vocoder:

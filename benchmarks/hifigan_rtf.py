@@ -1,10 +1,12 @@
-"""HiFi-GAN vocoder real-time factor (one chip) — beyond-reference vocoder.
+"""HiFi-GAN / Vocos vocoder real-time factor (one chip) — beyond-reference
+vocoder families.
 
-Full-size v1 generator (~13 GFLOP / audio-second vs WaveGlow's ~1.45 TFLOP):
-expect RTF two orders of magnitude above WaveGlow's.
+Full-size HiFi-GAN v1 (~13 GFLOP / audio-second vs WaveGlow's ~1.45 TFLOP)
+or Vocos (~2.4 GFLOP/s, frame-rate-only ConvNeXt + iSTFT — no sample-rate
+convs at all).
 
-Usage: python benchmarks/hifigan_rtf.py [--batch 32] [--frames 256]
-       [--iters 6] [--dtype bfloat16|float32]
+Usage: python benchmarks/hifigan_rtf.py [--arch hifigan|vocos] [--batch 32]
+       [--frames 256] [--iters 6] [--dtype bfloat16|float32]
 
 Note (axon tunnel): run ONE TPU process at a time; timing is synchronized by
 a scalar device→host transfer (block_until_ready can silently no-op).
@@ -24,13 +26,18 @@ def main():
     parser.add_argument('--frames', type = int, default = 256)
     parser.add_argument('--iters', type = int, default = 6)
     parser.add_argument('--dtype', default = 'bfloat16')
+    parser.add_argument('--arch', default = 'hifigan',
+                        choices = ('hifigan', 'vocos'))
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
-
-    arch = HiFiGAN()                                       # full-size v1
+    if args.arch == 'vocos':
+        from text_to_speech_tpu.models.vocos_arch import Vocos
+        arch = Vocos()                                     # full-size
+    else:
+        from text_to_speech_tpu.models.hifigan_arch import HiFiGAN
+        arch = HiFiGAN()                                   # full-size v1
     params = arch.init(jax.random.PRNGKey(0))
     mel = jax.random.normal(jax.random.PRNGKey(1),
                             (args.batch, args.frames, 80)) * 2. - 6.
@@ -46,8 +53,8 @@ def main():
     elapsed = time.perf_counter() - start
 
     audio_s = args.iters * args.batch * args.frames * 256 / 22050.
-    print('batch={} frames={} dtype={}'.format(
-        args.batch, args.frames, args.dtype))
+    print('arch={} batch={} frames={} dtype={}'.format(
+        args.arch, args.batch, args.frames, args.dtype))
     print('{:.2f}s for {:.1f}s audio -> {:.1f}x real-time'.format(
         elapsed, audio_s, audio_s / elapsed))
 

@@ -29,7 +29,7 @@ def get_pretrained(* args, ** kwargs):
 
 def __getattr__(name):
     if name in ('Tacotron2', 'SV2TTSTacotron2', 'WaveGlow', 'FastSpeech2',
-                'VITS', 'SV2TTSVITS', 'HiFiGAN'):
+                'VITS', 'SV2TTSVITS', 'HiFiGAN', 'Vocos'):
         from . import models
         from .models import tts as tts_module
         return getattr(tts_module, name)

@@ -43,6 +43,8 @@ def _register_builtins():
     register_architecture('waveglow', WaveGlow)
     from .hifigan_arch import HiFiGAN
     register_architecture('hifigan', HiFiGAN)
+    from .vocos_arch import Vocos
+    register_architecture('vocos', Vocos)
     from .fastspeech2_arch import FastSpeech2
     register_architecture('fastspeech2', FastSpeech2)
     from .vits_arch import VITS

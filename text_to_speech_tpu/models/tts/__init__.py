@@ -14,6 +14,7 @@ from .vits import VITS
 from .sv2tts_vits import SV2TTSVITS
 from .waveglow import WaveGlow
 from .hifigan import HiFiGAN
+from .vocos import Vocos
 
 logger = logging.getLogger(__name__)
 

@@ -490,6 +490,59 @@ def vits_config_from_state_dict(sd):
     return config
 
 
+def convert_vocos(sd):
+    """Official torch Vocos state_dict (``backbone.convnext`` layout,
+    e.g. the published mel-spectrogram release) → params tree matching
+    ``models.vocos_arch.Vocos``."""
+    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+
+    def norm(prefix):
+        return {'gamma': np.asarray(sd[prefix + '.weight']).reshape(-1),
+                'beta': np.asarray(sd[prefix + '.bias']).reshape(-1)}
+
+    params = {
+        'embed': _conv(sd, 'backbone.embed'),
+        'norm_pre': norm('backbone.norm'),
+        'norm_post': norm('backbone.final_layer_norm'),
+        'head': _dense(sd, 'head.out'),
+    }
+    n_layers = _count(sd, r'backbone\.convnext\.(\d+)\.')
+    for i in range(n_layers):
+        p = 'backbone.convnext.{}'.format(i)
+        params['block_{}'.format(i)] = {
+            'depthwise': _conv(sd, p + '.dwconv'),
+            'norm': norm(p + '.norm'),
+            'pw1': _dense(sd, p + '.pwconv1'),
+            'pw2': _dense(sd, p + '.pwconv2'),
+            'gamma': np.asarray(sd[p + '.gamma']).reshape(-1),
+        }
+    return params
+
+
+def vocos_config_from_state_dict(sd):
+    """Shape-derivable ``HParamsVocos`` fields from an official Vocos
+    state dict (hop_length is a front-end fact — pass it if != 256)."""
+    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    shp = lambda k: tuple(np.shape(sd[k]))
+    dim, n_mels, kernel = shp('backbone.embed.weight')
+    return {
+        'dim': dim,
+        'n_mel_channels': n_mels,
+        'kernel_size': kernel,
+        'n_layers': _count(sd, r'backbone\.convnext\.(\d+)\.'),
+        'intermediate_dim': shp('backbone.convnext.0.pwconv1.weight')[0],
+        'n_fft': shp('head.out.weight')[0] - 2,
+    }
+
+
+def load_vocos(path_or_sd):
+    """Load a published torch Vocos checkpoint → params tree for
+    ``models.vocos_arch.Vocos``."""
+    sd = _load_state_dict(path_or_sd)
+    sd = remove_torch_weight_norm(sd)
+    return convert_vocos(sd)
+
+
 def remove_torch_weight_norm(sd):
     """Fold torch weight-norm (weight_g/weight_v) pairs back into plain
     weights (the published WaveGlow checkpoint ships weight-normed)."""

@@ -178,9 +178,20 @@ class STFT:
         )
         batch, n_frames, flen = frames.shape
         out_len = (n_frames - 1) * self.hop_length + flen
-        audio = jnp.zeros((batch, out_len))
-        for i in range(n_frames):      # n_frames is static under jit
-            audio = audio.at[:, i * self.hop_length: i * self.hop_length + flen].add(frames[:, i])
+        if flen % self.hop_length == 0:
+            # overlap-add as k = flen/hop shifted adds (k is 4 for the
+            # standard 75% overlap) instead of one add per frame: frame f's
+            # j-th hop-sized piece lands at output slot f + j
+            k = flen // self.hop_length
+            pieces = frames.reshape(batch, n_frames, k, self.hop_length)
+            slots = jnp.zeros((batch, n_frames + k - 1, self.hop_length))
+            for j in range(k):
+                slots = slots.at[:, j: j + n_frames].add(pieces[:, :, j])
+            audio = slots.reshape(batch, out_len)
+        else:
+            audio = jnp.zeros((batch, out_len))
+            for i in range(n_frames):      # n_frames is static under jit
+                audio = audio.at[:, i * self.hop_length: i * self.hop_length + flen].add(frames[:, i])
         pad = self.filter_length // 2
         return audio[:, pad: -pad]
 
