@@ -92,9 +92,15 @@ def main():
     rng = random.Random(args.seed)
     with engine:
         # warm every token bucket the load will hit (compile outside the
-        # measurement; serving replays compiled programs)
+        # measurement; serving replays compiled programs), then a full
+        # concurrent wave so each pow2 BATCH bucket compiles too (the
+        # active set shrinks through 8→4→2→1 as the wave drains)
         for text in sorted(set(TEXTS), key = len):
             engine.infer(text, timeout = 600)
+        wave = [engine.submit(TEXTS[i % len(TEXTS)])
+                for i in range(args.max_batch)]
+        for r in wave:
+            r.result.get(timeout = 600)
         engine.stats['latencies'].clear()
 
         t0 = time.perf_counter()

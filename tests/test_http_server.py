@@ -220,6 +220,31 @@ def vits_server(tmp_path, monkeypatch):
     reset_instances()
 
 
+def test_serve_facade(tmp_path, monkeypatch):
+    """`text_to_speech_tpu.serve(model=..., block=False)` resolves the
+    model, builds the right stepper and returns a live server."""
+    monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+    reset_instances()
+    from text_to_speech_tpu.models.tts import VITS, serve
+    from text_to_speech_tpu.ops.stft import TacotronSTFT
+    mel_fn = TacotronSTFT(sampling_rate = 8000, hop_length = 8,
+                          filter_length = 16, win_length = 16)
+    model = VITS(lang = 'en', name = 'serve_vits', mel_fn = mel_fn,
+                 ** TINY_VITS)
+    server = serve(model = model, port = 0, block = False, window = 16,
+                   context = 4, token_multiple = 8, min_duration = 2)
+    try:
+        host, port = server._httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout = 120)
+        resp = _post(conn, '/tts', {'text': 'served'})
+        assert resp.status == 200
+        rate, _, _, _, pcm = parse_wav(resp.read())
+        assert rate == model.rate and len(pcm) > 0
+    finally:
+        server.stop()
+        reset_instances()
+
+
 def test_vits_over_http(vits_server):
     model, conn = vits_server
     resp = _post(conn, '/tts', {'text': 'hello world'})

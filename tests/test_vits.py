@@ -839,6 +839,36 @@ class TestVITSStreaming:
         np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
         assert 'first_audio_s' in out
 
+    def test_non_pow2_batch_is_exact(self, model_root):
+        """3 concurrent streams (pads to the 4-bucket): every request's
+        stream still bit-matches its own one-shot decode — pad rows are
+        compute-only and never reach results."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('stream_vits_b3')
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3)
+
+        texts = ['first stream', 'the second longer stream here',
+                 'third']
+        rngs = [jax.random.PRNGKey(11 + i) for i in range(3)]
+        states = [start_fn(t, rng = r) for t, r in zip(texts, rngs)]
+        outs = [None] * 3
+        while any(o is None for o in outs):
+            done_i = [i for i, o in enumerate(outs) if o is None]
+            live = [states[i] for i in done_i]
+            live, done = step_fn(live)
+            for j, i in enumerate(done_i):
+                states[i] = live[j]
+                if done[j]:
+                    outs[i] = finish_fn(live[j])
+
+        for text, rng, out in zip(texts, rngs, outs):
+            full, n = self._full_audio(model, text, rng)
+            assert out['frames'] == n
+            np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+
     def test_windowed_decode_speaker_conditioned(self, model_root):
         """The cond path (generator global conditioning) streams exactly
         like the unconditioned one."""

@@ -81,3 +81,41 @@ def stream(stream_input, *, model = None, lang = None, vocoder = None,
     """Interactive / pipelined streaming synthesis over a queue or iterator."""
     model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
     return model.stream(stream_input, vocoder = vocoder, play = play, ** kwargs)
+
+
+def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
+          port = 8700, max_batch_size = 8, block = True, window = 64,
+          chunk = 64, ** stepper_kwargs):
+    """Serve a model over HTTP with continuous (in-flight) batching.
+
+    Resolves (synthesizer, vocoder) like `tts()`, builds the matching
+    stepper (`make_vits_stepper` for end-to-end models,
+    `make_tacotron_stepper(stream_audio=True)` for AR synthesizers — both
+    support the streaming endpoint), and starts
+    `runtimes.http_server.TTSServer`.  ``block=False`` returns the started
+    server (daemon thread) for programmatic use / tests."""
+    from ...runtimes.serving import (
+        ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
+    from ...runtimes.http_server import TTSServer
+
+    model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
+    if getattr(model, 'is_end_to_end', False):
+        stepper = make_vits_stepper(model, window = window,
+                                    ** stepper_kwargs)
+    else:
+        stepper = make_tacotron_stepper(
+            model, chunk = chunk, vocoder = vocoder, stream_audio = True,
+            ** stepper_kwargs)
+    engine = ContinuousServingEngine(* stepper,
+                                     max_batch_size = max_batch_size)
+    server = TTSServer(engine, rate = model.rate, host = host, port = port,
+                       name = model.name)
+    if not block:
+        return server.start()
+    logger.info('serving %s on %s', model.name, server.address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()

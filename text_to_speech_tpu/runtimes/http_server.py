@@ -205,6 +205,22 @@ class _Handler(BaseHTTPRequestHandler):
         logger.debug('%s - %s', self.address_string(), fmt % args)
 
 
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def handle_error(self, request, client_address):
+        # clients dropping keep-alive connections is normal operation, not
+        # an error worth a stderr traceback (socketserver's default)
+        import sys
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (ConnectionError, TimeoutError)):
+            logger.debug('connection from %s closed: %s',
+                         client_address, exc)
+        else:
+            logger.exception('error handling request from %s',
+                             client_address)
+
+
 class TTSServer:
     """HTTP wrapper around a serving engine.
 
@@ -225,8 +241,7 @@ class TTSServer:
             self.extract_audio = extract_audio
         self._requests = {}
         self._lock = threading.Lock()
-        self._httpd = ThreadingHTTPServer((host, port), _Handler)
-        self._httpd.daemon_threads = True
+        self._httpd = _Server((host, port), _Handler)
         self._httpd.tts = self
         self._thread = None
 

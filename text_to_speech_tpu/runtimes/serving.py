@@ -335,6 +335,21 @@ class ContinuousServingEngine(_SchedulerMixin):
                 self._finish(request, output)
 
 
+def _pow2(n):
+    """Next power of two ≥ n.  The steppers pad the ACTIVE BATCH dimension
+    to pow2 buckets so the jitted chunk programs trace at most
+    log2(max_batch)+1 batch shapes; without it every distinct active-set
+    size compiles a fresh program, and under a live load that is a compile
+    storm (measured: p50 latency 32 s at 8 req/s before bucketing).  Pad
+    rows duplicate row 0 — valid compute, no NaN-prone empty masks — and
+    exist only inside the stacked device batch; per-request results index
+    real rows only."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                           max_steps = None, vocoder = None,
                           stream_audio = False, stream_context = 32,
@@ -491,7 +506,9 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     def _rebuild(states, s):
         """Restack the device batch (admission / removal / re-bucket):
         surviving rows carry their post-step frame/cell out of the old
-        stack; new rows start from zeros.  Event-rate cost only."""
+        stack; new rows start from zeros.  Event-rate cost only.  The
+        batch dim pads to a pow2 bucket (`_pow2`) with copies of row 0 —
+        decode programs trace per bucket, not per active-set size."""
         old = {sid: i for i, sid in enumerate(batch['ids'])}
         rows_f, rows_c = [], []
         for st in states:
@@ -504,13 +521,19 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                 one = arch.init_cell_state(1, s)
                 rows_c.append(jax.tree_util.tree_map(
                     lambda leaf: leaf[0], one))
+        n_pad = _pow2(len(states)) - len(states)
+        rows_f += rows_f[:1] * n_pad
+        rows_c += rows_c[:1] * n_pad
+        mems = [_pad_row(st['memory'], s) for st in states]
+        pms = [_pad_row(st['pm'], s) for st in states]
+        masks = [_pad_row(st['mask'], s) for st in states]
         batch['frame'] = jnp.stack([
             r.astype(jnp.float32) for r in rows_f])
         batch['cell'] = jax.tree_util.tree_map(
             lambda * rows: jnp.stack(rows), * rows_c)
-        batch['mem'] = jnp.stack([_pad_row(st['memory'], s) for st in states])
-        batch['pm'] = jnp.stack([_pad_row(st['pm'], s) for st in states])
-        batch['mask'] = jnp.stack([_pad_row(st['mask'], s) for st in states])
+        batch['mem'] = jnp.stack(mems + mems[:1] * n_pad)
+        batch['pm'] = jnp.stack(pms + pms[:1] * n_pad)
+        batch['mask'] = jnp.stack(masks + masks[:1] * n_pad)
         batch['ids'] = tuple(st['_seq'] for st in states)
         batch['s'] = s
 
@@ -636,9 +659,17 @@ def make_vits_stepper(model, *, window = 64, context = 16,
     def step_fn(states):
         ids = tuple(st['_seq'] for st in states)
         if ids != batch['ids']:
-            batch['z'] = jnp.stack([st['z'] for st in states])
+            # batch dim pads to a pow2 bucket with copies of row 0 so the
+            # decode program traces per bucket, not per active-set size
+            rows = [st['z'] for st in states]
+            rows += rows[:1] * (_pow2(len(rows)) - len(rows))
+            batch['z'] = jnp.stack(rows)
             conds = [st['cond'] for st in states]
-            batch['cond'] = None if conds[0] is None else jnp.stack(conds)
+            if conds[0] is None:
+                batch['cond'] = None
+            else:
+                conds += conds[:1] * (batch['z'].shape[0] - len(conds))
+                batch['cond'] = jnp.stack(conds)
             batch['ids'] = ids
 
         starts, offs, counts = [], [], []
@@ -648,6 +679,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             starts.append(s0)
             offs.append(e - s0)
             counts.append(max(1, min(window, st['length'] - e)))
+        starts += starts[:1] * (batch['z'].shape[0] - len(starts))
         starts = jnp.asarray(starts, jnp.int32)
         if batch['cond'] is None:
             audio = decode_nocond(model.params, batch['z'], starts)
