@@ -19,7 +19,8 @@ the property the synthetic gate could not cover.
 
 Usage:
     python benchmarks/int8_trained_snr.py [--steps 500] [--batch 4]
-        [--frames 64] [--iters-report 50] [--out /tmp/int8_trained]
+        [--frames 64] [--gate-frames 8192] [--lr 1e-4] [--small]
+        [--out /tmp/int8_trained]
 
 On 1x v5e the default (500 steps, B=4 x 64 frames) takes ~3-4 minutes.
 Prints one JSON line with the trained-weight SNRs (int8 and bf16 paths)
@@ -52,7 +53,8 @@ def load_utterance(rate_out = 22050, max_seconds = 8.0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--steps', type = int, default = 500)
+    parser.add_argument('--steps', type = int, default = 500,
+                        help = 'NLL training steps (>= 1)')
     parser.add_argument('--batch', type = int, default = 4)
     parser.add_argument('--frames', type = int, default = 64,
                         help = 'mel frames per training segment '
@@ -67,6 +69,8 @@ def main():
                                'fused kernels need 512 ch so this only '
                                'exercises the training/gate plumbing')
     args = parser.parse_args()
+    if args.steps < 1:
+        parser.error('--steps must be >= 1 (the gate needs trained weights)')
 
     import numpy as np
     import jax

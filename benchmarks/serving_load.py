@@ -32,6 +32,8 @@ import time
 import random
 import argparse
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 
 TEXTS = [
@@ -47,9 +49,7 @@ TEXTS = [
 
 def percentile(values, q):
     if not values: return float('nan')
-    values = sorted(values)
-    idx = min(len(values) - 1, int(round(q / 100. * (len(values) - 1))))
-    return values[idx]
+    return float(np.percentile(values, q))
 
 
 def main():

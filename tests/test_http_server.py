@@ -83,6 +83,7 @@ class FakeEngine:
     def submit(self, inputs, ** kwargs):
         request = FakeRequest(inputs, kwargs)
         self.stats['requests'] += 1
+        self.last_kwargs = kwargs
         self.pending.append(request)
         return request
 
@@ -193,6 +194,108 @@ def test_streaming_chunks_fake(fake_server):
     rate, _, _, size, pcm = parse_wav(data)
     assert rate == 8000 and size > 2 ** 31  # streaming header
     assert np.allclose(pcm / 32767., audio, atol = 2e-4)
+
+
+def test_keep_alive_survives_404_with_body(fake_server):
+    """An unknown-path POST must drain its body, or the next request on
+    the same keep-alive connection parses the leftover bytes as a request
+    line (desync)."""
+    _, _, conn = fake_server
+    resp = _post(conn, '/nope', {'text': 'a body that must be drained'})
+    assert resp.status == 404
+    resp.read()
+    conn.request('GET', '/health')           # same connection
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert json.loads(resp.read())['status'] == 'ok'
+
+
+def test_stream_query_is_parsed_not_substring_matched(fake_server):
+    """?upstream=1 / ?stream=0 are oneshot; only a truthy 'stream' key
+    streams.  The 'stream' body key must not leak into engine kwargs."""
+    engine, server, conn = fake_server
+    for path in ('/tts?upstream=1', '/tts?stream=0'):
+        done = threading.Thread(
+            target = lambda: (_wait_pending(engine), engine.release()))
+        done.start()
+        resp = _post(conn, path, {'text': 'hello'})
+        done.join()
+        assert resp.status == 200
+        assert resp.getheader('Transfer-Encoding') is None
+        assert 'stream' not in engine.last_kwargs
+        assert 'on_audio' not in engine.last_kwargs
+        resp.read()
+    done = threading.Thread(
+        target = lambda: (_wait_pending(engine), engine.release()))
+    done.start()
+    resp = _post(conn, '/tts?stream=1', {'text': 'hi', 'stream': 1})
+    done.join()
+    assert resp.getheader('Transfer-Encoding') == 'chunked'
+    assert 'stream' not in engine.last_kwargs   # popped, not forwarded
+    assert 'on_audio' in engine.last_kwargs
+    resp.read()
+
+
+def test_failed_stream_truncates_without_inline_500(fake_server):
+    """A request failing mid-stream must truncate the chunked body (no
+    terminating chunk, connection closed) — NOT write a 500 response into
+    the middle of it."""
+    engine, server, conn = fake_server
+
+    def fail():
+        _wait_pending(engine)
+        request = engine.pending.pop(0)
+        request.result.set_exception(RuntimeError('decode failed'))
+
+    t = threading.Thread(target = fail)
+    t.start()
+    resp = _post(conn, '/tts?stream=1', {'text': 'hello'})
+    t.join()
+    assert resp.status == 200                   # headers were already out
+    with pytest.raises(http.client.IncompleteRead) as exc:
+        resp.read()
+    got = exc.value.partial
+    assert b'HTTP/1.1 500' not in got and b'error' not in got
+
+
+def test_oneshot_timeout_aborts_engine_request():
+    """A request that exceeds the server timeout returns 500 AND aborts
+    engine-side so the slot frees (no orphaned decode)."""
+    engine = FakeEngine()
+    server = TTSServer(engine, rate = 8000, port = 0, timeout = 0.2)
+    with server:
+        host, port = server._httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout = 20)
+        resp = _post(conn, '/tts', {'text': 'never finishes'})
+        assert resp.status == 500
+        resp.read()
+        assert engine.pending[0].aborted.is_set()
+        engine.pending.clear()
+
+
+def test_client_disconnect_aborts_stream():
+    """A streaming client dropping the socket mid-utterance aborts the
+    engine request at the next emitted chunk (frees the TPU slot)."""
+    engine = FakeEngine()
+    server = TTSServer(engine, rate = 8000, port = 0, timeout = 20.)
+    with server:
+        host, port = server._httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout = 20)
+        conn.request('POST', '/tts?stream=1',
+                     body = json.dumps({'text': 'long utterance'}),
+                     headers = {'Content-Type': 'application/json'})
+        _wait_pending(engine)
+        request = engine.pending[0]
+        conn.close()                           # client gives up
+        # keep emitting chunks (result NOT set): the handler's writes hit
+        # the dead socket and it must abort the request
+        deadline = time.time() + 10
+        while not request.aborted.is_set():
+            assert time.time() < deadline, 'disconnect never aborted'
+            on_audio = request.kwargs.get('on_audio')
+            on_audio(np.zeros(32, np.float32))
+            time.sleep(0.02)
+        engine.pending.clear()
 
 
 # -- real model over real sockets ---------------------------------------------

@@ -329,6 +329,65 @@ class TestBucketShrink:
             out_b['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
         reset_instances()
 
+    def test_non_pow2_batch_is_exact(self, tmp_path, monkeypatch):
+        """3 concurrent decodes (pads to the 4-bucket), one admitted
+        mid-flight: every request's mel still matches its own one-shot
+        decode — the tacotron stepper's pad rows (frames, stacked cell
+        trees, memory, processed memory, masks) are compute-only and never
+        reach results."""
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2
+        from text_to_speech_tpu.runtimes.serving import make_tacotron_stepper
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'pow2_taco',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1          # run to max_steps
+
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 8,
+            deterministic = True)
+
+        # different token buckets: 'test' → 8, the long ones → 16/24+
+        texts = ['hello world this is a long one', 'test',
+                 'and a third stream joining the batch mid flight']
+        states = [start_fn(texts[0]), start_fn(texts[1])]
+        states, done = step_fn(states)              # batch 2 (pow2) first
+        assert not any(done)
+        states.append(start_fn(texts[2]))           # now 3 → pads to 4
+        outs = [None] * 3
+        while any(o is None for o in outs):
+            live_i = [i for i, o in enumerate(outs) if o is None]
+            live, done = step_fn([states[i] for i in live_i])
+            for j, i in enumerate(live_i):
+                states[i] = live[j]
+                if done[j]:
+                    outs[i] = finish_fn(live[j])
+
+        for text, out in zip(texts, outs):
+            assert out['steps'] == 8
+            tokens = np.asarray(model.encode_text(text))[None, :]
+            s = -(-tokens.shape[1] // 8) * 8
+            tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                            constant_values = model.blank_token_idx)
+            ref = model.arch.infer(
+                model.params, model.state, jnp.asarray(tokens),
+                deterministic = True, early_stopping = False,
+                max_length = 8)
+            np.testing.assert_allclose(
+                out['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
+        reset_instances()
+
 
 class TestStreamingAudio:
     def test_incremental_audio_stream(self, tmp_path, monkeypatch):

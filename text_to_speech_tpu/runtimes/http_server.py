@@ -14,7 +14,9 @@ beyond the standard library:
                               whose start_fn accepts ``on_audio``, e.g.
                               `make_vits_stepper` /
                               `make_tacotron_stepper(stream_audio=True)`)
-    DELETE /requests/<id>     → abort (only effective while queued)
+    DELETE /requests/<id>     → abort (while queued on either engine; the
+                              continuous engine also drops an in-flight
+                              request at its next decode chunk boundary)
     GET  /health              → liveness + model name
     GET  /stats               → engine + scheduler-core counters
 
@@ -40,6 +42,7 @@ import struct
 import logging
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
 
 import numpy as np
 
@@ -135,6 +138,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         path, _, query = self.path.partition('?')
         if path not in ('/tts', '/tts/'):
+            # drain the body so the next request on this keep-alive
+            # connection starts at a request line, not mid-payload
+            length = int(self.headers.get('Content-Length') or 0)
+            if length: self.rfile.read(length)
             return self._error(404, 'unknown path {}'.format(path))
         try:
             payload = self._read_request()
@@ -142,28 +149,55 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, str(e))
         except Exception:
             return self._error(400, 'invalid JSON body')
-        stream = 'stream=1' in query or payload.pop('stream', False)
+        stream = bool(payload.pop('stream', False))
+        q_stream = parse_qs(query).get('stream')
+        if q_stream is not None:
+            stream = stream or q_stream[-1].lower() not in ('', '0', 'false')
+        self._request = None
+        self._response_started = False
         try:
             if stream:
                 self._stream_tts(payload)
             else:
                 self._oneshot_tts(payload)
-        except BrokenPipeError:
-            pass                      # client went away mid-response
+        except ConnectionError:
+            # client went away mid-response: free the engine slot
+            self._abort_active()
+            self.close_connection = True
         except Exception as e:
             logger.exception('tts request failed')
+            self._abort_active()
+            if self._response_started:
+                # headers (and part of a chunked body) are already out —
+                # truncate and drop the connection; writing a 500 here
+                # would corrupt the chunked stream and any pipelined
+                # request behind it
+                self.close_connection = True
+            else:
+                try:
+                    self._error(500, str(e))
+                except Exception:
+                    pass
+
+    def _abort_active(self):
+        """Abort the in-flight engine request of a dead/failed connection
+        (the continuous engine drops it at the next chunk boundary)."""
+        request = getattr(self, '_request', None)
+        if request is not None and not request.result.done():
             try:
-                self._error(500, str(e))
+                request.abort()
             except Exception:
-                pass
+                logger.exception('abort failed')
 
     def _oneshot_tts(self, payload):
         srv = self.server.tts
         text = payload.pop('text')
         request = srv.submit(text, payload)
+        self._request = request
         output = request.result.get(timeout = srv.timeout)
         audio, rate = srv.extract_audio(output)
         body = encode_wav(audio, rate)
+        self._response_started = True
         self.send_response(200)
         self.send_header('Content-Type', 'audio/wav')
         self.send_header('Content-Length', str(len(body)))
@@ -177,6 +211,8 @@ class _Handler(BaseHTTPRequestHandler):
         chunks = queue.Queue()
         request = srv.submit(text, payload,
                              on_audio = lambda part: chunks.put(part))
+        self._request = request
+        self._response_started = True
         self.send_response(200)
         self.send_header('Content-Type', 'audio/wav')
         self.send_header('Transfer-Encoding', 'chunked')
