@@ -63,6 +63,10 @@ def main():
     parser.add_argument('--window', type = int, default = 64,
                         help = 'decode window frames (vits) / chunk (tacotron2)')
     parser.add_argument('--seed', type = int, default = 0)
+    parser.add_argument('--stream', action = 'store_true',
+                        help = 'submit streaming requests (per-request '
+                               'on_audio) and report time-to-first-audio '
+                               'percentiles under load')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -83,21 +87,25 @@ def main():
         vocoder.quantize_for_serving()
         rate_hz = 22050
         start_fn, step_fn, finish_fn = make_tacotron_stepper(
-            model, chunk = args.window, vocoder = vocoder)
+            model, chunk = args.window, vocoder = vocoder,
+            stream_audio = args.stream)
 
     engine = ContinuousServingEngine(
         start_fn, step_fn, finish_fn, max_batch_size = args.max_batch,
         name = 'load-bench')
 
     rng = random.Random(args.seed)
+    # streaming requests attach a sink callback so the steppers emit (and
+    # timestamp) incremental audio; oneshot requests decode whole
+    sub_kwargs = {'on_audio': (lambda part: None)} if args.stream else {}
     with engine:
         # warm every token bucket the load will hit (compile outside the
         # measurement; serving replays compiled programs), then a full
         # concurrent wave so each pow2 BATCH bucket compiles too (the
         # active set shrinks through 8→4→2→1 as the wave drains)
         for text in sorted(set(TEXTS), key = len):
-            engine.infer(text, timeout = 600)
-        wave = [engine.submit(TEXTS[i % len(TEXTS)])
+            engine.infer(text, timeout = 600, ** sub_kwargs)
+        wave = [engine.submit(TEXTS[i % len(TEXTS)], ** sub_kwargs)
                 for i in range(args.max_batch)]
         for r in wave:
             r.result.get(timeout = 600)
@@ -106,7 +114,8 @@ def main():
         t0 = time.perf_counter()
         requests = []
         for i in range(args.requests):
-            requests.append(engine.submit(TEXTS[i % len(TEXTS)]))
+            requests.append(engine.submit(TEXTS[i % len(TEXTS)],
+                                          ** sub_kwargs))
             if args.rate > 0:
                 time.sleep(rng.expovariate(args.rate))
         outputs = [r.result.get(timeout = 600) for r in requests]
@@ -123,6 +132,7 @@ def main():
         'value': round(args.requests / elapsed, 2),
         'unit': 'requests/s',
         'offered_rate': args.rate,
+        'stream': bool(args.stream),
         'max_batch': args.max_batch,
         'requests': args.requests,
         'elapsed_s': round(elapsed, 2),
@@ -135,6 +145,7 @@ def main():
     }
     if first_audio:
         result['first_audio_p50_s'] = round(percentile(first_audio, 50), 3)
+        result['first_audio_p95_s'] = round(percentile(first_audio, 95), 3)
     print(json.dumps(result))
 
 
