@@ -38,6 +38,9 @@ def main():
     parser.add_argument('--context', type = int, default = 16)
     parser.add_argument('--batch', type = int, default = 8)
     parser.add_argument('--iters', type = int, default = 20)
+    parser.add_argument('--int16', action = 'store_true',
+                        help = 'on-device int16 PCM quantization before '
+                               'the per-chunk d2h transfer (4x fewer bytes)')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -49,8 +52,13 @@ def main():
     from text_to_speech_tpu.runtimes.serving import make_vits_stepper
 
     model = VITS(lang = 'en', name = 'bench_vits')
+    td = 'int16' if args.int16 else 'float32'
     start_fn, step_fn, finish_fn = make_vits_stepper(
-        model, window = args.window, context = args.context)
+        model, window = args.window, context = args.context,
+        transfer_dtype = td)
+    start_np, step_np, _ = make_vits_stepper(
+        model, window = args.window, context = args.context,
+        pipeline = False, transfer_dtype = td)
 
     text = ('It was the best of times, it was the worst of times, it was '
             'the age of wisdom, it was the age of foolishness.')
@@ -62,15 +70,25 @@ def main():
         st = start_fn(text)
     latent_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
-    # -- steady-state chunk (stable active set, no restack) ----------------
-    states = [start_fn(text) for _ in range(args.batch)]
-    states, _ = step_fn(states)                       # compile + restack
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        for s in states:
-            s['emitted'] = 1                          # never finish
-        states, _ = step_fn(states)
-    steady_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    def _steady(step):
+        # steady-state chunk: stable active set, no restack
+        states = [start_fn(text) for _ in range(args.batch)]
+        states, _ = step(states)                      # compile + restack
+        states, _ = step(states)                      # fill the pipeline
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            for s in states:
+                s['emitted'] = 1                      # never finish
+                s['audio_parts'].clear()
+            states, _ = step(states)
+        return (time.perf_counter() - t0) / args.iters * 1e3, states
+
+    # interleaved A/B so tunnel drift hits both modes equally
+    s1, states = _steady(step_fn)
+    n1, _ = _steady(step_np)
+    s2, _ = _steady(step_fn)
+    n2, _ = _steady(step_np)
+    steady_ms, steady_nopipe_ms = min(s1, s2), min(n1, n2)
 
     # -- churn chunk (active set changes every step → restack) -------------
     spare = start_fn(text)
@@ -82,15 +100,19 @@ def main():
         states, _ = step_fn(states)
     churn_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
-    # -- the d2h payload alone ---------------------------------------------
-    span = args.window + 2 * args.context
-    payload = jnp.zeros((args.batch, span * model.arch.upsample_rate),
-                        jnp.float32) + 1.
-    np.asarray(payload)
+    # -- the d2h payload alone (the stepper's on-device window gather makes
+    # it window*rate per row).  DISTINCT arrays per iteration: np.asarray
+    # on the same jax.Array returns its cached host copy after the first
+    # transfer, which silently measures nothing.
+    base = jnp.zeros((args.batch, args.window * model.arch.upsample_rate),
+                     jnp.int16 if args.int16 else jnp.float32)
+    payloads = [base + i for i in range(args.iters)]
+    float(payloads[-1][0, 0])                         # all computed
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        np.asarray(payload)
+    for p in payloads:
+        np.asarray(p)
     fetch_ms = (time.perf_counter() - t0) / args.iters * 1e3
+    span = args.window + 2 * args.context
 
     # -- decode program device time (scalar-transfer barrier) --------------
     z = jnp.stack([states[i]['z'] for i in range(args.batch)])
@@ -110,10 +132,12 @@ def main():
         model.arch.upsample_rate / float(model.rate)
     print(json.dumps({
         'metric': 'vits_stepper_profile',
+        'transfer_dtype': td,
         'window': args.window, 'context': args.context,
         'batch': args.batch, 'iters': args.iters,
         'latent_ms': round(latent_ms, 2),
         'steady_ms': round(steady_ms, 2),
+        'steady_nopipe_ms': round(steady_nopipe_ms, 2),
         'churn_ms': round(churn_ms, 2),
         'fetch_ms': round(fetch_ms, 2),
         'device_ms': round(device_ms, 2),

@@ -903,6 +903,73 @@ class TestVITSStreaming:
             np.asarray(full.audio)[0, : n * model.arch.upsample_rate],
             atol = 1e-5)
 
+    def test_pipelined_delivery_is_identical(self, model_root):
+        """pipeline=True (dispatch chunk k before fetching chunk k-1) must
+        be invisible in the results: bit-identical per-request audio and
+        on_audio chunk sequence vs pipeline=False, including a mid-stream
+        admission (the fresh-row eager bypass) and the finish_fn tail
+        flush."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('stream_vits_pipe')
+        text_a = 'the first rather long utterance to stream'
+        text_b = 'second stream'
+        results = {}
+        for pipeline in (False, True):
+            start_fn, step_fn, finish_fn = make_vits_stepper(
+                model, window = 16, context = 12, token_multiple = 8,
+                max_frames = 64, min_duration = 3, pipeline = pipeline)
+            chunks = []
+            a = start_fn(text_a, on_audio = chunks.append,
+                         rng = jax.random.PRNGKey(7))
+            states, outs, b = [a], {}, None
+            for _ in range(64):
+                states, done = step_fn(states)
+                nxt = []
+                for st, d in zip(states, done):
+                    if d:
+                        outs['a' if st is a else 'b'] = finish_fn(st)
+                    else:
+                        nxt.append(st)
+                if b is None:               # admit mid-stream: fresh row
+                    b = start_fn(text_b, rng = jax.random.PRNGKey(8))
+                    nxt.append(b)
+                states = nxt
+                if len(outs) == 2:
+                    break
+            assert len(outs) == 2
+            results[pipeline] = (outs, np.concatenate(chunks))
+
+        for key in ('a', 'b'):
+            np.testing.assert_array_equal(results[True][0][key]['audio'],
+                                          results[False][0][key]['audio'])
+            assert 'first_audio_s' in results[True][0][key]
+        np.testing.assert_array_equal(results[True][1], results[False][1])
+
+    def test_int16_transfer_mode(self, model_root):
+        """transfer_dtype='int16' (on-device PCM quantization, 4x fewer
+        d2h bytes) reconstructs the stream within 16-bit quantization of
+        the exact one (1/32767 per sample)."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('stream_vits_i16')
+        rng = jax.random.PRNGKey(5)
+        outs = {}
+        for td in ('float32', 'int16'):
+            start_fn, step_fn, finish_fn = make_vits_stepper(
+                model, window = 16, context = 12, token_multiple = 8,
+                max_frames = 64, min_duration = 3, transfer_dtype = td)
+            st = start_fn('sixteen bit transfer', rng = rng)
+            states, done = [st], [False]
+            while not done[0]:
+                states, done = step_fn(states)
+            outs[td] = finish_fn(states[0])
+        assert outs['int16']['audio'].dtype == np.float32
+        assert outs['int16']['frames'] == outs['float32']['frames']
+        np.testing.assert_allclose(outs['int16']['audio'],
+                                   np.clip(outs['float32']['audio'], -1, 1),
+                                   atol = 1.01 / 32767)
+
     def test_inflight_admission_engine(self, model_root):
         """A request admitted mid-stream completes and both results match
         their independent one-shot decodes (batching never changes per-row

@@ -454,32 +454,53 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                            jnp.asarray(padded[None]))
         return decoder_output + np.asarray(post)[0, :n]
 
-    def _emit(st, final):
-        """Vocode and hand out the mel frames completed since last emission
-        (left context covers the postnet/WaveGlow receptive fields; a
-        lookahead margin is held back until it has future context)."""
+    def _emit_window(st, final):
+        """The (state, lo, hi) emission job for this chunk, or None (not
+        streaming / not enough new frames yet).  [lo, hi) is the mel window
+        to vocode: left context covers the postnet/vocoder receptive
+        fields; a lookahead margin is held back until it has future
+        context."""
         if not stream_audio:
-            return
+            return None
         hi = st['steps'] if final else st['steps'] - stream_lookahead
         if hi <= st['emitted'] or (not final and hi - st['emitted'] < chunk):
+            return None
+        return (st, max(0, st['emitted'] - stream_context), hi)
+
+    def _emit_batch(jobs):
+        """Vocode and hand out the completed mel frames for ALL emitting
+        rows in ONE postnet + ONE vocoder call: rows pad to a shared
+        ×chunk length bucket and a pow2 batch bucket (zero-pad + slice is
+        exact for the SAME-padded conv stacks, and bucketing bounds the
+        number of traced programs).  Per-row calls would cost
+        O(active streams) device round-trips per chunk — ruinous over a
+        remote transport."""
+        if not jobs:
             return
-        dec = np.concatenate(st['frames'], axis = 0)
-        lo = max(0, st['emitted'] - stream_context)
-        mel = _postnet_mel(dec[lo: hi])
-        audio = np.asarray(vocoder(mel))
-        if audio.ndim == 2:
-            audio = audio[0]
         rate = getattr(vocoder, 'upsample_rate', 256)
-        part = audio[(st['emitted'] - lo) * rate: (hi - lo) * rate]
-        st['audio_parts'].append(part)
-        st['emitted'] = hi
-        if st['t_first_audio'] is None:
-            st['t_first_audio'] = time.perf_counter()
-        if st['on_audio'] is not None:
-            try:
-                st['on_audio'](part)
-            except Exception:
-                logger.exception('on_audio callback failed')
+        mels = [np.concatenate(st['frames'], axis = 0)[lo: hi]
+                for st, lo, hi in jobs]
+        b = -(-max(m.shape[0] for m in mels) // chunk) * chunk
+        stack = [np.pad(m, ((0, b - m.shape[0]), (0, 0))) for m in mels]
+        stack += stack[:1] * (_pow2(len(stack)) - len(stack))
+        dec = np.stack(stack)
+        post = np.asarray(postnet_jit(model.params, model.state,
+                                      jnp.asarray(dec)))
+        audio = np.asarray(vocoder(dec + post))
+        if audio.ndim == 1:
+            audio = audio[None]
+        now = time.perf_counter()
+        for j, (st, lo, hi) in enumerate(jobs):
+            part = audio[j, (st['emitted'] - lo) * rate: (hi - lo) * rate]
+            st['audio_parts'].append(part)
+            st['emitted'] = hi
+            if st['t_first_audio'] is None:
+                st['t_first_audio'] = now
+            if st['on_audio'] is not None:
+                try:
+                    st['on_audio'](part)
+                except Exception:
+                    logger.exception('on_audio callback failed')
 
     def _pad_row(arr, s):
         pad = s - arr.shape[0]
@@ -554,7 +575,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         frames_h = np.asarray(frames)        # one bulk d2h per chunk
         gates_h = np.asarray(gates)
 
-        new_states, done = [], []
+        new_states, done, jobs = [], [], []
         for i, st in enumerate(states):
             fired = np.nonzero(gates_h[i] > threshold)[0]
             keep = int(fired[0]) + 1 if fired.size else chunk
@@ -562,9 +583,12 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
             st['steps'] += keep
             is_done = bool(fired.size) or st['steps'] >= limit
             if not is_done:
-                _emit(st, final = False)
+                job = _emit_window(st, final = False)
+                if job is not None:
+                    jobs.append(job)
             new_states.append(st)
             done.append(is_done)
+        _emit_batch(jobs)
         return new_states, done
 
     def finish_fn(st):
@@ -572,7 +596,9 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         mel = _postnet_mel(decoder_output)
         result = {'text': st['text'], 'mel': mel, 'steps': st['steps']}
         if stream_audio:
-            _emit(st, final = True)
+            job = _emit_window(st, final = True)
+            if job is not None:
+                _emit_batch([job])
             result['audio'] = np.concatenate(st['audio_parts']) \
                 if st['audio_parts'] else np.zeros((0,), np.float32)
             result['rate'] = model.rate
@@ -589,7 +615,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
 
 def make_vits_stepper(model, *, window = 64, context = 16,
                       token_multiple = 64, max_frames = None,
-                      dtype = None, ** infer_kwargs):
+                      dtype = None, pipeline = True,
+                      transfer_dtype = 'float32', ** infer_kwargs):
     """(start_fn, step_fn, finish_fn) driving a `VITS` task model through
     WINDOWED waveform decode — incremental streaming for the end-to-end
     family.
@@ -608,13 +635,33 @@ def make_vits_stepper(model, *, window = 64, context = 16,
 
     The reference has no streaming below whole text chunks
     (``/root/reference/models/tts/tacotron2.py:103-209``); this is the VITS
-    counterpart of `make_tacotron_stepper(stream_audio=True)`."""
+    counterpart of `make_tacotron_stepper(stream_audio=True)`.
+
+    ``pipeline=True`` (default) SOFTWARE-PIPELINES the chunk loop: chunk
+    k's decode is dispatched (async, XLA queues it) BEFORE chunk k-1's
+    audio is fetched, so the device computes k while the host drains
+    k-1's device->host transfer.  Without it every chunk serializes
+    dispatch -> compute -> fetch (two tunnel round-trips; measured 81.9 ms
+    steady vs 40.3 ms device time at B=8 W=64,
+    benchmarks/profile_vits_stepper.py).  Delivery of a chunk's audio
+    (``audio_parts`` / ``on_audio`` / done flags' TIMING — the flags
+    themselves are length-derived and exact) lags one chunk behind its
+    compute; freshly admitted requests bypass the lag so time-to-first-
+    audio is unchanged, and ``finish_fn`` flushes the tail, so the
+    concatenated stream is bit-identical either way.
+
+    ``transfer_dtype='int16'`` quantizes each chunk to 16-bit PCM ON
+    DEVICE before the device->host transfer (4x fewer bytes; delivered
+    parts are reconstructed float32, max abs error 1/32767 ~ 3e-5 — the
+    same quantization a WAV container applies anyway).  Worth it when the
+    link to the device is transfer-bound, e.g. a tunneled remote chip."""
     import jax
     import jax.numpy as jnp
 
     arch = model.arch
     rate = arch.upsample_rate
     max_frames = max_frames or arch.hp.max_frames
+    quantize = np.dtype(transfer_dtype) == np.int16
     span = window + 2 * context
     if max_frames < span:
         raise ValueError('max_frames ({}) < window + 2*context ({})'.format(
@@ -624,17 +671,58 @@ def make_vits_stepper(model, *, window = 64, context = 16,
         p, tokens, rng = rng, max_frames = max_frames, dtype = dtype,
         ** infer_kwargs))
 
-    def _decode(p, z_stack, starts, cond_stack):
+    def _decode(p, z_stack, starts, dev_offs, cond_stack):
         win = jax.vmap(lambda z, s: jax.lax.dynamic_slice(
             z, (s, 0), (span, z.shape[-1])))(z_stack, starts)
-        return arch.decode_frames(p, win, cond_stack, dtype = dtype)
+        audio = arch.decode_frames(p, win, cond_stack, dtype = dtype)
+        # gather each row's emitted window ON DEVICE so the per-chunk
+        # device->host transfer carries window*rate samples, not the full
+        # span*rate (context frames are compute-only) — 1/3 fewer bytes at
+        # the default 64+2*16, and the win over a remote transport is
+        # proportional (the tunnel is transfer-bound, not compute-bound)
+        out = jax.vmap(lambda row, o: jax.lax.dynamic_slice(
+            row, (o * rate,), (window * rate,)))(audio, dev_offs)
+        if quantize:
+            out = jnp.round(jnp.clip(out, -1., 1.) * 32767.) \
+                .astype(jnp.int16)
+        return out
 
     decode_cond = jax.jit(_decode)
-    decode_nocond = jax.jit(lambda p, z, s: _decode(p, z, s, None))
+    decode_nocond = jax.jit(lambda p, z, s, o: _decode(p, z, s, o, None))
 
     # the active batch's stacked latents live on device between chunks;
     # restacked only when the active set changes (admission/removal)
     batch = {'ids': (), 'z': None, 'cond': None}
+    # one in-flight chunk awaiting its device->host fetch (pipeline mode):
+    # 'audio' is the un-fetched device array, 'deliveries' the
+    # (state, row, frame_offset, frame_count) tuples it maps to
+    pending = {'audio': None, 'deliveries': ()}
+
+    def _deliver(st, part):
+        st['audio_parts'].append(part)
+        if st['t_first_audio'] is None:
+            st['t_first_audio'] = time.perf_counter()
+        if st['on_audio'] is not None:
+            try:
+                st['on_audio'](part)
+            except Exception:
+                logger.exception('on_audio callback failed')
+
+    def _fetch_parts(audio, deliveries):
+        audio_h = np.asarray(audio) if quantize \
+            else np.asarray(audio, np.float32)
+        for st, row, off, count in deliveries:
+            part = audio_h[row, off * rate: (off + count) * rate]
+            if quantize:
+                part = part.astype(np.float32) / 32767.
+            _deliver(st, part)
+
+    def _flush():
+        if pending['audio'] is None:
+            return
+        audio, deliveries = pending['audio'], pending['deliveries']
+        pending['audio'], pending['deliveries'] = None, ()
+        _fetch_parts(audio, deliveries)
     # monotonic per-request identity (id(st) is unsafe: CPython reuses
     # freed dict addresses, so a new request could inherit a finished
     # one's cached device rows)
@@ -672,38 +760,49 @@ def make_vits_stepper(model, *, window = 64, context = 16,
                 batch['cond'] = jnp.stack(conds)
             batch['ids'] = ids
 
-        starts, offs, counts = [], [], []
+        starts, dev, offs, counts = [], [], [], []
         for st in states:
             e = st['emitted']
             s0 = min(max(e - context, 0), max_frames - span)
             starts.append(s0)
-            offs.append(e - s0)
+            # device-gather start within the span; its window*rate slice
+            # must stay in bounds, so clamp to span-window — the residual
+            # (only ever nonzero for the clamped tail of a max_frames-long
+            # request) becomes the host-side delivery offset
+            dev.append(min(e - s0, span - window))
+            offs.append((e - s0) - dev[-1])
             counts.append(max(1, min(window, st['length'] - e)))
-        starts += starts[:1] * (batch['z'].shape[0] - len(starts))
-        starts = jnp.asarray(starts, jnp.int32)
+        n_pad = batch['z'].shape[0] - len(starts)
+        dev_offs = jnp.asarray(dev + dev[:1] * n_pad, jnp.int32)
+        starts = jnp.asarray(starts + starts[:1] * n_pad, jnp.int32)
+        fresh = any(st['emitted'] == 0 for st in states)
         if batch['cond'] is None:
-            audio = decode_nocond(model.params, batch['z'], starts)
+            audio = decode_nocond(model.params, batch['z'], starts, dev_offs)
         else:
-            audio = decode_cond(model.params, batch['z'], starts,
+            audio = decode_cond(model.params, batch['z'], starts, dev_offs,
                                 batch['cond'])
-        audio_h = np.asarray(audio, np.float32)    # one bulk d2h per chunk
+        # the new chunk is now queued on device; fetching the PREVIOUS
+        # chunk here overlaps its d2h transfer with this chunk's compute
+        _flush()
 
         done = []
         for i, st in enumerate(states):
-            part = audio_h[i, offs[i] * rate: (offs[i] + counts[i]) * rate]
-            st['audio_parts'].append(part)
             st['emitted'] += counts[i]
-            if st['t_first_audio'] is None:
-                st['t_first_audio'] = time.perf_counter()
-            if st['on_audio'] is not None:
-                try:
-                    st['on_audio'](part)
-                except Exception:
-                    logger.exception('on_audio callback failed')
             done.append(st['emitted'] >= st['length'])
+        deliveries = tuple((st, i, offs[i], counts[i])
+                           for i, st in enumerate(states))
+        if pipeline and not fresh:
+            pending['audio'] = audio
+            pending['deliveries'] = deliveries
+        else:
+            # eager path: first chunk of a fresh request (keeps
+            # time-to-first-audio at one window) or pipeline disabled
+            _fetch_parts(audio, deliveries)
         return states, done
 
     def finish_fn(st):
+        if any(d[0] is st for d in pending['deliveries']):
+            _flush()                       # the tail chunk is still pending
         audio = np.concatenate(st['audio_parts']) if st['audio_parts'] \
             else np.zeros((0,), np.float32)
         result = {'text': st['text'], 'audio': audio[: st['length'] * rate],
