@@ -5,7 +5,8 @@ import pytest
 
 from text_to_speech_tpu.train.history import History
 from text_to_speech_tpu.train.checkpoint import (
-    CheckpointManager, flatten_tree, unflatten_tree, save_tree, load_tree,
+    CheckpointManager, AsyncCheckpointSaver,
+    flatten_tree, unflatten_tree, save_tree, load_tree,
 )
 from text_to_speech_tpu.utils.callbacks import (
     JSONSaver, SpectrogramSaver, FunctionCallback, apply_callbacks,
@@ -86,6 +87,59 @@ class TestCheckpointManager:
         mgr.save({'params': {'w': np.ones(1)}}, 7)
         mgr2 = CheckpointManager(str(tmp_path))
         assert mgr2.latest_epoch == 7
+
+
+class TestAsyncCheckpointSaver:
+    def test_background_save_matches_sync(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path), max_to_keep = 2)
+        saver = AsyncCheckpointSaver(mgr)
+        trees = {
+            'params': {'w': jax.numpy.arange(6.).reshape(2, 3)},
+            'state': {'s': np.full(3, 7.)},
+        }
+        saver.save(trees, 1, metric = 2.5)
+        saver.save({'params': {'w': jax.numpy.ones((2, 3))}}, 2, metric = 1.0)
+        saver.close()
+        assert mgr.latest_epoch == 2
+        assert mgr.best_epoch == 2
+        rec = mgr.load(epoch = 1)
+        np.testing.assert_allclose(rec['params']['w'], np.arange(6.).reshape(2, 3))
+        np.testing.assert_allclose(rec['state']['s'], np.full(3, 7.))
+
+    def test_background_error_surfaces_on_next_call(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path))
+        saver = AsyncCheckpointSaver(mgr)
+
+        class Boom:
+            def __array__(self, dtype = None):
+                raise RuntimeError('boom')
+
+        saver.save({'params': {'w': Boom()}}, 1)
+        with pytest.raises(RuntimeError, match = 'boom'):
+            saver.wait_until_finished()
+        # a later save still works
+        saver.save({'params': {'w': np.ones(2)}}, 2)
+        saver.close()
+        assert mgr.latest_epoch == 2
+
+    def test_fit_async_checkpointing_end_to_end(self, tmp_path):
+        # the trainer path: async per-epoch save produces loadable rotating
+        # checkpoints identical in layout to the sync path
+        mgr = CheckpointManager(str(tmp_path / 'async'))
+        saver = AsyncCheckpointSaver(mgr)
+        for epoch in range(1, 4):
+            saver.save({'params': {'w': np.full(2, float(epoch))}}, epoch,
+                       metric = float(4 - epoch))
+        saver.close()
+        sync = CheckpointManager(str(tmp_path / 'sync'))
+        for epoch in range(1, 4):
+            sync.save({'params': {'w': np.full(2, float(epoch))}}, epoch,
+                      metric = float(4 - epoch))
+        assert [c['epoch'] for c in mgr.checkpoints] \
+            == [c['epoch'] for c in sync.checkpoints]
+        assert mgr.best_epoch == sync.best_epoch == 3
+        np.testing.assert_array_equal(
+            mgr.load()['params']['w'], sync.load()['params']['w'])
 
 
 class TestCallbacks:

@@ -74,6 +74,69 @@ def load_tree(filename, as_jax = False):
     return unflatten_tree(flat)
 
 
+# -- async writer ---------------------------------------------------------------
+
+class AsyncCheckpointSaver:
+    """Non-blocking checkpoint writes over a :class:`CheckpointManager`.
+
+    ``save()`` snapshots the (immutable) device arrays, starts the
+    device→host transfers immediately (``copy_to_host_async``) and defers the
+    ``.npz`` write + manifest rotation to a single background thread, so the
+    training loop keeps dispatching while the previous epoch's checkpoint
+    drains to disk — the TPU-native analog of orbax's async checkpointing
+    (the reference blocks the loop for the full save at
+    ``/root/reference/custom_train_objects/checkpoint_manager.py:148``).
+
+    At most one save is in flight: a new ``save()`` (and
+    ``wait_until_finished``) first joins the previous one, re-raising any
+    background error there.
+    """
+
+    def __init__(self, manager):
+        import concurrent.futures
+        self.manager = manager
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers = 1, thread_name_prefix = 'ckpt-writer')
+        self._future = None
+
+    def save(self, trees, epoch, *, metric = None, is_best = None):
+        self.wait_until_finished()
+        snap = {}
+        for name, tree in trees.items():
+            leaves = {}
+            for k, v in flatten_tree(tree).items():
+                if hasattr(v, 'copy_to_host_async'):
+                    # device-side copy first: the caller's buffer is typically
+                    # DONATED to the next train step, which deletes it before
+                    # the background fetch runs; the copy is ours alone
+                    import jax.numpy as jnp
+                    v = jnp.copy(v)
+                    try:
+                        v.copy_to_host_async()
+                    except Exception:
+                        pass    # harmless: fetched synchronously in _write
+                leaves[k] = v
+            snap[name] = leaves
+        self._future = self._pool.submit(self._write, snap, epoch, metric, is_best)
+
+    def _write(self, flat, epoch, metric, is_best):
+        host = {
+            name: unflatten_tree({k: _to_host(v) for k, v in leaves.items()})
+            for name, leaves in flat.items()
+        }
+        return self.manager.save(host, epoch, metric = metric, is_best = is_best)
+
+    def wait_until_finished(self):
+        """Barrier: join the in-flight save (if any) and surface its error."""
+        future, self._future = self._future, None
+        if future is not None:
+            return future.result()
+
+    def close(self):
+        self.wait_until_finished()
+        self._pool.shutdown(wait = True)
+
+
 # -- manager ------------------------------------------------------------------
 
 class CheckpointManager:

@@ -219,12 +219,16 @@ def fit(model,
         frame_multiple = 64,
         seed = 0,
         verbose = True,
+        async_checkpointing = True,
         ** kwargs
        ):
     """Train `model` on `data` (rows consumable by `model.prepare_data`).
 
     Resumes from `model.epochs`; saves a rotating checkpoint per epoch; the
     best (by `monitor` on valid, else train) is tracked by the manager.
+    With `async_checkpointing` (default) the per-epoch weight save runs on a
+    background writer thread (`AsyncCheckpointSaver`) so the next epoch's
+    dispatch is not blocked by the device→host fetch + disk write.
     """
     import jax
     from .datasets import prepare_dataset, train_test_split
@@ -306,6 +310,11 @@ def fit(model,
     best_value, patience_left = None, early_stopping_patience
     interrupted = False
 
+    saver = None
+    if async_checkpointing and getattr(model, 'ckpt_manager', None) is not None:
+        from .checkpoint import AsyncCheckpointSaver
+        saver = AsyncCheckpointSaver(model.ckpt_manager)
+
     try:
         for epoch in range(initial_epoch, initial_epoch + epochs):
             history.on_epoch_begin(epoch)
@@ -386,7 +395,15 @@ def fit(model,
             monitor_key = 'val_' + monitor if valid_ds is not None else monitor
             value = epoch_metrics.get(monitor_key, epoch_metrics.get(monitor))
             model.set_weights(params, state)
-            model.save(epoch = epoch + 1, metric = value)
+            if saver is not None:
+                # config/history write stays synchronous (cheap JSON); the
+                # weight fetch + npz write drains on the background thread
+                model.save(save_weights = False)
+                trees = {'params': params}
+                if state: trees['state'] = state
+                saver.save(trees, epoch + 1, metric = value)
+            else:
+                model.save(epoch = epoch + 1, metric = value)
 
             if early_stopping_patience:
                 if best_value is None or (value is not None and value < best_value):
@@ -402,6 +419,8 @@ def fit(model,
     except FloatingPointError:
         interrupted = True
 
+    if saver is not None:
+        saver.close()
     model.set_weights(params, state)
     if interrupted:
         model.save(epoch = model.epochs, metric = None)
