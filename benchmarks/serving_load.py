@@ -67,6 +67,11 @@ def main():
                         help = 'submit streaming requests (per-request '
                                'on_audio) and report time-to-first-audio '
                                'percentiles under load')
+    parser.add_argument('--transfer-dtype', default = 'int16',
+                        choices = ('int16', 'float32'),
+                        help = 'device->host chunk transfer dtype for the '
+                               'vits stepper (int16 = 4x fewer bytes, '
+                               'matches the serve() default)')
     args = parser.parse_args()
 
     os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
@@ -79,7 +84,8 @@ def main():
         model = VITS(lang = 'en', name = 'bench_vits')
         rate_hz = model.rate
         start_fn, step_fn, finish_fn = make_vits_stepper(
-            model, window = args.window, min_duration = 6)
+            model, window = args.window, min_duration = 6,
+            transfer_dtype = args.transfer_dtype)
     else:
         from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
         model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
@@ -98,17 +104,10 @@ def main():
     # streaming requests attach a sink callback so the steppers emit (and
     # timestamp) incremental audio; oneshot requests decode whole
     sub_kwargs = {'on_audio': (lambda part: None)} if args.stream else {}
+    # compile outside the measurement: every token bucket the load will
+    # hit x every pow2 batch bucket, through the engine's warmup API
+    warmup_s = engine.warmup(sorted(set(TEXTS), key = len), ** sub_kwargs)
     with engine:
-        # warm every token bucket the load will hit (compile outside the
-        # measurement; serving replays compiled programs), then a full
-        # concurrent wave so each pow2 BATCH bucket compiles too (the
-        # active set shrinks through 8→4→2→1 as the wave drains)
-        for text in sorted(set(TEXTS), key = len):
-            engine.infer(text, timeout = 600, ** sub_kwargs)
-        wave = [engine.submit(TEXTS[i % len(TEXTS)], ** sub_kwargs)
-                for i in range(args.max_batch)]
-        for r in wave:
-            r.result.get(timeout = 600)
         engine.stats['latencies'].clear()
 
         t0 = time.perf_counter()
@@ -133,6 +132,8 @@ def main():
         'unit': 'requests/s',
         'offered_rate': args.rate,
         'stream': bool(args.stream),
+        'transfer_dtype': args.transfer_dtype if args.model == 'vits' else None,
+        'warmup_s': round(warmup_s, 2),
         'max_batch': args.max_batch,
         'requests': args.requests,
         'elapsed_s': round(elapsed, 2),

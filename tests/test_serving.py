@@ -223,6 +223,53 @@ class TestContinuousServingEngine:
         assert min_rows[0] >= 1
 
 
+class TestWarmup:
+    def test_batch_engine_traces_pow2_buckets(self):
+        seen = []
+
+        def batch_fn(items):
+            seen.append(len(items))
+            return [i for i in items]
+
+        engine = ServingEngine(batch_fn, max_batch_size = 8)
+        elapsed = engine.warmup('x')
+        assert seen == [1, 2, 4, 8]
+        assert elapsed >= 0.
+        with engine:
+            with pytest.raises(RuntimeError):
+                engine.warmup('x')
+
+    def test_continuous_engine_runs_buckets_to_completion(self):
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        step_batches, finished = [], []
+
+        def start_fn(n_chunks):
+            return {'remaining': n_chunks}
+
+        def step_fn(states):
+            step_batches.append(len(states))
+            out = [dict(st, remaining = st['remaining'] - 1) for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        def finish_fn(st):
+            finished.append(st['remaining'])
+            return st
+
+        engine = ContinuousServingEngine(start_fn, step_fn, finish_fn,
+                                         max_batch_size = 4)
+        engine.warmup(3)
+        # every pow2 bucket stepped (3 chunks each) and finished
+        assert sorted(set(step_batches)) == [1, 2, 4]
+        assert len(finished) == 1 + 2 + 4
+        assert all(r == 0 for r in finished)
+        with engine:
+            with pytest.raises(RuntimeError):
+                engine.warmup(1)
+        # warmup requests never touch the scheduler/stats
+        assert engine.stats['requests'] == 0
+
+
 class TestContinuousTacotron:
     def test_chunked_decode_matches_infer(self, tmp_path, monkeypatch):
         """The serving stepper's chunked decode path is numerically the

@@ -869,6 +869,29 @@ class TestVITSStreaming:
             assert out['frames'] == n
             np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
 
+    def test_warmup_then_live_request_exact(self, model_root):
+        """`engine.warmup` precompiles every batch bucket through the real
+        stepper; live requests after it still bit-match the one-shot
+        decode (warmup leaves no stale device caches behind)."""
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_vits_stepper)
+
+        model = make_model('warm_vits')
+        stepper = make_vits_stepper(model, window = 16, context = 12,
+                                    token_multiple = 8, max_frames = 64,
+                                    min_duration = 3)
+        engine = ContinuousServingEngine(* stepper, max_batch_size = 4)
+        elapsed = engine.warmup('warm me up', rng = jax.random.PRNGKey(0))
+        assert elapsed > 0.
+
+        rng = jax.random.PRNGKey(5)
+        with engine:
+            out = engine.infer('hello world streaming', rng = rng,
+                               timeout = 120)
+        full, n = self._full_audio(model, 'hello world streaming', rng)
+        assert out['frames'] == n
+        np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+
     def test_windowed_decode_speaker_conditioned(self, model_root):
         """The cond path (generator global conditioning) streams exactly
         like the unconditioned one."""

@@ -85,7 +85,7 @@ def stream(stream_input, *, model = None, lang = None, vocoder = None,
 
 def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
           port = 8700, max_batch_size = 8, block = True, window = 64,
-          chunk = 64, ** stepper_kwargs):
+          chunk = 64, warmup = None, ** stepper_kwargs):
     """Serve a model over HTTP with continuous (in-flight) batching.
 
     Resolves (synthesizer, vocoder) like `tts()`, builds the matching
@@ -93,13 +93,22 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
     `make_tacotron_stepper(stream_audio=True)` for AR synthesizers — both
     support the streaming endpoint), and starts
     `runtimes.http_server.TTSServer`.  ``block=False`` returns the started
-    server (daemon thread) for programmatic use / tests."""
+    server (daemon thread) for programmatic use / tests.
+
+    ``warmup``: a text (or list of texts covering the expected length
+    buckets) precompiled through the engine at every batch bucket BEFORE
+    the server accepts traffic (`ContinuousServingEngine.warmup`), so the
+    first live requests don't pay XLA compiles."""
     from ...runtimes.serving import (
         ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
     from ...runtimes.http_server import TTSServer
 
     model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
     if getattr(model, 'is_end_to_end', False):
+        # int16 chunk transfer by default: the HTTP layer re-encodes to
+        # 16-bit PCM anyway, so the 4x-smaller device->host fetch is free
+        # (measured 54.4 -> 35.9 ms/chunk steady at B=8 on a tunneled v5e)
+        stepper_kwargs.setdefault('transfer_dtype', 'int16')
         stepper = make_vits_stepper(model, window = window,
                                     ** stepper_kwargs)
     else:
@@ -108,6 +117,9 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
             ** stepper_kwargs)
     engine = ContinuousServingEngine(* stepper,
                                      max_batch_size = max_batch_size)
+    if warmup is not None:
+        elapsed = engine.warmup(warmup)
+        logger.info('engine warmup took %.1fs', elapsed)
     server = TTSServer(engine, rate = model.rate, host = host, port = port,
                        name = model.name)
     if not block:

@@ -162,6 +162,23 @@ class ServingEngine(_SchedulerMixin):
         """Blocking convenience wrapper."""
         return self.submit(inputs, ** kwargs).result.get(timeout = timeout)
 
+    def warmup(self, sample_inputs, *, batch_sizes = None):
+        """Precompile `batch_fn` at representative batch sizes (default:
+        pow2 buckets up to `max_batch_size`) before accepting traffic, so
+        the first live requests do not pay XLA compiles.  Call BEFORE
+        `start()`.  Returns elapsed seconds."""
+        if self._running.is_set():
+            raise RuntimeError('warmup() must run before start()')
+        if not isinstance(sample_inputs, (list, tuple)):
+            sample_inputs = [sample_inputs]
+        if batch_sizes is None:
+            batch_sizes = _pow2_buckets(self.max_batch_size)
+        t0 = time.perf_counter()
+        for sample in sample_inputs:
+            for b in batch_sizes:
+                self.batch_fn([sample] * b)
+        return time.perf_counter() - t0
+
     # -- engine loop -----------------------------------------------------------
 
     def _collect_batch(self):
@@ -263,6 +280,38 @@ class ContinuousServingEngine(_SchedulerMixin):
     def infer(self, inputs, *, timeout = None, ** kwargs):
         return self.submit(inputs, ** kwargs).result.get(timeout = timeout)
 
+    def warmup(self, sample_inputs, *, batch_sizes = None, max_chunks = 1000,
+               ** kwargs):
+        """Precompile the chunk programs before accepting traffic: traces
+        `start_fn`/`step_fn` at every pow2 active-batch bucket (and
+        `finish_fn` once per bucket), so the first live requests do not pay
+        XLA compiles — measured cold, the first load run's p99 latency was
+        2.6x the warm one (benchmarks/serving_load.py, 1xv5e).
+
+        Call BEFORE `start()`.  `sample_inputs` should cover the
+        input-length buckets expected live (e.g. a short and a long text —
+        the steppers pad tokens to `token_multiple`, so each distinct
+        padded length is its own program).  Each bucket's batch runs to
+        completion (no extra compiles, keeps the stepper's device caches
+        clean).  Returns elapsed seconds."""
+        if self._running.is_set():
+            raise RuntimeError('warmup() must run before start()')
+        if not isinstance(sample_inputs, (list, tuple)):
+            sample_inputs = [sample_inputs]
+        if batch_sizes is None:
+            batch_sizes = _pow2_buckets(self.max_batch_size)
+        t0 = time.perf_counter()
+        for sample in sample_inputs:
+            for b in batch_sizes:
+                states = [self.start_fn(sample, ** kwargs) for _ in range(b)]
+                for _ in range(max_chunks):
+                    states, done = self.step_fn(states)
+                    if all(done):
+                        break
+                for st in states:
+                    self.finish_fn(st)
+        return time.perf_counter() - t0
+
     def _admit(self, slots, block):
         """Fill free slots from the scheduler; blocks briefly only when
         idle (otherwise admission is the non-blocking chunk-boundary
@@ -333,6 +382,16 @@ class ContinuousServingEngine(_SchedulerMixin):
                     except Exception:
                         logger.exception('request callback failed')
                 self._finish(request, output)
+
+
+def _pow2_buckets(max_batch_size):
+    """[1, 2, 4, ..., pow2 ≤ max_batch_size] — the batch shapes the
+    engines' compiled programs actually trace at (see `_pow2`)."""
+    buckets, b = [], 1
+    while b <= max_batch_size:
+        buckets.append(b)
+        b <<= 1
+    return buckets
 
 
 def _pow2(n):
