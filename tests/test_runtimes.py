@@ -61,6 +61,46 @@ class TestAOTRuntime:
         assert rt.flops is None or rt.flops > 0
 
 
+class TestVITSExport:
+    """The flagship end-to-end family served from a StableHLO artifact —
+    the reference's TRT-engine workflow (build once, serve the serialized
+    engine) on the `jax.export` path."""
+
+    def test_export_infer_roundtrip(self, tmp_path, monkeypatch):
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_vits import make_model
+        try:
+            model = make_model('export_vits')
+            arch = model.arch
+
+            def infer_fn(params, tokens, rng):
+                out = arch.infer(params, {}, tokens, max_frames = 32,
+                                 min_duration = 3, rng = rng)
+                return out.audio, out.lengths
+
+            tokens = jnp.asarray(
+                np.asarray(model.encode_text('export me'))[None, :])
+            rng = jax.random.PRNGKey(3)
+            path = str(tmp_path / 'vits.stablehlo')
+            ExportRuntime.export_function(
+                infer_fn, (model.params, tokens, rng), path)
+
+            rt = build_runtime('export', path)
+            audio, lengths = rt(model.params, tokens, rng)
+            ref_audio, ref_lengths = infer_fn(model.params, tokens, rng)
+            np.testing.assert_array_equal(np.asarray(lengths),
+                                          np.asarray(ref_lengths))
+            np.testing.assert_allclose(np.asarray(audio),
+                                       np.asarray(ref_audio), atol = 1e-5)
+        finally:
+            reset_instances()
+
+
 class TestFactory:
     def test_listing(self):
         names = list_runtimes()
