@@ -419,3 +419,66 @@ class TestJSONDirCollision:
         assert db['spk/1'] == {'v': 1} and db['spk_1'] == {'v': 2}
         db2 = JSONDirDatabase(str(tmp_path / 'c'))
         assert sorted(db2.keys()) == ['spk/1', 'spk_1']
+
+
+class TestOrderedDatabase:
+    def test_ordered_access(self, tmp_path):
+        from text_to_speech_tpu.utils.databases import (
+            JSONDatabase, OrderedDatabase)
+        db = OrderedDatabase(JSONDatabase(str(tmp_path / 'db.json'), 'id'))
+        for name in ('c', 'a', 'b'):
+            db.insert({'id': name, 'v': name.upper()})
+        assert len(db) == 3
+        # insertion order, not key order
+        assert [row['v'] for row in db] == ['C', 'A', 'B']
+        assert db[0] == {'v': 'C'} and db[-1] == {'v': 'B'}
+        assert db[1:] == [{'v': 'A'}, {'v': 'B'}]
+        assert db[[0, 2]] == [{'v': 'C'}, {'v': 'B'}]
+        assert db.index('a') == 1
+        assert 'a' in db and 'z' not in db
+
+    def test_mutation_tracks_order(self, tmp_path):
+        from text_to_speech_tpu.utils.databases import (
+            JSONDatabase, OrderedDatabase)
+        db = OrderedDatabase(JSONDatabase(str(tmp_path / 'db.json'), 'id'))
+        db.insert({'id': 'x', 'v': 1})
+        db.insert({'id': 'y', 'v': 2})
+        db.insert_or_update({'id': 'x', 'v': 3})   # update: order unchanged
+        assert len(db) == 2 and db.index('x') == 0 and db[0] == {'v': 3}
+        popped = db.pop(0)
+        assert popped == {'v': 3}
+        assert len(db) == 1 and db[0] == {'v': 2}
+        db.pop('y')
+        assert len(db) == 0
+
+    def test_wraps_existing_keys(self, tmp_path):
+        from text_to_speech_tpu.utils.databases import (
+            JSONDatabase, OrderedDatabase)
+        raw = JSONDatabase(str(tmp_path / 'db.json'), 'id')
+        raw.insert({'id': 'k1', 'v': 1})
+        raw.save()
+        db = OrderedDatabase(JSONDatabase(str(tmp_path / 'db.json'), 'id'))
+        assert len(db) == 1 and db[0] == {'v': 1}
+
+
+class TestVectorIndexes:
+    def test_torch_index_matches_numpy(self):
+        import numpy as np
+        from text_to_speech_tpu.utils.databases import build_vector_index
+        rng = np.random.default_rng(0)
+        vectors = rng.normal(size = (20, 8)).astype('float32')
+        query = rng.normal(size = (3, 8)).astype('float32')
+        for metric in ('cosine', 'dot', 'euclidean'):
+            a = build_vector_index('numpy', 8, metric)
+            b = build_vector_index('torch', 8, metric)
+            a.add(vectors); b.add(vectors)
+            ia, sa = a.search(query, k = 4)
+            ib, sb = b.search(query, k = 4)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_allclose(sa, sb, atol = 1e-5)
+
+    def test_unknown_index_raises(self):
+        import pytest
+        from text_to_speech_tpu.utils.databases import build_vector_index
+        with pytest.raises(ValueError):
+            build_vector_index('faiss-ish', 4)

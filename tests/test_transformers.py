@@ -324,3 +324,152 @@ class TestProcessLogits:
         # callable filter applies verbatim
         out = process_logits(logits, logits_filter = lambda l: l * 0.)
         assert float(out.sum()) == 0.
+
+
+class TestBertHeads:
+    """BERT task heads (MLM/Classifier/NSP/QA/DPR — the reference's
+    bert_arch.py:43-199 surface): HF numeric parity with offline
+    random-weight torch models."""
+
+    CFG = dict(vocab_size = 64, hidden_size = 32, num_hidden_layers = 2,
+               num_attention_heads = 2, intermediate_size = 64,
+               max_position_embeddings = 32)
+    TOKENS = np.array([[5, 9, 13, 2], [7, 3, 1, 8]], dtype = np.int64)
+
+    def _encode(self, model, params):
+        return model.encode(params, jnp.asarray(self.TOKENS, jnp.int32))
+
+    def test_mlm_parity(self):
+        import torch
+        from transformers import BertConfig, BertForMaskedLM
+        from text_to_speech_tpu.models.transformers import (
+            bert_config, convert_bert_mlm_state_dict, mlm_logits)
+
+        hf = BertForMaskedLM(BertConfig(** self.CFG)).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, head = convert_bert_mlm_state_dict(sd)
+        params, head = jax.tree_util.tree_map(jnp.asarray, (params, head))
+        model = Transformer(** bert_config(hf.config))
+
+        hidden, _ = self._encode(model, params)
+        mine = mlm_logits(params, head, hidden)
+        with torch.no_grad():
+            ref = hf(torch.tensor(self.TOKENS)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 3e-4)
+
+    def test_classifier_parity(self):
+        import torch
+        from transformers import BertConfig, BertForSequenceClassification
+        from text_to_speech_tpu.models.transformers import (
+            bert_config, convert_bert_classifier_state_dict, classify)
+
+        hf = BertForSequenceClassification(
+            BertConfig(num_labels = 3, ** self.CFG)).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, head = convert_bert_classifier_state_dict(sd)
+        params, head = jax.tree_util.tree_map(jnp.asarray, (params, head))
+        model = Transformer(** bert_config(hf.config))
+
+        hidden, _ = self._encode(model, params)
+        mine = classify(head, hidden)
+        with torch.no_grad():
+            ref = hf(torch.tensor(self.TOKENS)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 2e-4)
+
+    def test_nsp_parity(self):
+        import torch
+        from transformers import BertConfig, BertForNextSentencePrediction
+        from text_to_speech_tpu.models.transformers import (
+            bert_config, convert_bert_classifier_state_dict, classify)
+
+        hf = BertForNextSentencePrediction(BertConfig(** self.CFG)).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, head = convert_bert_classifier_state_dict(sd)
+        params, head = jax.tree_util.tree_map(jnp.asarray, (params, head))
+        model = Transformer(** bert_config(hf.config))
+
+        hidden, _ = self._encode(model, params)
+        mine = classify(head, hidden)
+        assert mine.shape == (2, 2)
+        with torch.no_grad():
+            ref = hf(torch.tensor(self.TOKENS)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 2e-4)
+
+    def test_qa_parity(self):
+        import torch
+        from transformers import BertConfig, BertForQuestionAnswering
+        from text_to_speech_tpu.models.transformers import (
+            bert_config, convert_bert_qa_state_dict, qa_spans)
+
+        hf = BertForQuestionAnswering(BertConfig(num_labels = 2, ** self.CFG)).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, head = convert_bert_qa_state_dict(sd)
+        params, head = jax.tree_util.tree_map(jnp.asarray, (params, head))
+        model = Transformer(** bert_config(hf.config))
+
+        hidden, mask = self._encode(model, params)
+        start, end = qa_spans(head, hidden, mask)
+        with torch.no_grad():
+            out = hf(torch.tensor(self.TOKENS))
+            ref_start = torch.softmax(out.start_logits, dim = 1).numpy()
+            ref_end = torch.softmax(out.end_logits, dim = 1).numpy()
+        np.testing.assert_allclose(np.asarray(start), ref_start, atol = 2e-4)
+        np.testing.assert_allclose(np.asarray(end), ref_end, atol = 2e-4)
+        # probabilities over the sequence axis
+        np.testing.assert_allclose(np.asarray(start).sum(-1), 1., atol = 1e-5)
+
+    def test_dpr_parity(self):
+        import torch
+        from transformers import DPRConfig, DPRQuestionEncoder
+        from text_to_speech_tpu.models.transformers import (
+            bert_config, convert_dpr_state_dict, embed_sentences)
+
+        cfg = DPRConfig(projection_dim = 0, ** self.CFG)
+        hf = DPRQuestionEncoder(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params, head = convert_dpr_state_dict(sd)
+        params, head = jax.tree_util.tree_map(jnp.asarray, (params, head))
+        model = Transformer(** bert_config(vocab_size = cfg.vocab_size,
+                                           dim = cfg.hidden_size,
+                                           n_layers = cfg.num_hidden_layers,
+                                           n_heads = cfg.num_attention_heads,
+                                           ffn_dim = cfg.intermediate_size,
+                                           max_position = cfg.max_position_embeddings))
+
+        hidden, mask = self._encode(model, params)
+        mine = embed_sentences(head, hidden, mask, mode = 'first',
+                               normalize = False)
+        with torch.no_grad():
+            ref = hf(torch.tensor(self.TOKENS)).pooler_output.numpy()
+        np.testing.assert_allclose(np.asarray(mine), ref, atol = 2e-4)
+
+    def test_mean_pooled_embeddings_masked(self):
+        from text_to_speech_tpu.models.transformers import (
+            init_embedding_head, embed_sentences)
+        key = jax.random.PRNGKey(0)
+        hidden = jax.random.normal(key, (2, 4, 8))
+        mask = jnp.array([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.float32)
+        head = init_embedding_head(key, 8, 5)
+        out = embed_sentences(head, hidden, mask, mode = 'mean')
+        assert out.shape == (2, 5)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis = -1),
+                                   1., atol = 1e-5)
+        # masked positions do not contribute
+        hidden2 = hidden.at[0, 2:].set(99.)
+        out2 = embed_sentences(head, hidden2, mask, mode = 'mean')
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]),
+                                   atol = 1e-6)
+
+    def test_init_shapes(self):
+        from text_to_speech_tpu.models.transformers import (
+            init_mlm_head, init_classifier_head, init_qa_head, mlm_logits,
+            classify, qa_spans)
+        key = jax.random.PRNGKey(1)
+        dim, vocab = 16, 32
+        params = {'embedding': {'embeddings': jax.random.normal(key, (vocab, dim))}}
+        hidden = jax.random.normal(key, (3, 5, dim))
+        assert mlm_logits(params, init_mlm_head(key, dim, vocab), hidden).shape \
+            == (3, 5, vocab)
+        assert classify(init_classifier_head(key, dim, 7), hidden).shape == (3, 7)
+        s, e = qa_spans(init_qa_head(key, dim), hidden)
+        assert s.shape == (3, 5) and e.shape == (3, 5)

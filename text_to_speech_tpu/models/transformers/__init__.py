@@ -13,3 +13,9 @@ from .families import (
     convert_gpt2_state_dict, convert_bert_state_dict, convert_mistral_state_dict,
     convert_mixtral_state_dict,
 )
+from .heads import (
+    init_pooler, pooler, init_mlm_head, mlm_logits, init_classifier_head,
+    classify, init_qa_head, qa_spans, init_embedding_head, embed_sentences,
+    convert_bert_mlm_state_dict, convert_bert_classifier_state_dict,
+    convert_bert_qa_state_dict, convert_dpr_state_dict,
+)

@@ -297,6 +297,79 @@ class SQLiteDatabase(Database):
         return [r[0] for r in self._conn.execute('SELECT key FROM entries')]
 
 
+# -- ordered wrapper -------------------------------------------------------------
+
+class OrderedDatabase:
+    """Insertion-ordered view over any `Database`: integer/slice indexing,
+    ``index(key)`` lookup and ordered iteration, while delegating storage to
+    the wrapped database (the reference's ``OrderedDatabaseWrapper``,
+    ``utils/databases/ordered_database_wrapper.py:16``)."""
+
+    def __init__(self, database):
+        self.db = database
+        self._order = list(self._initial_keys())
+
+    def _initial_keys(self):
+        keys = getattr(self.db, 'keys', None)
+        return list(keys()) if callable(keys) else []
+
+    # -- ordered access ----------------------------------------------------------
+    def __len__(self):
+        return len(self._order)
+
+    def __iter__(self):
+        for key in self._order:
+            yield self.db[key]
+
+    def __contains__(self, key):
+        return key in self.db
+
+    def index(self, key):
+        return self._order.index(key)
+
+    def __getitem__(self, index):
+        if isinstance(index, slice):
+            return [self.db[k] for k in self._order[index]]
+        if isinstance(index, (list, tuple, np.ndarray)):
+            return [self[i] for i in index]
+        if isinstance(index, (int, np.integer)):
+            index = self._order[index]
+        return self.db[index]
+
+    # -- delegated mutation (order-tracking) ---------------------------------------
+    def insert(self, row):
+        key = row[self.db.primary_key]
+        existed = key in self.db
+        self.db.insert(row)
+        if not existed:
+            self._order.append(key)
+        return key
+
+    def insert_or_update(self, row):
+        key = row[self.db.primary_key]
+        existed = key in self.db
+        self.db.insert_or_update(row)
+        if not existed:
+            self._order.append(key)
+        return key
+
+    def update(self, key, ** fields):
+        self.db.update(key, ** fields)
+
+    def pop(self, index):
+        if isinstance(index, (int, np.integer)):
+            key = self._order[index]
+        else:
+            key = index
+        value = self.db[key]
+        del self.db[key]
+        self._order.remove(key)
+        return value
+
+    def __getattr__(self, name):
+        return getattr(self.db, name)
+
+
 # -- vector database -----------------------------------------------------------
 
 class VectorIndex:
@@ -354,12 +427,50 @@ class JaxVectorIndex(VectorIndex):
             elif self.metric == 'dot':
                 scores = q @ v.T
             else:
-                scores = -jnp.sum((q[:, None] - v[None]) ** 2, axis = -1)
+                scores = -jnp.sqrt(jnp.sum((q[:, None] - v[None]) ** 2, axis = -1))
             top = jax.lax.top_k(scores, min(k, v.shape[0]))
             return top[1], top[0]
 
         idx, scores = _search(query, self._vectors)
         return np.asarray(idx), np.asarray(scores)
+
+
+
+
+class TorchVectorIndex(VectorIndex):
+    """Brute-force search through torch (CPU) — the reference's TorchIndex
+    (``utils/databases/vectors/torch_index.py``) without CUDA."""
+
+    def search(self, query, k = 5):
+        import torch
+        query = np.atleast_2d(np.asarray(query, np.float32))
+        if len(self._vectors) == 0:
+            return np.zeros((len(query), 0), np.int64), np.zeros((len(query), 0))
+        q = torch.from_numpy(query)
+        v = torch.from_numpy(self._vectors)
+        if self.metric == 'cosine':
+            q = torch.nn.functional.normalize(q, dim = 1)
+            v = torch.nn.functional.normalize(v, dim = 1)
+            scores = q @ v.T
+        elif self.metric == 'dot':
+            scores = q @ v.T
+        else:
+            scores = -torch.cdist(q, v)
+        top = torch.topk(scores, min(k, v.shape[0]), dim = 1)
+        return top.indices.numpy(), top.values.numpy()
+
+
+_VECTOR_INDEXES = {'numpy': VectorIndex, 'jax': JaxVectorIndex,
+                   'torch': TorchVectorIndex}
+
+
+def build_vector_index(kind, dim, metric = 'cosine'):
+    """Index factory (the reference's pluggable numpy/keras/torch/faiss
+    index registry, ``utils/databases/vectors/__init__.py``)."""
+    if kind not in _VECTOR_INDEXES:
+        raise ValueError('Unknown index {!r} (known: {})'.format(
+            kind, sorted(_VECTOR_INDEXES)))
+    return _VECTOR_INDEXES[kind](dim, metric)
 
 
 class VectorDatabase:
@@ -369,7 +480,7 @@ class VectorDatabase:
                  index = 'numpy'):
         self.path = path
         self.metric = metric
-        index_cls = {'numpy': VectorIndex, 'jax': JaxVectorIndex}[index]
+        index_cls = _VECTOR_INDEXES[index]
         self._index_cls = index_cls
         self.index = index_cls(dim or 1, metric) if dim else None
         self.metadata = []
