@@ -56,9 +56,11 @@ def main():
     start_fn, step_fn, finish_fn = make_vits_stepper(
         model, window = args.window, context = args.context,
         transfer_dtype = td)
-    start_np, step_np, _ = make_vits_stepper(
+    _, step_np, _ = make_vits_stepper(
         model, window = args.window, context = args.context,
         pipeline = False, transfer_dtype = td)
+    # (state dicts are stepper-agnostic: the no-pipeline leg reuses
+    # start_fn so both legs share the latent program cache)
 
     text = ('It was the best of times, it was the worst of times, it was '
             'the age of wisdom, it was the age of foolishness.')

@@ -56,10 +56,15 @@ def main():
         return x
 
     results = {}
-    for tile, chunk in [(4096, 512), (4096, 768), (4096, 1536),
-                        (4096, 2304), (4096, 4608), (2048, 2560),
-                        (4096, 576), (4096, 1152)]:
-        ext = tile + 2 * 256
+    configs = [(4096, 512), (4096, 768), (4096, 1536),
+               (4096, 2304), (4096, 4608), (2048, 2560),
+               (4096, 576), (4096, 1152)]
+    if os.environ.get('SWEEP_SINGLE_TILE'):
+        # single-tile mode (tile == T): halo = 0, ext = T — the bench's
+        # actual serving design point; the auto-picker always lands on 512
+        configs = [(T, 512), (T, 1024), (T, 2048), (T, 4096), (T, T)]
+    for tile, chunk in configs:
+        ext = tile + (0 if tile == T else 2 * 256)
         if T % tile or ext % chunk or chunk % 32:
             print('skip tile={} chunk={}'.format(tile, chunk), flush = True)
             continue

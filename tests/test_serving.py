@@ -636,3 +636,97 @@ class TestServingEnginePriority:
             engine.submit('low-3', priority = 0).result.get(timeout = 10)
         assert order[0] == 'high'
         assert engine.scheduler_stats['completed'] >= 4
+
+
+class TestLoopPow2Padding:
+    def test_live_batches_pad_to_pow2(self):
+        """_loop pads collected batches to pow2 buckets (duplicating a row)
+        so live traffic only ever hits the shapes warmup() precompiled."""
+        seen = []
+
+        def batch_fn(items):
+            seen.append(len(items))
+            return [i * 10 for i in items]
+
+        with ServingEngine(batch_fn, max_batch_size = 8,
+                           max_wait_ms = 100) as engine:
+            requests = [engine.submit(i) for i in range(3)]
+            results = [r.result.get(timeout = 10) for r in requests]
+        assert sorted(results) == [0, 10, 20]
+        assert all(b & (b - 1) == 0 for b in seen), seen   # pow2 only
+
+
+class TestStreamEmitterPadding:
+    def test_vocoder_pad_region_is_mel_silence(self, tmp_path, monkeypatch):
+        """The batched stream emitter must hand the vocoder pad_mel_value
+        (log-mel silence) beyond each row's real frames — zero-mel pad
+        would bleed energy into emitted chunk tails through the
+        upsampler's receptive field."""
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'stream_taco_pad',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1
+        vocoder = WaveGlow(
+            name = 'stream_wg_pad', n_flows = 2, wn_layers = 2,
+            wn_channels = 16, upsample_width = 64, upsample_stride = 16,
+            sigma = 0.)
+
+        class RecordingVocoder:
+            def __init__(self, inner):
+                self.inner = inner
+                self.pad_mel_value = inner.pad_mel_value
+                self.upsample_rate = getattr(inner, 'upsample_rate', 16)
+                self.mels = []
+
+            def __call__(self, mel, ** kwargs):
+                self.mels.append(np.asarray(mel))
+                return self.inner(mel, ** kwargs)
+
+        rec = RecordingVocoder(vocoder)
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 12,
+            deterministic = True, vocoder = rec, stream_audio = True,
+            stream_context = 4, stream_lookahead = 1)
+        # two concurrent streams -> batched emitter; same text, but the
+        # ×chunk bucket still pads rows (window length k*4+context)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            reqs = [engine.submit('hello world streaming'),
+                    engine.submit('bye')]
+            for r in reqs:
+                r.result.get(timeout = 300)
+
+        batched = [m for m in rec.mels if m.ndim == 3]
+        assert batched, 'emitter should vocode at least one batch'
+        pad_vec = np.full(batched[0].shape[-1], rec.pad_mel_value,
+                          np.float32)
+        padded_rows = sum(
+            np.allclose(m[j, -1], pad_vec)
+            for m in batched for j in range(m.shape[0]))
+        # every padded row must carry mel silence at its tail (before the
+        # fix the pad region was dec(0)+postnet(0) garbage, never constant)
+        assert padded_rows > 0
+        for m in batched:
+            for j in range(m.shape[0]):
+                row = m[j]
+                # find trailing pad run; all frames after the last real one
+                # must be exactly pad_mel_value if any frame is
+                is_pad = np.all(row == rec.pad_mel_value, axis = -1)
+                if is_pad.any():
+                    first_pad = int(np.argmax(is_pad))
+                    assert bool(np.all(is_pad[first_pad:])) or not is_pad[-1]
+        reset_instances()

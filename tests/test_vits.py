@@ -1134,3 +1134,41 @@ class TestVITSModel:
         tokens, spec, lengths, audio = model.collate(prepared)
         assert tokens.shape[0] == spec.shape[0] == len(lengths) == 2
         assert audio.shape[1] == spec.shape[1] * 8
+
+
+class TestPipelineAbortFlush:
+    def test_aborted_request_gets_no_pending_delivery(self, model_root):
+        """A chunk parked for pipelined delivery must NOT be delivered for
+        a request the engine dropped (abort): the next step_fn filters
+        pending deliveries to the still-live active set."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('abort_vits')
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3, pipeline = True)
+
+        counts = {'a': 0, 'b': 0}
+        st_a = start_fn('first stream going on for a while',
+                        on_audio = lambda _: counts.__setitem__(
+                            'a', counts['a'] + 1),
+                        rng = jax.random.PRNGKey(0))
+        st_b = start_fn('the second stream also going on',
+                        on_audio = lambda _: counts.__setitem__(
+                            'b', counts['b'] + 1),
+                        rng = jax.random.PRNGKey(1))
+
+        states, done = step_fn([st_a, st_b])      # fresh: eager delivery
+        assert counts['b'] == 1
+        states, done = step_fn(states)            # parks chunk 2 (pipelined)
+        b_at_abort = counts['b']
+
+        # engine aborts request b: it simply disappears from the active set
+        live = [states[0]]
+        for _ in range(8):
+            live, d = step_fn(live)
+            if d[0]:
+                break
+        finish_fn(live[0])
+        assert counts['b'] == b_at_abort          # no post-abort delivery
+        assert counts['a'] > 1                    # the live stream flowed

@@ -202,7 +202,12 @@ class ServingEngine(_SchedulerMixin):
 
             self.stats['batches'] += 1
             try:
-                outputs = self.batch_fn([r.inputs for r in live])
+                # pad the batch to a pow2 bucket (duplicating one row) so
+                # batch_fn only ever sees the shapes warmup() precompiled —
+                # a raw size-3 batch would retrace XLA mid-traffic
+                inputs = [r.inputs for r in live]
+                inputs += [inputs[0]] * (_pow2(len(inputs)) - len(inputs))
+                outputs = self.batch_fn(inputs)
             except Exception as e:
                 logger.exception('batch_fn failed')
                 for request in live:
@@ -385,12 +390,15 @@ class ContinuousServingEngine(_SchedulerMixin):
 
 
 def _pow2_buckets(max_batch_size):
-    """[1, 2, 4, ..., pow2 ≤ max_batch_size] — the batch shapes the
-    engines' compiled programs actually trace at (see `_pow2`)."""
+    """[1, 2, 4, ..., pow2 ≥ max_batch_size] — the batch shapes the
+    engines' compiled programs actually trace at (see `_pow2`; both the
+    steppers and `ServingEngine._loop` pad collected batches to pow2, so
+    a non-pow2 `max_batch_size` still rounds up)."""
     buckets, b = [], 1
-    while b <= max_batch_size:
+    while b < max_batch_size:
         buckets.append(b)
         b <<= 1
+    buckets.append(b)
     return buckets
 
 
@@ -545,7 +553,17 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         dec = np.stack(stack)
         post = np.asarray(postnet_jit(model.params, model.state,
                                       jnp.asarray(dec)))
-        audio = np.asarray(vocoder(dec + post))
+        mel = dec + post
+        # rows beyond each job's real length must read as SILENCE for the
+        # vocoder (its per-row path pads with pad_mel_value ≈ log-mel
+        # silence); leaving dec+post(0) there would bleed pad energy into
+        # the tail of the emitted slice through the upsampler's
+        # receptive field
+        pad_value = getattr(vocoder, 'pad_mel_value', -11.)
+        for j, m in enumerate(mels):
+            mel[j, m.shape[0]:] = pad_value
+        mel[len(mels):] = pad_value
+        audio = np.asarray(vocoder(mel))
         if audio.ndim == 1:
             audio = audio[None]
         now = time.perf_counter()
@@ -805,6 +823,16 @@ def make_vits_stepper(model, *, window = 64, context = 16,
 
     def step_fn(states):
         ids = tuple(st['_seq'] for st in states)
+        if pending['deliveries']:
+            # rows aborted since the chunk was parked must NOT be delivered
+            # (the engine already resolved them with an error); requests
+            # that finished normally were flushed by their finish_fn
+            kept = tuple(d for d in pending['deliveries']
+                         if d[0]['_seq'] in set(ids))
+            if not kept:
+                pending['audio'], pending['deliveries'] = None, ()
+            else:
+                pending['deliveries'] = kept
         if ids != batch['ids']:
             # batch dim pads to a pow2 bucket with copies of row 0 so the
             # decode program traces per bucket, not per active-set size

@@ -418,12 +418,31 @@ def fit(model,
         logger.warning('training interrupted; saving current state')
     except FloatingPointError:
         interrupted = True
-
-    if saver is not None:
-        saver.close()
-    model.set_weights(params, state)
-    if interrupted:
-        model.save(epoch = model.epochs, metric = None)
+    finally:
+        # always drain the background writer and restore the latest weights
+        # onto the model — even when an epoch body (or a deferred background
+        # checkpoint error re-raised by saver.save) propagates, so a failed
+        # epoch-N write cannot also lose epoch N+1's trained params
+        import sys
+        exc_in_flight = sys.exc_info()[0] is not None
+        if saver is not None:
+            try:
+                saver.close()
+            except Exception:
+                if exc_in_flight:   # don't mask the primary exception
+                    logger.exception('background checkpoint writer failed')
+                else:
+                    model.set_weights(params, state)
+                    model.save(epoch = model.epochs, metric = None)
+                    raise
+        model.set_weights(params, state)
+        if interrupted or exc_in_flight:
+            try:
+                model.save(epoch = model.epochs, metric = None)
+            except Exception:
+                if not exc_in_flight:
+                    raise
+                logger.exception('emergency save failed')   # keep primary exc
     return history
 
 

@@ -313,6 +313,14 @@ class OrderedDatabase:
         keys = getattr(self.db, 'keys', None)
         return list(keys()) if callable(keys) else []
 
+    @staticmethod
+    def _key(key):
+        """Normalize like the wrapped backends do (they store by str(key)),
+        so inserting {'id': 5} and popping '5' address the same order
+        entry.  Integer arguments to __getitem__/pop remain POSITIONS (the
+        reference's convention) — use string keys for key lookup."""
+        return str(key)
+
     # -- ordered access ----------------------------------------------------------
     def __len__(self):
         return len(self._order)
@@ -325,7 +333,7 @@ class OrderedDatabase:
         return key in self.db
 
     def index(self, key):
-        return self._order.index(key)
+        return self._order.index(self._key(key))
 
     def __getitem__(self, index):
         if isinstance(index, slice):
@@ -342,7 +350,7 @@ class OrderedDatabase:
         existed = key in self.db
         self.db.insert(row)
         if not existed:
-            self._order.append(key)
+            self._order.append(self._key(key))
         return key
 
     def insert_or_update(self, row):
@@ -350,7 +358,7 @@ class OrderedDatabase:
         existed = key in self.db
         self.db.insert_or_update(row)
         if not existed:
-            self._order.append(key)
+            self._order.append(self._key(key))
         return key
 
     def update(self, key, ** fields):
@@ -360,7 +368,7 @@ class OrderedDatabase:
         if isinstance(index, (int, np.integer)):
             key = self._order[index]
         else:
-            key = index
+            key = self._key(index)
         value = self.db[key]
         del self.db[key]
         self._order.remove(key)
