@@ -62,7 +62,8 @@ def main():
     if os.environ.get('SWEEP_SINGLE_TILE'):
         # single-tile mode (tile == T): halo = 0, ext = T — the bench's
         # actual serving design point; the auto-picker always lands on 512
-        configs = [(T, 512), (T, 1024), (T, 2048), (T, 4096), (T, T)]
+        configs = [(T, int(c)) for c in os.environ.get(
+            'SWEEP_CHUNKS', '512,1024,2048').split(',')]
     for tile, chunk in configs:
         ext = tile + (0 if tile == T else 2 * 256)
         if T % tile or ext % chunk or chunk % 32:

@@ -12,3 +12,16 @@ from .request_manager import (
     StreamRequestManager, ParentRequestManager, ChildRequestManager,
     END_OF_STREAM,
 )
+
+
+def setup_environment(log_level = None, ** kwargs):
+    """One-call environment setup (the reference's ``utils.setup_environment``,
+    ``utils/__init__.py:28``): logging level + device configuration.  Extra
+    kwargs go to :func:`devices.set_device_config` (platform, default device,
+    precision, preallocation)."""
+    if log_level:
+        from ..loggers import set_level
+        set_level(log_level)
+    if kwargs:
+        from ..devices import set_device_config
+        set_device_config(** kwargs)
