@@ -88,6 +88,12 @@ def main(epochs = 50, out_path = None, r = 1):
     mae = float(np.abs(mel[:n] - gt_mel[:n]).mean())
     print('mel MAE vs ground truth (first %d frames): %.3f' % (n, mae))
 
+    # objective quality: mel-cepstral distortion, DTW-aligned (AR timing
+    # drifts a few frames) — the standard TTS copy-synthesis measure
+    from text_to_speech_tpu.train.metrics import get_metric
+    mcd = get_metric('mcd')(gt_mel, mel, align = 'dtw')
+    print('MCD vs ground truth: %.2f dB (dtw-aligned)' % mcd)
+
     # Griffin-Lim: the weights-free vocoder fallback.  Also invert the
     # ground-truth mel — the quality ceiling of this vocoding path.
     wave = np.asarray(model.mel_fn.inverse(mel, n_iters = 48))[0]
@@ -102,7 +108,8 @@ def main(epochs = 50, out_path = None, r = 1):
     print('wrote', synth_path)
 
     return {'loss_first': float(losses[0]), 'loss_last': float(losses[-1]),
-            'mel_mae': mae, 'frames': len(mel), 'gt_frames': len(gt_mel)}
+            'mel_mae': mae, 'mcd_db': float(mcd), 'frames': len(mel),
+            'gt_frames': len(gt_mel)}
 
 
 if __name__ == '__main__':

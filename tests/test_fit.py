@@ -81,6 +81,33 @@ class TestFitTacotron2:
         )
         assert reloaded.epochs == 1
 
+    def test_optimizer_state_resumes_exactly(self, model_root):
+        """Adam moments + step count survive a process restart: the saved
+        'opt' tree is restored by the next fit(), so the count keeps
+        accumulating instead of resetting (the reference's Keras
+        checkpoints store weights only)."""
+        model = Tacotron2(lang = 'en', name = 'fit_taco_opt', ** TINY_TACO)
+        model.fit(synthetic_rows(4), epochs = 1, batch_size = 2,
+                  valid_size = 0., frame_multiple = 16, token_multiple = 8)
+
+        def saved_count():
+            ckpt = model.ckpt_manager.load()
+            assert 'opt' in ckpt
+            scalars = [int(v) for v in ckpt['opt'].values()
+                       if np.ndim(v) == 0 and np.issubdtype(
+                           np.asarray(v).dtype, np.integer)]
+            assert scalars, 'adam count leaf missing'
+            return max(scalars)
+
+        n1 = saved_count()
+        assert n1 > 0
+        reset_instances()
+        reloaded = Tacotron2(name = 'fit_taco_opt')
+        reloaded.fit(synthetic_rows(4), epochs = 1, batch_size = 2,
+                     valid_size = 0., frame_multiple = 16, token_multiple = 8)
+        model = reloaded
+        assert saved_count() == 2 * n1     # resumed, not reset
+
 
 class TestFitWaveGlow:
     @pytest.mark.slow

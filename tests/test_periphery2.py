@@ -482,3 +482,41 @@ class TestVectorIndexes:
         from text_to_speech_tpu.utils.databases import build_vector_index
         with pytest.raises(ValueError):
             build_vector_index('faiss-ish', 4)
+
+
+class TestTTSQualityMetrics:
+    def test_mcd_zero_on_identical(self):
+        import numpy as np
+        from text_to_speech_tpu.train.metrics import get_metric
+        mcd = get_metric('mcd')
+        a = np.random.RandomState(0).randn(40, 80).astype('float32')
+        assert mcd(a, a) == 0.
+        assert mcd(a, a, align = 'dtw') == 0.
+
+    def test_mcd_orders_degradation(self):
+        import numpy as np
+        from text_to_speech_tpu.train.metrics import get_metric
+        mcd = get_metric('mcd')
+        rng = np.random.RandomState(1)
+        a = rng.randn(40, 80).astype('float32')
+        small = mcd(a, a + 0.05 * rng.randn(40, 80).astype('float32'))
+        large = mcd(a, a + 0.50 * rng.randn(40, 80).astype('float32'))
+        assert 0. < small < large
+
+    def test_mcd_dtw_absorbs_time_shift(self):
+        import numpy as np
+        from text_to_speech_tpu.train.metrics import get_metric
+        mcd = get_metric('mcd')
+        rng = np.random.RandomState(2)
+        a = rng.randn(40, 80).astype('float32')
+        shifted = np.concatenate([a[:1], a[:1], a])      # 2-frame stutter
+        cut, dtw = mcd(a, shifted), mcd(a, shifted, align = 'dtw')
+        assert dtw < cut * 0.2                            # alignment absorbed
+
+    def test_mel_snr(self):
+        import numpy as np
+        from text_to_speech_tpu.train.metrics import get_metric
+        snr = get_metric('mel_snr')
+        a = np.random.RandomState(3).randn(30, 80).astype('float32')
+        assert snr(a, a) > 100.
+        assert 15. < snr(a, a + 0.1 * a) < 25.            # ≈20 dB

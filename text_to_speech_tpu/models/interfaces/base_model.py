@@ -198,7 +198,8 @@ class BaseModel:
         """{filename (under saving/): obj with .save(path)} — mixins extend."""
         return {}
 
-    def save(self, *, save_weights = True, epoch = None, metric = None):
+    def save(self, *, save_weights = True, epoch = None, metric = None,
+             extra_trees = None):
         os.makedirs(self.save_dir('saving'), exist_ok = True)
         saving_utils.save_model_config(self.name, {
             'class_name': self.__class__.__name__,
@@ -215,6 +216,7 @@ class BaseModel:
         if save_weights and self.params is not None:
             trees = {'params': self.params}
             if self.state: trees['state'] = self.state
+            if extra_trees: trees.update(extra_trees)
             self.ckpt_manager.save(
                 trees, epoch if epoch is not None else self.epochs, metric = metric
             )

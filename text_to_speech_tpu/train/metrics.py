@@ -139,3 +139,76 @@ def character_error_rate(y_true, y_pred, ** kwargs):
     if isinstance(y_true, str): y_true, y_pred = [y_true], [y_pred]
     return word_error_rate([' '.join(t) for t in y_true],
                            [' '.join(p) for p in y_pred])
+
+
+# -- objective TTS quality ------------------------------------------------------
+
+def _dct_matrix(n_out, n_in):
+    """Orthonormal DCT-II basis (n_out, n_in) — log-mel → cepstra."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    basis = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in))
+    basis *= np.sqrt(2. / n_in)
+    basis[0] *= np.sqrt(0.5)
+    return basis.astype(np.float32)
+
+
+@register_metric('mcd')
+def mel_cepstral_distortion(mel_true, mel_pred, *, n_mfcc = 13,
+                            exclude_c0 = True, align = 'cut', ** kwargs):
+    """Mel-cepstral distortion in dB between two (log-)mel spectrograms
+    (T, n_mels) — the standard objective TTS quality measure:
+    ``(10 / ln 10) * sqrt(2 * Σ_d (c_true - c_pred)²)`` averaged over
+    frames, on DCT-II cepstra of the log-mel (c0 excluded by default: it
+    is overall energy, not timbre).
+
+    align: 'cut' truncates to the common length; 'dtw' aligns frames with
+    dynamic time warping first (O(T²), use for AR models whose timing
+    drifts).  Lower is better; <5 dB is commonly "good" for copy-synthesis.
+    """
+    a = np.asarray(mel_true, np.float32)
+    b = np.asarray(mel_pred, np.float32)
+    if a.ndim != 2 or b.ndim != 2 or a.shape[1] != b.shape[1]:
+        raise ValueError('expected (T, n_mels) inputs, got {} vs {}'.format(
+            a.shape, b.shape))
+    dct = _dct_matrix(n_mfcc, a.shape[1])
+    ca, cb = a @ dct.T, b @ dct.T
+    if exclude_c0:
+        ca, cb = ca[:, 1:], cb[:, 1:]
+
+    const = 10. / np.log(10.) * np.sqrt(2.)
+    if align == 'dtw':
+        # O(T_a * T_b) DTW over per-frame cepstral distances.  Direct
+        # differences (blocked over rows to bound memory) rather than the
+        # gram-matrix identity: exact zeros on identical frames.
+        dist = np.empty((len(ca), len(cb)), np.float32)
+        for i0 in range(0, len(ca), 256):
+            blk = ca[i0:i0 + 256, :, None] - cb.T[None]
+            dist[i0:i0 + 256] = np.sqrt(np.sum(blk * blk, axis = 1))
+        Ta, Tb = dist.shape
+        acc = np.full((Ta + 1, Tb + 1), np.inf, np.float64)
+        acc[0, 0] = 0.
+        for i in range(1, Ta + 1):
+            j0 = acc[i - 1]
+            row = acc[i]
+            for j in range(1, Tb + 1):
+                row[j] = dist[i - 1, j - 1] + min(
+                    j0[j], row[j - 1], j0[j - 1])
+        # path length on the diagonal-ish alignment ≈ max(Ta, Tb)
+        return const * float(acc[Ta, Tb]) / max(Ta, Tb)
+
+    n = min(len(ca), len(cb))
+    frame = np.sqrt(np.sum((ca[:n] - cb[:n]) ** 2, axis = -1))
+    return const * float(np.mean(frame)) if n else 0.
+
+
+@register_metric('mel_snr')
+def mel_snr(mel_true, mel_pred, ** kwargs):
+    """Signal-to-noise ratio (dB) of a predicted mel vs the reference,
+    frame-truncated to the common length."""
+    a = np.asarray(mel_true, np.float32)
+    b = np.asarray(mel_pred, np.float32)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    noise = float(np.mean((a - b) ** 2))
+    return 10. * float(np.log10(float(np.mean(a ** 2)) / max(noise, 1e-20)))

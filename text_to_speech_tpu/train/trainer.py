@@ -282,6 +282,39 @@ def fit(model,
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(seed + model.epochs)
 
+    def _opt_leaves(opt):
+        # optax states are namedtuple chains: serialize leaves against the
+        # live treedef (restored below with the identical optimizer config)
+        leaves = jax.tree_util.tree_leaves(opt)
+        return {'leaf_{:05d}'.format(i): v for i, v in enumerate(leaves)}
+
+    # EXACT resume: restore the optimizer moments saved alongside the
+    # weights, so Adam m/v and schedule counters survive process restarts
+    # (the reference's Keras checkpoints store weights only —
+    # /root/reference/custom_train_objects/checkpoint_manager.py)
+    manager = getattr(model, 'ckpt_manager', None)
+    if model.epochs and manager is not None:
+        try:
+            ckpt = manager.load()
+        except Exception:
+            ckpt = None
+        saved_opt = (ckpt or {}).get('opt')
+        if saved_opt:
+            fresh = jax.tree_util.tree_leaves(opt_state)
+            loaded = [saved_opt[k] for k in sorted(saved_opt)]
+            if len(loaded) == len(fresh) and all(
+                    np.shape(a) == np.shape(b)
+                    for a, b in zip(loaded, fresh)):
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    [jax.numpy.asarray(a, dtype = b.dtype)
+                     for a, b in zip(loaded, fresh)])
+                logger.info('resumed optimizer state from epoch %s',
+                            manager.latest_epoch)
+            else:
+                logger.warning('checkpointed optimizer state does not match '
+                               'the current optimizer; starting fresh')
+
     if mesh is not None:
         repl = replicated(mesh)
         params = jax.device_put(params, repl)
@@ -399,11 +432,12 @@ def fit(model,
                 # config/history write stays synchronous (cheap JSON); the
                 # weight fetch + npz write drains on the background thread
                 model.save(save_weights = False)
-                trees = {'params': params}
+                trees = {'params': params, 'opt': _opt_leaves(opt_state)}
                 if state: trees['state'] = state
                 saver.save(trees, epoch + 1, metric = value)
             else:
-                model.save(epoch = epoch + 1, metric = value)
+                model.save(epoch = epoch + 1, metric = value,
+                           extra_trees = {'opt': _opt_leaves(opt_state)})
 
             if early_stopping_patience:
                 if best_value is None or (value is not None and value < best_value):
