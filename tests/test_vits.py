@@ -1020,6 +1020,77 @@ class TestVITSStreaming:
             np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
 
 
+class TestVITSMeshServing:
+    """`make_vits_stepper(mesh=...)`: the serving decode pjit'ed over a
+    data-parallel device mesh (multi-chip serving — params replicated,
+    active batch sharded on dp).  Validated on the virtual 8-CPU mesh;
+    per-request audio must match unsharded serving exactly."""
+
+    _full_audio = TestVITSStreaming._full_audio
+
+    def test_dp_mesh_stepper_parity(self, model_root):
+        from jax.sharding import PartitionSpec as P
+        from text_to_speech_tpu.parallel import create_mesh
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('mesh_vits')
+        mesh = create_mesh({'dp': 8}, platform = 'cpu')
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3, mesh = mesh)
+
+        texts = ['first stream', 'the second longer stream here', 'third']
+        rngs = [jax.random.PRNGKey(11 + i) for i in range(3)]
+        states = [start_fn(t, rng = r) for t, r in zip(texts, rngs)]
+        outs = [None] * 3
+        stepped = False
+        while any(o is None for o in outs):
+            live_i = [i for i, o in enumerate(outs) if o is None]
+            live = [states[i] for i in live_i]
+            live, done = step_fn(live)
+            if not stepped:
+                # the 3-row active set pads to the dp size and shards
+                z = step_fn._batch['z']
+                assert z.shape[0] == 8
+                assert z.sharding.spec == P('dp')
+                stepped = True
+            for j, i in enumerate(live_i):
+                states[i] = live[j]
+                if done[j]:
+                    outs[i] = finish_fn(live[j])
+
+        # parity with the single-device one-shot decode, per request
+        for text, rng, out in zip(texts, rngs, outs):
+            full, n = self._full_audio(model, text, rng)
+            assert out['frames'] == n
+            np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+
+    def test_dp_mesh_engine_with_warmup(self, model_root):
+        """warmup + live traffic through `ContinuousServingEngine` on a dp
+        mesh: everything compiles at mesh-padded buckets and results match
+        the one-shot decode."""
+        from text_to_speech_tpu.parallel import create_mesh
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_vits_stepper)
+
+        model = make_model('mesh_vits_engine')
+        mesh = create_mesh({'dp': 4}, platform = 'cpu',
+                           devices = jax.devices('cpu')[:4])
+        stepper = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3, mesh = mesh)
+        engine = ContinuousServingEngine(* stepper, max_batch_size = 4)
+        engine.warmup('warm me up', rng = jax.random.PRNGKey(0))
+
+        rng = jax.random.PRNGKey(5)
+        with engine:
+            out = engine.infer('hello world streaming', rng = rng,
+                               timeout = 120)
+        full, n = self._full_audio(model, 'hello world streaming', rng)
+        assert out['frames'] == n
+        np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+
+
 class TestFitGan:
     @pytest.mark.slow
     def test_vits_fit_history_checkpoints_resume(self, model_root):

@@ -98,7 +98,10 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
     ``warmup``: a text (or list of texts covering the expected length
     buckets) precompiled through the engine at every batch bucket BEFORE
     the server accepts traffic (`ContinuousServingEngine.warmup`), so the
-    first live requests don't pay XLA compiles."""
+    first live requests don't pay XLA compiles.
+
+    ``mesh=`` (end-to-end models): serve the decode across a data-parallel
+    device mesh — see `make_vits_stepper`."""
     from ...runtimes.serving import (
         ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
     from ...runtimes.http_server import TTSServer

@@ -693,7 +693,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
 def make_vits_stepper(model, *, window = 64, context = 16,
                       token_multiple = 64, max_frames = None,
                       dtype = None, pipeline = True,
-                      transfer_dtype = 'float32', ** infer_kwargs):
+                      transfer_dtype = 'float32', mesh = None,
+                      ** infer_kwargs):
     """(start_fn, step_fn, finish_fn) driving a `VITS` task model through
     WINDOWED waveform decode — incremental streaming for the end-to-end
     family.
@@ -731,9 +732,35 @@ def make_vits_stepper(model, *, window = 64, context = 16,
     DEVICE before the device->host transfer (4x fewer bytes; delivered
     parts are reconstructed float32, max abs error 1/32767 ~ 3e-5 — the
     same quantization a WAV container applies anyway).  Worth it when the
-    link to the device is transfer-bound, e.g. a tunneled remote chip."""
+    link to the device is transfer-bound, e.g. a tunneled remote chip.
+
+    ``mesh`` (a `jax.sharding.Mesh` with a 'dp'/'dcn' data axis) serves the
+    active batch ACROSS CHIPS: params replicate over the mesh, the stacked
+    latent batch + per-row chunk indices shard over the data axes, and each
+    window decode pjits over all devices — requests are independent, so the
+    decode scales embarrassingly on dp (no collectives in the hot loop; the
+    reference's TRT-LLM runner is single-GPU per process).  The active
+    bucket pads to at least the dp size; per-request results are
+    bit-identical to unsharded serving (`tests/test_vits.py`)."""
     import jax
     import jax.numpy as jnp
+
+    if mesh is not None:
+        from ..parallel import batch_sharding, data_axes, replicated
+        _axes = data_axes(mesh)
+        if not _axes:
+            raise ValueError('mesh has no data axis (dp/dcn): %s' % (mesh,))
+        n_data = int(np.prod([mesh.shape[a] for a in _axes]))
+        repl_sh = replicated(mesh)
+        batch_sh = batch_sharding(mesh, _axes if len(_axes) > 1 else _axes[0])
+        params_srv = jax.device_put(model.params, repl_sh)
+    else:
+        n_data, repl_sh, batch_sh = 1, None, None
+        params_srv = None
+    # mesh serving pins the replicated param copy at creation; single-device
+    # serving keeps the live model.params lookup (reload-friendly)
+    _params = (lambda: params_srv) if mesh is not None \
+        else (lambda: model.params)
 
     arch = model.arch
     rate = arch.upsample_rate
@@ -764,8 +791,19 @@ def make_vits_stepper(model, *, window = 64, context = 16,
                 .astype(jnp.int16)
         return out
 
-    decode_cond = jax.jit(_decode)
-    decode_nocond = jax.jit(lambda p, z, s, o: _decode(p, z, s, o, None))
+    if mesh is None:
+        decode_cond = jax.jit(_decode)
+        decode_nocond = jax.jit(lambda p, z, s, o: _decode(p, z, s, o, None))
+    else:
+        # params replicated, batch leaves sharded on the data axes — GSPMD
+        # partitions the window decode across every chip, zero collectives
+        decode_cond = jax.jit(
+            _decode, in_shardings = (repl_sh,) + (batch_sh,) * 4,
+            out_shardings = batch_sh)
+        decode_nocond = jax.jit(
+            lambda p, z, s, o: _decode(p, z, s, o, None),
+            in_shardings = (repl_sh,) + (batch_sh,) * 3,
+            out_shardings = batch_sh)
 
     # the active batch's stacked latents live on device between chunks;
     # restacked only when the active set changes (admission/removal)
@@ -812,7 +850,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
                         constant_values = model.blank_token_idx)
         if rng is None:
             rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
-        z, cond, lengths, _, _ = latent(model.params, jnp.asarray(tokens), rng)
+        z, cond, lengths, _, _ = latent(_params(), jnp.asarray(tokens), rng)
         return {
             'text': text, '_seq': next(seq),
             'z': z[0], 'cond': None if cond is None else cond[0],
@@ -834,10 +872,11 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             else:
                 pending['deliveries'] = kept
         if ids != batch['ids']:
-            # batch dim pads to a pow2 bucket with copies of row 0 so the
+            # batch dim pads to a pow2 bucket (>= the mesh's dp size, so
+            # every bucket shards evenly) with copies of row 0 so the
             # decode program traces per bucket, not per active-set size
             rows = [st['z'] for st in states]
-            rows += rows[:1] * (_pow2(len(rows)) - len(rows))
+            rows += rows[:1] * (max(_pow2(len(rows)), n_data) - len(rows))
             batch['z'] = jnp.stack(rows)
             conds = [st['cond'] for st in states]
             if conds[0] is None:
@@ -845,6 +884,10 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             else:
                 conds += conds[:1] * (batch['z'].shape[0] - len(conds))
                 batch['cond'] = jnp.stack(conds)
+            if mesh is not None:
+                batch['z'] = jax.device_put(batch['z'], batch_sh)
+                if batch['cond'] is not None:
+                    batch['cond'] = jax.device_put(batch['cond'], batch_sh)
             batch['ids'] = ids
 
         starts, dev, offs, counts = [], [], [], []
@@ -862,11 +905,14 @@ def make_vits_stepper(model, *, window = 64, context = 16,
         n_pad = batch['z'].shape[0] - len(starts)
         dev_offs = jnp.asarray(dev + dev[:1] * n_pad, jnp.int32)
         starts = jnp.asarray(starts + starts[:1] * n_pad, jnp.int32)
+        if mesh is not None:
+            dev_offs = jax.device_put(dev_offs, batch_sh)
+            starts = jax.device_put(starts, batch_sh)
         fresh = any(st['emitted'] == 0 for st in states)
         if batch['cond'] is None:
-            audio = decode_nocond(model.params, batch['z'], starts, dev_offs)
+            audio = decode_nocond(_params(), batch['z'], starts, dev_offs)
         else:
-            audio = decode_cond(model.params, batch['z'], starts, dev_offs,
+            audio = decode_cond(_params(), batch['z'], starts, dev_offs,
                                 batch['cond'])
         # the new chunk is now queued on device; fetching the PREVIOUS
         # chunk here overlaps its d2h transfer with this chunk's compute
@@ -898,6 +944,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             result['first_audio_s'] = st['t_first_audio'] - st['t_start']
         return result
 
+    step_fn._batch = batch      # introspection (tests assert shardings)
     return start_fn, step_fn, finish_fn
 
 
