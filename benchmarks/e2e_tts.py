@@ -41,6 +41,11 @@ def main():
                         help = 'vits only: stochastic duration predictor '
                                '(spline-flow sampling) instead of the '
                                'deterministic conv stack')
+    parser.add_argument('--long-doc', type = int, default = 0, metavar = 'N',
+                        help = 'synthesize ONE document of N sentences through '
+                               'the chunked long-document path (max_text_length '
+                               '120, sliding attention window, windowed '
+                               'vocoding win 256 hop -64)')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
     parser.add_argument('--gate', action = 'store_true',
@@ -98,13 +103,29 @@ def main():
         if args.int8_vocoder:
             vocoder.quantize_for_serving()
 
-    texts = [
-        'The quick brown fox jumps over the lazy dog number {}.'.format(i)
-        for i in range(args.sentences)
-    ]
+    if args.long_doc:
+        # one long document: recursive chunking + sliding attention window +
+        # windowed vocoding (the docs/PERFORMANCE.md "long document" row)
+        texts = [' '.join(
+            'This is sentence number {} of a long document about text to '
+            'speech synthesis on tensor processing units.'.format(i)
+            for i in range(args.long_doc)
+        )]
+        extra.update(
+            max_text_length = 120,
+            attn_mask_win_len = 32,
+            vocoder_config = {'win_len': 256, 'hop_len': -64},
+        )
+        warm = ' '.join(texts[0].split(' ')[:40])
+    else:
+        texts = [
+            'The quick brown fox jumps over the lazy dog number {}.'.format(i)
+            for i in range(args.sentences)
+        ]
+        warm = texts[0]
 
     # warm-up (compiles the padding buckets)
-    tts(texts[0], model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)
+    tts(warm, model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)
 
     best = float('inf')
     audio_s = 0.
@@ -116,9 +137,11 @@ def main():
         audio_s = sum(r.get('time', 0.) for r in results)
         best = min(best, elapsed)
 
-    print('{} sentences -> {:.2f}s audio in {:.2f}s wall '
+    what = ('1 document ({} sentences)'.format(args.long_doc) if args.long_doc
+            else '{} sentences'.format(args.sentences))
+    print('{} -> {:.2f}s audio in {:.2f}s wall '
           '({:.1f}x real-time end-to-end)'.format(
-              args.sentences, audio_s, best, audio_s / best))
+              what, audio_s, best, audio_s / best))
 
 
 if __name__ == '__main__':

@@ -234,6 +234,16 @@ class TestTTSFacade:
         with pytest.raises(ValueError):
             tts('hi', lang = 'xx')
 
+    def test_tts_add_model_name(self, tmp_path):
+        model = make_taco()
+        wg = make_wg()
+        root = str(tmp_path / 'preds')
+        tts('hi there', model = model, vocoder = wg, max_trial = 1,
+            max_length = 16, directory = root, add_model_name = True)
+        # artifacts land under directory/<model_name>/ (reference behavior)
+        assert os.path.isdir(os.path.join(root, model.name))
+        assert os.path.exists(os.path.join(root, model.name, 'map.json'))
+
 
 class TestLangMap:
     def test_set_get_pretrained_model(self):

@@ -5,6 +5,7 @@ Capability parity with ``/root/reference/models/tts/__init__.py``
 language→pretrained-model map).
 """
 
+import os
 import logging
 
 from .tacotron2 import Tacotron2
@@ -67,12 +68,21 @@ def get_models(model = None, lang = None, vocoder = None):
     return model, vocoder
 
 
-def tts(text, *, model = None, lang = None, vocoder = None, ** kwargs):
+def tts(text, *, model = None, lang = None, vocoder = None,
+        add_model_name = False, ** kwargs):
     """Main entry point: text (str or list) → synthesized audio + artifacts.
 
-    Returns the list of per-text output dicts (see `Tacotron2.predict`).
+    Returns the list of per-text output dicts (see `Tacotron2.predict`) —
+    always a list, even for a single input text (unlike the reference,
+    which unwraps single inputs; see docs/MIGRATION.md).
+
+    `add_model_name` redirects an explicit `directory=` into a per-model
+    subdirectory (reference `models/tts/__init__.py:62` behavior), so
+    several models can predict into one artifact root without clobbering.
     """
     model, vocoder = get_models(model = model, lang = lang, vocoder = vocoder)
+    if add_model_name and kwargs.get('directory'):
+        kwargs['directory'] = os.path.join(kwargs['directory'], model.name)
     return model.predict(text, vocoder = vocoder, ** kwargs)
 
 
@@ -100,8 +110,9 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
     the server accepts traffic (`ContinuousServingEngine.warmup`), so the
     first live requests don't pay XLA compiles.
 
-    ``mesh=`` (end-to-end models): serve the decode across a data-parallel
-    device mesh — see `make_vits_stepper`."""
+    ``mesh=``: serve the decode across a data-parallel device mesh —
+    params replicate, the active batch shards on dp (see
+    `make_vits_stepper` / `make_tacotron_stepper`)."""
     from ...runtimes.serving import (
         ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
     from ...runtimes.http_server import TTSServer

@@ -420,7 +420,8 @@ def _pow2(n):
 def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                           max_steps = None, vocoder = None,
                           stream_audio = False, stream_context = 32,
-                          stream_lookahead = None, ** infer_kwargs):
+                          stream_lookahead = None, mesh = None,
+                          ** infer_kwargs):
     """(start_fn, step_fn, finish_fn) driving a `Tacotron2` task model
     through `arch.decode_chunk`: per-request encode at admission, shared
     padded decode chunks, gate-based completion, postnet (+ optional
@@ -443,9 +444,35 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     finished result carries ``audio`` (the concatenated stream) and
     ``first_audio_s`` (wall seconds from admission to first audio).
     Beyond the reference, whose streaming granularity is whole text chunks
-    (``/root/reference/models/tts/tacotron2.py:103-209``)."""
+    (``/root/reference/models/tts/tacotron2.py:103-209``).
+
+    ``mesh`` (a `jax.sharding.Mesh` with a 'dp'/'dcn' data axis) runs the
+    AR decode chunks ACROSS CHIPS: params replicate over the mesh, the
+    device-resident active batch (frame, cell state, memory/alignment
+    stacks) shards on the data axes, and buckets pad to >= the dp size —
+    requests are independent so the decode scales embarrassingly on dp
+    with zero collectives in the hot loop.  Per-request output is
+    bit-identical to unsharded serving (`tests/test_serving.py`).
+    Encode-at-admission and the emission postnet/vocoder stay on the
+    default device (event-rate work, off the chunk loop)."""
     import jax
     import jax.numpy as jnp
+
+    if mesh is not None:
+        from ..parallel import batch_sharding, data_axes, replicated
+        _axes = data_axes(mesh)
+        if not _axes:
+            raise ValueError('mesh has no data axis (dp/dcn): %s' % (mesh,))
+        n_data = int(np.prod([mesh.shape[a] for a in _axes]))
+        repl_sh = replicated(mesh)
+        batch_sh = batch_sharding(mesh, _axes if len(_axes) > 1 else _axes[0])
+        params_srv = jax.device_put(model.params, repl_sh)
+    else:
+        n_data, repl_sh, batch_sh, params_srv = 1, None, None, None
+    # mesh serving pins the replicated param copy at creation; single-device
+    # serving keeps the live model.params lookup (reload-friendly)
+    _params = (lambda: params_srv) if mesh is not None \
+        else (lambda: model.params)
 
     arch = model.arch
     n_mel = arch.hp.n_mel_channels
@@ -463,12 +490,19 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         stream_lookahead = arch.hp.get('postnet_n_conv', 5) \
             * (arch.hp.get('postnet_kernel_size', 5) // 2)
 
-    decode = jax.jit(
-        lambda p, frame, cell, mem, pm, mask, off: arch.decode_chunk(
-            p, frame, cell, mem, pm, mask, n_steps = chunk,
-            step_offset = off, ** infer_kwargs),
-        static_argnums = (),
-    )
+    _decode_fn = lambda p, frame, cell, mem, pm, mask, off: arch.decode_chunk(
+        p, frame, cell, mem, pm, mask, n_steps = chunk,
+        step_offset = off, ** infer_kwargs)
+    if mesh is None:
+        decode = jax.jit(_decode_fn)
+    else:
+        # params replicated, every batch-leading leaf (incl. the cell-state
+        # pytree) sharded on the data axes, the scalar PRNG offset
+        # replicated — GSPMD partitions the chunk across every chip
+        decode = jax.jit(
+            _decode_fn,
+            in_shardings = (repl_sh,) + (batch_sh,) * 5 + (repl_sh,),
+            out_shardings = batch_sh)
 
     def _encode(p, s, tokens):
         enc_out, mask, _ = arch.encode(p, s, tokens, train = False)
@@ -619,7 +653,9 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                 one = arch.init_cell_state(1, s)
                 rows_c.append(jax.tree_util.tree_map(
                     lambda leaf: leaf[0], one))
-        n_pad = _pow2(len(states)) - len(states)
+        # batch dim pads to >= the mesh's dp size so every bucket shards
+        # evenly across the data axes
+        n_pad = max(_pow2(len(states)), n_data) - len(states)
         rows_f += rows_f[:1] * n_pad
         rows_c += rows_c[:1] * n_pad
         mems = [_pad_row(st['memory'], s) for st in states]
@@ -632,6 +668,9 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         batch['mem'] = jnp.stack(mems + mems[:1] * n_pad)
         batch['pm'] = jnp.stack(pms + pms[:1] * n_pad)
         batch['mask'] = jnp.stack(masks + masks[:1] * n_pad)
+        if mesh is not None:
+            for key in ('frame', 'cell', 'mem', 'pm', 'mask'):
+                batch[key] = jax.device_put(batch[key], batch_sh)
         batch['ids'] = tuple(st['_seq'] for st in states)
         batch['s'] = s
 
@@ -644,7 +683,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         off = batch['rng_off']
         batch['rng_off'] += chunk
         frames, gates, (frame, cell) = decode(
-            model.params, batch['frame'], batch['cell'],
+            _params(), batch['frame'], batch['cell'],
             batch['mem'], batch['pm'], batch['mask'],
             jnp.asarray(off, jnp.int32))
         batch['frame'] = frame
@@ -687,6 +726,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
             result['rate'] = model.rate
         return result
 
+    step_fn._batch = batch      # introspection (tests assert shardings)
     return start_fn, step_fn, finish_fn
 
 
