@@ -108,6 +108,47 @@ class TestFitTacotron2:
         model = reloaded
         assert saved_count() == 2 * n1     # resumed, not reset
 
+    @pytest.mark.slow
+    def test_optimizer_config_change_starts_fresh(self, model_root):
+        """Resuming under a DIFFERENT optimizer config must NOT silently
+        restore stale moments/step count: the saved 'opt' tree carries a
+        config fingerprint and is discarded on mismatch."""
+        model = Tacotron2(lang = 'en', name = 'fit_taco_fp', ** TINY_TACO)
+        model.fit(synthetic_rows(4), epochs = 1, batch_size = 2, lr = 1e-3,
+                  valid_size = 0., frame_multiple = 16, token_multiple = 8)
+
+        def saved_count():
+            ckpt = model.ckpt_manager.load(trees = ('opt',))
+            scalars = [int(v) for v in ckpt['opt'].values()
+                       if np.ndim(v) == 0 and np.issubdtype(
+                           np.asarray(v).dtype, np.integer)]
+            return max(scalars)
+
+        n1 = saved_count()
+        assert n1 > 0
+        model.fit(synthetic_rows(4), epochs = 1, batch_size = 2, lr = 5e-4,
+                  valid_size = 0., frame_multiple = 16, token_multiple = 8)
+        assert saved_count() == n1         # fresh start under the new lr
+
+    @pytest.mark.slow
+    def test_interrupt_emergency_save_keeps_opt(self, model_root, monkeypatch):
+        """A KeyboardInterrupt mid-training must not defeat exact resume:
+        the emergency save in fit()'s finally block re-writes the latest
+        epoch's manifest entry and has to keep the 'opt' tree."""
+        model = Tacotron2(lang = 'en', name = 'fit_taco_intr', ** TINY_TACO)
+        model.fit(synthetic_rows(4), epochs = 1, batch_size = 2,
+                  valid_size = 0., frame_multiple = 16, token_multiple = 8)
+        ckpt = model.ckpt_manager.load()
+        assert 'opt' in ckpt
+
+        def boom(* args, ** kwargs):
+            raise KeyboardInterrupt()
+        monkeypatch.setattr(model.history, 'on_epoch_end', boom)
+        model.fit(synthetic_rows(4), epochs = 1, batch_size = 2,
+                  valid_size = 0., frame_multiple = 16, token_multiple = 8)
+        ckpt = model.ckpt_manager.load()
+        assert 'opt' in ckpt, 'emergency save dropped the optimizer tree'
+
 
 class TestFitWaveGlow:
     @pytest.mark.slow

@@ -513,6 +513,39 @@ class TestTTSQualityMetrics:
         cut, dtw = mcd(a, shifted), mcd(a, shifted, align = 'dtw')
         assert dtw < cut * 0.2                            # alignment absorbed
 
+    def test_mcd_dtw_normalizes_by_path_length(self):
+        """DTW MCD must divide by the optimal path's LENGTH (number of
+        aligned pairs), not max(Ta, Tb) — brute-force path enumeration on
+        a tiny grid is the ground truth."""
+        import numpy as np
+        from text_to_speech_tpu.train.metrics import get_metric, _dct_matrix
+        mcd = get_metric('mcd')
+        rng = np.random.RandomState(4)
+        a = rng.randn(3, 80).astype('float32')
+        b = rng.randn(5, 80).astype('float32')
+
+        dct = _dct_matrix(13, 80)
+        ca, cb = (a @ dct.T)[:, 1:], (b @ dct.T)[:, 1:]
+        dist = np.sqrt(((ca[:, None] - cb[None]) ** 2).sum(-1))
+
+        best = [np.inf, 0]          # (cost, path length)
+        def walk(i, j, cost, length):
+            cost += dist[i, j]
+            length += 1
+            if (i, j) == (len(ca) - 1, len(cb) - 1):
+                if cost < best[0]:
+                    best[0], best[1] = cost, length
+                return
+            for di, dj in ((1, 0), (0, 1), (1, 1)):
+                if i + di < len(ca) and j + dj < len(cb):
+                    walk(i + di, j + dj, cost, length)
+        walk(0, 0, 0., 0)
+
+        const = 10. / np.log(10.) * np.sqrt(2.)
+        expected = const * best[0] / best[1]
+        got = mcd(a, b, align = 'dtw')
+        assert abs(got - expected) < 1e-4 * expected
+
     def test_mel_snr(self):
         import numpy as np
         from text_to_speech_tpu.train.metrics import get_metric

@@ -638,6 +638,21 @@ class TestServingEnginePriority:
         assert engine.scheduler_stats['completed'] >= 4
 
 
+class TestBucketHelper:
+    def test_bucket_divisible_and_pow2_per_shard(self):
+        """`_bucket(n, n_data)` = n_data * pow2(ceil(n / n_data)): always a
+        multiple of the data-axis device count (sharding divisibility) and
+        reduces to plain pow2 bucketing off-mesh."""
+        from text_to_speech_tpu.runtimes.serving import _bucket
+        for n in range(1, 20):
+            for n_data in (1, 2, 3, 4, 6, 8):
+                b = _bucket(n, n_data)
+                assert b >= n and b % n_data == 0, (n, n_data, b)
+        assert [_bucket(n) for n in (1, 2, 3, 5, 9)] == [1, 2, 4, 8, 16]
+        assert _bucket(5, 6) == 6 and _bucket(7, 6) == 12
+        assert _bucket(5, 8) == 8 and _bucket(9, 8) == 16
+
+
 class TestLoopPow2Padding:
     def test_live_batches_pad_to_pow2(self):
         """_loop pads collected batches to pow2 buckets (duplicating a row)

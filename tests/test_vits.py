@@ -1065,6 +1065,42 @@ class TestVITSMeshServing:
             assert out['frames'] == n
             np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
 
+    def test_non_pow2_mesh_bucket_divisible(self, model_root):
+        """A NON-power-of-two data-axis device count (6) with 5 live rows:
+        the active batch must pad to a multiple of the device count (6),
+        not to a plain pow2 bucket (8 is not divisible by 6 and
+        `jax.device_put` would raise mid-serving)."""
+        from text_to_speech_tpu.parallel import create_mesh
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('mesh6_vits')
+        mesh = create_mesh({'dp': 6}, platform = 'cpu',
+                           devices = jax.devices('cpu')[:6])
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3, mesh = mesh)
+
+        texts = ['one', 'two here', 'three', 'the fourth one', 'five']
+        rngs = [jax.random.PRNGKey(21 + i) for i in range(5)]
+        states = [start_fn(t, rng = r) for t, r in zip(texts, rngs)]
+        outs = [None] * 5
+        stepped = False
+        while any(o is None for o in outs):
+            live_i = [i for i, o in enumerate(outs) if o is None]
+            live, done = step_fn([states[i] for i in live_i])
+            if not stepped:
+                assert step_fn._batch['z'].shape[0] == 6
+                stepped = True
+            for j, i in enumerate(live_i):
+                states[i] = live[j]
+                if done[j]:
+                    outs[i] = finish_fn(live[j])
+
+        for text, rng, out in zip(texts, rngs, outs):
+            full, n = self._full_audio(model, text, rng)
+            assert out['frames'] == n
+            np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
+
     def test_dp_mesh_engine_with_warmup(self, model_root):
         """warmup + live traffic through `ContinuousServingEngine` on a dp
         mesh: everything compiles at mesh-padded buckets and results match

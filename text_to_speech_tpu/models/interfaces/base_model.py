@@ -154,7 +154,8 @@ class BaseModel:
     # -- weights ---------------------------------------------------------------
 
     def _restore_weights(self, epoch = None):
-        trees = self.ckpt_manager.load(epoch = epoch, as_jax = True)
+        trees = self.ckpt_manager.load(epoch = epoch, as_jax = True,
+                                       trees = ('params', 'state'))
         if trees:
             self.params = trees.get('params', self.params)
             if 'state' in trees: self.state = trees['state']

@@ -24,11 +24,16 @@ _lib_lock = threading.Lock()
 _build_failed = False
 
 
-def build_native_library(src, name):
+def build_native_library(src, name, deps = ()):
     """Compile `src` (self-building, content-hash-cached) → .so path or
-    None.  Shared by the DSP and serving scheduler modules."""
-    with open(src, 'rb') as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    None.  Shared by the DSP, data-loader and serving scheduler modules.
+    `deps` = extra files whose content participates in the cache key
+    (e.g. sources pulled in via #include)."""
+    h = hashlib.sha256()
+    for path in (src,) + tuple(deps):
+        with open(path, 'rb') as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
 
     for cache_dir in (_HERE, os.path.expanduser('~/.cache/tts_tpu_native')):
         so_path = os.path.join(cache_dir, '{}-{}.so'.format(name, digest))

@@ -402,6 +402,33 @@ def _pow2_buckets(max_batch_size):
     return buckets
 
 
+def _bucket(n, n_data = 1):
+    """Padded ACTIVE-BATCH size for `n` rows on a mesh whose data axes hold
+    `n_data` devices: ``n_data * pow2(ceil(n / n_data))`` — pow2 bucketing
+    per data shard, always divisible by `n_data` so every bucket shards
+    evenly (``max(_pow2(n), n_data)`` is NOT divisible when the device
+    count is not a power of two — e.g. 6 devices, 5 live rows → bucket 8 —
+    and `jax.device_put` would raise mid-serving)."""
+    return n_data * _pow2(max(1, -(-n // n_data)))
+
+
+def _mesh_data_setup(mesh, params):
+    """Shared serving-stepper mesh setup: ``(n_data, repl_sh, batch_sh,
+    params_srv)`` — data-axis device count, replicated/batch shardings, and
+    the replicated param copy (None placeholders when `mesh` is None)."""
+    if mesh is None:
+        return 1, None, None, None
+    import jax
+    from ..parallel import batch_sharding, data_axes, replicated
+    axes = data_axes(mesh)
+    if not axes:
+        raise ValueError('mesh has no data axis (dp/dcn): %s' % (mesh,))
+    n_data = int(np.prod([mesh.shape[a] for a in axes]))
+    repl_sh = replicated(mesh)
+    batch_sh = batch_sharding(mesh, axes if len(axes) > 1 else axes[0])
+    return n_data, repl_sh, batch_sh, jax.device_put(params, repl_sh)
+
+
 def _pow2(n):
     """Next power of two ≥ n.  The steppers pad the ACTIVE BATCH dimension
     to pow2 buckets so the jitted chunk programs trace at most
@@ -458,17 +485,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     import jax
     import jax.numpy as jnp
 
-    if mesh is not None:
-        from ..parallel import batch_sharding, data_axes, replicated
-        _axes = data_axes(mesh)
-        if not _axes:
-            raise ValueError('mesh has no data axis (dp/dcn): %s' % (mesh,))
-        n_data = int(np.prod([mesh.shape[a] for a in _axes]))
-        repl_sh = replicated(mesh)
-        batch_sh = batch_sharding(mesh, _axes if len(_axes) > 1 else _axes[0])
-        params_srv = jax.device_put(model.params, repl_sh)
-    else:
-        n_data, repl_sh, batch_sh, params_srv = 1, None, None, None
+    n_data, repl_sh, batch_sh, params_srv = _mesh_data_setup(mesh, model.params)
     # mesh serving pins the replicated param copy at creation; single-device
     # serving keeps the live model.params lookup (reload-friendly)
     _params = (lambda: params_srv) if mesh is not None \
@@ -653,9 +670,9 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                 one = arch.init_cell_state(1, s)
                 rows_c.append(jax.tree_util.tree_map(
                     lambda leaf: leaf[0], one))
-        # batch dim pads to >= the mesh's dp size so every bucket shards
-        # evenly across the data axes
-        n_pad = max(_pow2(len(states)), n_data) - len(states)
+        # batch dim pads to a multiple of the mesh's data-axis size so
+        # every bucket shards evenly across the data axes
+        n_pad = _bucket(len(states), n_data) - len(states)
         rows_f += rows_f[:1] * n_pad
         rows_c += rows_c[:1] * n_pad
         mems = [_pad_row(st['memory'], s) for st in states]
@@ -785,18 +802,7 @@ def make_vits_stepper(model, *, window = 64, context = 16,
     import jax
     import jax.numpy as jnp
 
-    if mesh is not None:
-        from ..parallel import batch_sharding, data_axes, replicated
-        _axes = data_axes(mesh)
-        if not _axes:
-            raise ValueError('mesh has no data axis (dp/dcn): %s' % (mesh,))
-        n_data = int(np.prod([mesh.shape[a] for a in _axes]))
-        repl_sh = replicated(mesh)
-        batch_sh = batch_sharding(mesh, _axes if len(_axes) > 1 else _axes[0])
-        params_srv = jax.device_put(model.params, repl_sh)
-    else:
-        n_data, repl_sh, batch_sh = 1, None, None
-        params_srv = None
+    n_data, repl_sh, batch_sh, params_srv = _mesh_data_setup(mesh, model.params)
     # mesh serving pins the replicated param copy at creation; single-device
     # serving keeps the live model.params lookup (reload-friendly)
     _params = (lambda: params_srv) if mesh is not None \
@@ -912,11 +918,12 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             else:
                 pending['deliveries'] = kept
         if ids != batch['ids']:
-            # batch dim pads to a pow2 bucket (>= the mesh's dp size, so
-            # every bucket shards evenly) with copies of row 0 so the
-            # decode program traces per bucket, not per active-set size
+            # batch dim pads to a pow2-per-data-shard bucket (multiple of
+            # the mesh's data-axis size, so every bucket shards evenly)
+            # with copies of row 0 so the decode program traces per
+            # bucket, not per active-set size
             rows = [st['z'] for st in states]
-            rows += rows[:1] * (max(_pow2(len(rows)), n_data) - len(rows))
+            rows += rows[:1] * (_bucket(len(rows), n_data) - len(rows))
             batch['z'] = jnp.stack(rows)
             conds = [st['cond'] for st in states]
             if conds[0] is None:

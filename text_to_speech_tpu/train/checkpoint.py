@@ -209,8 +209,12 @@ class CheckpointManager:
         self._save_manifest()
         return entry
 
-    def load(self, epoch = None, *, best = False, as_jax = False):
-        """Load {'params': tree, ...} for `epoch` (default: latest, or best)."""
+    def load(self, epoch = None, *, best = False, as_jax = False, trees = None):
+        """Load {'params': tree, ...} for `epoch` (default: latest, or best).
+
+        `trees` optionally restricts which named trees are read — e.g.
+        inference restores only ('params', 'state') and skips the 'opt'
+        tree (Adam moments, ~2x the params bytes) that `fit()` saves."""
         if best:
             epoch = self.best_epoch
         if epoch is None:
@@ -225,6 +229,7 @@ class CheckpointManager:
         return {
             name: load_tree(self._path(epoch, name), as_jax = as_jax)
             for name in entry['trees']
+            if trees is None or name in trees
         }
 
     def delete(self, epoch):

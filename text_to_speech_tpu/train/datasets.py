@@ -81,7 +81,8 @@ class Dataset:
     def __init__(self, rows, *, map_fn = None, filter_fn = None, cache = True,
                  shuffle = False, batch_size = 1, collate_fn = None,
                  drop_remainder = False, prefetch = 2, seed = 0,
-                 length_bucket_fn = None, num_parallel_calls = None):
+                 length_bucket_fn = None, num_parallel_calls = None,
+                 native_audio_rate = None):
         self.rows = as_rows(rows)
         self.map_fn = map_fn
         self.filter_fn = filter_fn
@@ -94,8 +95,34 @@ class Dataset:
         self.seed = seed
         self.length_bucket_fn = length_bucket_fn
         self.num_parallel_calls = num_parallel_calls
+        self.native_audio_rate = native_audio_rate
         self._cached = None
         self._epoch = 0
+
+    def _native_preload(self, rows):
+        """Decode the rows' WAV files through the C++ loader pool
+        (`native.data_loader`) and inject ``('audio', 'rate')`` so
+        `map_fn`'s audio load skips file I/O + resampling — the
+        framework's counterpart of tf.data's C++ parallel file reads
+        (reference `utils/datasets/builder.py:72-129`).  Rows the native
+        decoder cannot handle keep their filename and go through the
+        Python readers inside `map_fn` unchanged."""
+        from ..native import data_loader
+        if not data_loader.available():
+            return rows
+        idx = [i for i, r in enumerate(rows)
+               if isinstance(r, dict) and 'audio' not in r
+               and str(r.get('filename', '')).lower().endswith('.wav')]
+        if not idx:
+            return rows
+        decoded = data_loader.load_audio_batch(
+            [rows[i]['filename'] for i in idx],
+            target_rate = self.native_audio_rate,
+            n_workers = self.num_parallel_calls or 2)
+        rows = list(rows)
+        for i, (audio, rate) in zip(idx, decoded):
+            rows[i] = dict(rows[i], audio = audio, rate = rate)
+        return rows
 
     def _map_one(self, row):
         try:
@@ -108,6 +135,8 @@ class Dataset:
         if self._cached is not None:
             return self._cached
         rows = list(self.rows)
+        if self.native_audio_rate:
+            rows = self._native_preload(rows)
         n_workers = self.num_parallel_calls or 1
         if self.map_fn is not None and n_workers > 1 and len(rows) > 1:
             # parallel map (tf.data num_parallel_calls analog): audio

@@ -188,14 +188,21 @@ def mel_cepstral_distortion(mel_true, mel_pred, *, n_mfcc = 13,
         Ta, Tb = dist.shape
         acc = np.full((Ta + 1, Tb + 1), np.inf, np.float64)
         acc[0, 0] = 0.
+        # track the optimal path LENGTH alongside the cost: the standard
+        # MCD normalizer is the number of aligned pairs, which exceeds
+        # max(Ta, Tb) exactly when the alignment is non-diagonal — the
+        # case DTW mode exists for (dividing by max(Ta, Tb) overstates
+        # MCD by up to ~2x under heavy warping)
+        cnt = np.zeros((Ta + 1, Tb + 1), np.int64)
         for i in range(1, Ta + 1):
-            j0 = acc[i - 1]
-            row = acc[i]
+            j0, row = acc[i - 1], acc[i]
+            c0, crow = cnt[i - 1], cnt[i]
             for j in range(1, Tb + 1):
-                row[j] = dist[i - 1, j - 1] + min(
-                    j0[j], row[j - 1], j0[j - 1])
-        # path length on the diagonal-ish alignment ≈ max(Ta, Tb)
-        return const * float(acc[Ta, Tb]) / max(Ta, Tb)
+                prev = (j0[j - 1], j0[j], row[j - 1])
+                k = prev.index(min(prev))
+                row[j] = dist[i - 1, j - 1] + prev[k]
+                crow[j] = (c0[j - 1], c0[j], crow[j - 1])[k] + 1
+        return const * float(acc[Ta, Tb]) / max(int(cnt[Ta, Tb]), 1)
 
     n = min(len(ca), len(cb))
     frame = np.sqrt(np.sum((ca[:n] - cb[:n]) ** 2, axis = -1))

@@ -246,6 +246,11 @@ def fit(model,
         data, valid_data = train_test_split(data, valid_size = valid_size,
                                             random_state = seed)
 
+    # native_audio=True routes the rows' WAV decode through the C++ loader
+    # pool (decode + resample to the model rate below the GIL) — the
+    # tf.data parallel-file-read analog
+    native_rate = getattr(model, 'rate', None) \
+        if kwargs.get('native_audio') else None
     train_ds = data if prebuilt else prepare_dataset(
         data, prepare_fn = model.prepare_data,
         filter_fn = getattr(model, 'filter_data', None),
@@ -253,6 +258,7 @@ def fit(model,
         batch_size = batch_size, shuffle = shuffle,
         length_bucket_fn = lambda item: _item_length(item),
         num_parallel_calls = kwargs.get('num_parallel_calls'),
+        native_audio_rate = native_rate,
     )
     valid_ds = valid_data if isinstance(valid_data, (Dataset, GE2EDataset)) \
         else prepare_dataset(
@@ -260,6 +266,7 @@ def fit(model,
         filter_fn = getattr(model, 'filter_data', None),
         collate_fn = getattr(model, 'collate', None),
         batch_size = batch_size, shuffle = False,
+        native_audio_rate = native_rate,
     ) if valid_data else None
 
     pp_microbatches = None
@@ -282,11 +289,21 @@ def fit(model,
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(seed + model.epochs)
 
+    # the saved moments are only valid under the optimizer config that
+    # produced them — fingerprint it so a changed lr/scheduler/optimizer
+    # starts fresh instead of silently applying stale moments + a
+    # fast-forwarded schedule step count
+    _opt_fp = repr((optimizer, lr, sorted(
+        (k, kwargs[k]) for k in ('clip_norm', 'weight_decay', 'lr_scheduler')
+        if k in kwargs)))
+
     def _opt_leaves(opt):
         # optax states are namedtuple chains: serialize leaves against the
         # live treedef (restored below with the identical optimizer config)
         leaves = jax.tree_util.tree_leaves(opt)
-        return {'leaf_{:05d}'.format(i): v for i, v in enumerate(leaves)}
+        out = {'leaf_{:05d}'.format(i): v for i, v in enumerate(leaves)}
+        out['config'] = np.frombuffer(_opt_fp.encode(), np.uint8).copy()
+        return out
 
     # EXACT resume: restore the optimizer moments saved alongside the
     # weights, so Adam m/v and schedule counters survive process restarts
@@ -295,14 +312,20 @@ def fit(model,
     manager = getattr(model, 'ckpt_manager', None)
     if model.epochs and manager is not None:
         try:
-            ckpt = manager.load()
+            ckpt = manager.load(trees = ('opt',))
         except Exception:
             ckpt = None
         saved_opt = (ckpt or {}).get('opt')
         if saved_opt:
+            saved_fp = saved_opt.pop('config', None)
+            fp_ok = saved_fp is not None and \
+                bytes(np.asarray(saved_fp, np.uint8)) == _opt_fp.encode()
             fresh = jax.tree_util.tree_leaves(opt_state)
             loaded = [saved_opt[k] for k in sorted(saved_opt)]
-            if len(loaded) == len(fresh) and all(
+            if not fp_ok:
+                logger.warning('checkpointed optimizer state was saved under '
+                               'a different optimizer config; starting fresh')
+            elif len(loaded) == len(fresh) and all(
                     np.shape(a) == np.shape(b)
                     for a, b in zip(loaded, fresh)):
                 opt_state = jax.tree_util.tree_unflatten(
@@ -467,12 +490,17 @@ def fit(model,
                     logger.exception('background checkpoint writer failed')
                 else:
                     model.set_weights(params, state)
-                    model.save(epoch = model.epochs, metric = None)
+                    # keep the 'opt' tree: a plain save() would replace the
+                    # same-epoch manifest entry with weights-only trees and
+                    # exact resume would silently start fresh
+                    model.save(epoch = model.epochs, metric = None,
+                               extra_trees = {'opt': _opt_leaves(opt_state)})
                     raise
         model.set_weights(params, state)
         if interrupted or exc_in_flight:
             try:
-                model.save(epoch = model.epochs, metric = None)
+                model.save(epoch = model.epochs, metric = None,
+                           extra_trees = {'opt': _opt_leaves(opt_state)})
             except Exception:
                 if not exc_in_flight:
                     raise
