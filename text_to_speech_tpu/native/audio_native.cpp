@@ -87,11 +87,15 @@ int64_t resample_sinc(const float* in, int64_t n, float* out,
     const int32_t taps = 2 * half_taps;
 
     // filter bank: up phases x taps; phase p covers fractional offset p/up
-    static thread_local std::vector<double> bank;
+    // (designed in double, stored float32 so the inner dot product
+    // auto-vectorizes — the double-accumulate scalar loop was the data
+    // loader's bottleneck vs scipy's FFT resample)
+    static thread_local std::vector<float> bank;
     static thread_local int64_t bank_up = -1, bank_down = -1;
     static thread_local int32_t bank_taps = -1;
     if (bank_up != up || bank_down != down || bank_taps != taps) {
-        bank.assign((size_t)(up * taps), 0.0);
+        bank.assign((size_t)(up * taps), 0.0f);
+        std::vector<double> phase_w((size_t) taps);
         for (int64_t p = 0; p < up; ++p) {
             const double frac = (double) p * down / up - std::floor((double) p * down / up);
             double wsum = 0.0;
@@ -105,14 +109,13 @@ int64_t resample_sinc(const float* in, int64_t n, float* out,
                         ? 1.0 : std::sin(M_PI * sx) / (M_PI * sx);
                     w = sinc * bessel_i0(beta * std::sqrt(1.0 - t * t)) / i0b * cutoff;
                 }
-                bank[(size_t)(p * taps + k)] = w;
+                phase_w[(size_t) k] = w;
                 wsum += w;
             }
             // unity DC gain per phase
-            if (wsum > 1e-12) {
-                for (int32_t k = 0; k < taps; ++k)
-                    bank[(size_t)(p * taps + k)] /= wsum;
-            }
+            const double norm = (wsum > 1e-12) ? 1.0 / wsum : 1.0;
+            for (int32_t k = 0; k < taps; ++k)
+                bank[(size_t)(p * taps + k)] = (float)(phase_w[(size_t) k] * norm);
         }
         bank_up = up; bank_down = down; bank_taps = taps;
     }
@@ -121,16 +124,18 @@ int64_t resample_sinc(const float* in, int64_t n, float* out,
         const int64_t num = j * down;
         const int64_t base = num / up;             // integer input position
         const int64_t phase = num % up;            // fractional part = phase/up
-        const double* coef = bank.data() + (size_t)(phase * taps);
-        double acc = 0.0;
+        const float* __restrict coef = bank.data() + (size_t)(phase * taps);
         const int64_t lo = base - half_taps;
         int32_t k0 = 0;
         int64_t i = lo;
         if (i < 0) { k0 = (int32_t)(-i); i = 0; }
         const int64_t hi = std::min(n, lo + taps);
-        for (int32_t k = k0; i < hi; ++k, ++i)
-            acc += in[i] * coef[k];
-        out[j] = (float) acc;
+        const float* __restrict src = in + i;
+        const int32_t len = (int32_t)(hi - i);
+        float acc = 0.0f;
+        for (int32_t k = 0; k < len; ++k)          // SIMD-friendly flat dot
+            acc += src[k] * coef[k0 + k];
+        out[j] = acc;
     }
     return out_n;
 }
