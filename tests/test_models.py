@@ -94,6 +94,23 @@ class TestTacotron2Model:
         assert out['mel'][0].shape[1] == 80
         assert len(out['attention']) == 1
 
+    def test_infer_windowed_vocoder_pipelined(self):
+        """win_len in vocoder_config rides the pipelined decode→vocode path
+        (device-sliced windows) and still yields full-length audio."""
+        model = make_taco()
+        wg = make_wg()
+        rate = wg.upsample_rate
+        out = model.infer(
+            'this is a longer sentence. and a second one here.',
+            vocoder = wg, max_trial = 1, max_length = 24,
+            max_text_length = -2,               # split into two chunks
+            min_fpt_ratio = -1., max_fpt_ratio = float('inf'),
+            vocoder_config = {'win_len': 8, 'hop_len': -2},
+        )
+        assert len(out['mel']) == 2
+        expected = sum(m.shape[0] for m in out['mel']) * rate
+        assert len(out['audio']) == expected
+
     def test_infer_with_vocoder_and_cache(self, model_root):
         model = make_taco()
         wg = make_wg()
@@ -144,20 +161,42 @@ class TestWaveGlowModel:
         wg = make_wg()
         rng = np.random.RandomState(0)
         mels = [rng.randn(L, 80).astype(np.float32) for L in (40, 55, 12)]
-        batched = wg.vocode_windowed_batch(
-            mels, win_len = 16, hop_len = -4, deterministic = True,
-            vocoder_batch = 4,
-        )
-        for mel, audio in zip(mels, batched):
-            ref = np.asarray(wg(mel, win_len = 16, hop_len = -4,
-                                deterministic = True)).reshape(-1)
-            np.testing.assert_allclose(audio, ref[:len(audio)], atol = 1e-5)
+        for vocoder_batch in (4, 3):    # 3 leaves a ragged tail sub-batch,
+            batched = wg.vocode_windowed_batch(     # padded up to the bucket
+                mels, win_len = 16, hop_len = -4, deterministic = True,
+                vocoder_batch = vocoder_batch,
+            )
+            for mel, audio in zip(mels, batched):
+                ref = np.asarray(wg(mel, win_len = 16, hop_len = -4,
+                                    deterministic = True)).reshape(-1)
+                np.testing.assert_allclose(audio, ref[:len(audio)], atol = 1e-5)
 
     def test_batched_windows(self):
         wg = make_wg()
         mel = np.random.randn(1, 20, 80).astype(np.float32)
         audio = wg(mel, win_len = 8, hop_len = -2, batch = True)
         assert audio.shape[-1] == 20 * 8
+
+    def test_windowed_from_device_matches_host(self):
+        """Device-sliced windowed vocoding (the pipelined decode→vocode
+        path) must match the host windowed path bit for bit."""
+        import jax.numpy as jnp
+        wg = make_wg()
+        rng = np.random.RandomState(1)
+        lengths = [40, 55, 12, 3]
+        mel = rng.randn(len(lengths), 60, 80).astype(np.float32)
+        dev = wg.vocode_windowed_from_device(
+            jnp.asarray(mel), lengths, win_len = 16, hop_len = -4,
+            deterministic = True, vocoder_batch = 4,
+        )
+        host = wg.vocode_windowed_batch(
+            [mel[i, :l] for i, l in enumerate(lengths)],
+            win_len = 16, hop_len = -4, deterministic = True,
+            vocoder_batch = 4,
+        )
+        assert len(dev) == len(host)
+        for a, b in zip(dev, host):
+            np.testing.assert_allclose(a, b, atol = 1e-6)
 
 
 class TestSV2TTS:

@@ -264,14 +264,15 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         synth_time, vocoder_time = 0., 0.
         mels, attn_weights, audios = [], [], []
 
+        # attention maps are telemetry: fetched only when a consumer
+        # (callback / explicit request) will read them
+        if fetch_attention is None:
+            fetch_attention = bool(callbacks)
+
         if encoded:
             start = time.time()
             pipelined = None
             if vocoder is not None and batch_chunks:
-                # attention maps are telemetry: fetched only when a consumer
-                # (callback / explicit request) will read them
-                if fetch_attention is None:
-                    fetch_attention = bool(callbacks)
                 pipelined = self._synthesize_and_vocode(
                     encoded, vocoder, embeddings = embeddings,
                     max_length = max_length, min_fpt_ratio = min_fpt_ratio,
@@ -287,7 +288,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                     encoded, embeddings = embeddings, max_length = max_length,
                     max_trial = max_trial, min_fpt_ratio = min_fpt_ratio,
                     max_fpt_ratio = max_fpt_ratio, batch_chunks = batch_chunks,
-                    ** kwargs,
+                    fetch_attention = fetch_attention, ** kwargs,
                 )
                 synth_time = time.time() - start
 
@@ -350,10 +351,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         round trips of the sequential path (~2 tunnel RTTs per call).
 
         Returns (mels, attention, audios) or None to fall back to the
-        sequential retry path (windowed vocoding requested, vocoder without
-        a compiled path, or a frames-per-token gate failure — retries keep
-        their per-chunk granularity there)."""
-        if kwargs.get('win_len') or vocoder_config.get('win_len'):
+        sequential retry path (vocoder without a compiled path, or a
+        frames-per-token gate failure — retries keep their per-chunk
+        granularity there).  Windowed vocoding (`win_len`) stays pipelined
+        when the vocoder can slice windows on device
+        (`vocode_windowed_from_device`); otherwise it falls back."""
+        win_len = kwargs.pop('win_len', None) or vocoder_config.get('win_len')
+        if win_len and not hasattr(vocoder, 'vocode_windowed_from_device'):
             return None
         if not hasattr(vocoder, 'compiled_infer'):
             return None
@@ -373,19 +377,25 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             outputs = self.compiled_infer(inputs, max_length = max_length,
                                           ** kwargs)
 
-        # enqueue vocoder launches on the device mel IMMEDIATELY (async
-        # dispatch): decode kwargs that would corrupt the vocoder's own
-        # bucketing are dropped
+        # decode kwargs that would corrupt the vocoder's own bucketing are
+        # dropped from the vocoder call
         vkwargs = {** kwargs, ** vocoder_config}
         for k in ('padding_multiple', 'use_fused_decoder', 'attn_mask_win_len',
                   'attn_mask_offset', 'early_stopping'):
             if k not in vocoder_config:
                 vkwargs.pop(k, None)
-        audio_dev = [
-            vocoder.compiled_infer(outputs.mel[lo: lo + vocoder_batch],
-                                   ** vkwargs)
-            for lo in range(0, len(encoded), vocoder_batch)
-        ]
+        vkwargs.pop('win_len', None)
+        hop_len = vkwargs.pop('hop_len', -64)
+
+        audio_dev = None
+        if not win_len:
+            # enqueue vocoder launches on the device mel IMMEDIATELY (async
+            # dispatch, before the frames-per-token gate reads lengths)
+            audio_dev = [
+                vocoder.compiled_infer(outputs.mel[lo: lo + vocoder_batch],
+                                       ** vkwargs)
+                for lo in range(0, len(encoded), vocoder_batch)
+            ]
 
         # start the mel/attention device→host copies NOW so they ride the
         # transfer engine while the vocoder computes (attention is fetched
@@ -406,28 +416,41 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                             'falling back to the retry path', i, ratio)
                 return None
 
+        rate = getattr(vocoder, 'upsample_rate', 256)
+        if win_len:
+            # windowed vocoding pipelined off the DEVICE mel: windows are
+            # sliced on device (lengths were needed for the gate anyway), so
+            # the mel fetch above overlaps the window vocode launches
+            audios = vocoder.vocode_windowed_from_device(
+                outputs.mel, out_lengths, win_len = win_len,
+                hop_len = hop_len, ** vkwargs)
+
         mel_host = np.asarray(outputs.mel)
         attn_host = np.asarray(outputs.attention_weights) \
             if fetch_attention else None
-        rate = getattr(vocoder, 'upsample_rate', 256)
-        audio_host = [np.asarray(a) for a in audio_dev]
+        if not win_len:
+            audio_host = [np.asarray(a) for a in audio_dev]
 
-        mels, attn, audios = [], [], []
+        mels, attn = [], []
+        if not win_len: audios = []
         for i in range(len(encoded)):
             out_len = max(1, int(out_lengths[i]))
             mels.append(mel_host[i, :out_len])
             attn.append(attn_host[i, :out_len] if attn_host is not None
                         else None)
-            audios.append(
-                audio_host[i // vocoder_batch][i % vocoder_batch,
-                                               : out_len * rate])
+            if not win_len:
+                audios.append(
+                    audio_host[i // vocoder_batch][i % vocoder_batch,
+                                                   : out_len * rate])
         return mels, attn, audios
 
     def _synthesize_chunks(self, encoded, *, embeddings, max_length, max_trial,
                            min_fpt_ratio, max_fpt_ratio, batch_chunks = True,
-                           ** kwargs):
+                           fetch_attention = True, ** kwargs):
         """Decode every chunk, batched, with per-chunk ratio-gated retries.
-        Returns (mels, attention_weights) lists trimmed to each chunk's length."""
+        Returns (mels, attention_weights) lists trimmed to each chunk's length
+        (attention entries are None unless `fetch_attention` — the maps are
+        the largest decode output and pure telemetry on the serving path)."""
         n = len(encoded)
         lengths = [len(e) for e in encoded]
         mels = [None] * n
@@ -462,7 +485,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 # transfers each pay the tunnel's ~30 ms round-trip latency
                 # (16 slices cost ~0.5 s; two bulk fetches cost ~0.06 s)
                 mel_host = np.asarray(outputs.mel)
-                attn_host = np.asarray(outputs.attention_weights)
+                attn_host = np.asarray(outputs.attention_weights) \
+                    if fetch_attention else None
                 for row, i in enumerate(group):
                     ratio = float(out_lengths[row]) / max(lengths[i], 1)
                     ok = min_fpt_ratio < ratio < max_fpt_ratio
@@ -471,7 +495,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         # keep >=1 frame so downstream vocoding stays shape-valid
                         out_len = max(1, int(out_lengths[row]))
                         mels[i] = mel_host[row, :out_len]
-                        attn[i] = attn_host[row, :out_len]
+                        attn[i] = attn_host[row, :out_len] \
+                            if attn_host is not None else None
                     if not ok:
                         logger.info(
                             'chunk %d attempt %d rejected (frames/token %.2f)',
@@ -484,17 +509,20 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         return mels, attn
 
     def _vocode_chunks(self, vocoder, mels, *, batch_chunks = True,
-                       vocoder_batch = 8, ** kwargs):
+                       vocoder_batch = None, ** kwargs):
         """Vocode chunk mels — in padded sub-batches of `vocoder_batch` when
         lengths are close (padding waste bounded) and no explicit windowing
         was requested, else per chunk (which honors `win_len`)."""
         if (len(mels) > 1 and batch_chunks and kwargs.get('win_len')
                 and hasattr(vocoder, 'vocode_windowed_batch')):
             # long-document fast path: every chunk's windows in shared batches
+            # (vocoder_batch None → the vocoder sizes launches at its MXU
+            # sweet spot)
             return vocoder.vocode_windowed_batch(
                 mels, pad_value = self.pad_mel_value,
                 vocoder_batch = vocoder_batch, ** kwargs)
 
+        if vocoder_batch is None: vocoder_batch = 8
         use_batch = (
             len(mels) > 1 and batch_chunks
             and hasattr(vocoder, 'compiled_infer')
@@ -731,7 +759,8 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         flat_chunks, embeddings = embeddings,
                         max_length = max_length, max_trial = max_trial,
                         min_fpt_ratio = min_fpt_ratio,
-                        max_fpt_ratio = max_fpt_ratio, ** kwargs,
+                        max_fpt_ratio = max_fpt_ratio,
+                        fetch_attention = bool(callbacks), ** kwargs,
                     )
                     chunk_audios = (
                         self._vocode_chunks(vocoder, chunk_mels,

@@ -198,7 +198,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
     __call__ = infer
 
     def vocode_windowed_batch(self, mels, *, win_len, hop_len = -64,
-                              pad_value = None, vocoder_batch = 8, ** kwargs):
+                              pad_value = None, vocoder_batch = None, ** kwargs):
         """Windowed vocoding of MANY mels with the windows batched together
         across inputs (the long-document fast path: one chip-saturating call
         per `vocoder_batch` windows instead of one call per window).
@@ -229,37 +229,114 @@ class WaveGlow(BaseAudioModel, BaseModel):
                 jobs.append((idx, int(start), valid))
                 windows.append(part)
 
-        # vocode all windows in shared sub-batches
-        audio_parts = []
-        for lo in range(0, len(windows), vocoder_batch):
-            batch = np.stack(windows[lo: lo + vocoder_batch])
-            out = np.asarray(self.compiled_infer(
-                batch, padding_multiple = None, ** kwargs))
-            audio_parts.extend(out[i] for i in range(len(batch)))
+        vocoder_batch = self._auto_vocoder_batch(
+            win_len, len(windows), vocoder_batch)
 
-        # stitch per input with half-overlap trimming
-        results = []
-        cursor = 0
-        for idx, mel in enumerate(mels):
-            mel = np.asarray(mel)
-            if mel.ndim == 3: mel = mel[0]
-            seq_len = mel.shape[0]
-            my_jobs = []
-            while cursor < len(jobs) and jobs[cursor][0] == idx:
-                my_jobs.append((jobs[cursor], audio_parts[cursor]))
-                cursor += 1
-            starts = np.array([j[0][1] for j in my_jobs])
-            overlaps = ((starts[:-1] + win_len) - starts[1:]) * rate \
-                if len(starts) > 1 else np.array([], np.int64)
-            pieces = []
-            for i, ((_, start, valid), audio) in enumerate(my_jobs):
-                audio = audio[: valid * rate]
-                lo2 = 0 if i == 0 else int(overlaps[i - 1]) // 2
-                trim = 0 if i == len(my_jobs) - 1 else int(overlaps[i]) // 2
-                pieces.append(audio[lo2: len(audio) - trim])
-            stitched = np.concatenate(pieces)[: seq_len * rate]
-            results.append(stitched)
-        return results
+        # vocode all windows in shared sub-batches: dispatch EVERY launch
+        # before materializing any result, then start the device→host copies
+        # asynchronously — compute of batch k+1 hides the fetch of batch k
+        # (a blocking np.asarray per sub-batch serialized ~30 ms of tunnel
+        # round-trip latency into every launch)
+        dev_parts, batch_sizes = [], []
+        for lo in range(0, len(windows), vocoder_batch):
+            group = windows[lo: lo + vocoder_batch]
+            batch_sizes.append(len(group))
+            if len(group) < vocoder_batch:
+                # pad the tail batch up to the shared bucket so every launch
+                # reuses ONE compiled executable (the padded rows are dropped)
+                group = group + [np.full_like(group[0], pad_value)] \
+                    * (vocoder_batch - len(group))
+            dev_parts.append(self.compiled_infer(
+                np.stack(group), padding_multiple = None, ** kwargs))
+        audio_parts = _materialize_window_batches(dev_parts, batch_sizes)
+
+        seq_lens = [np.asarray(m)[0].shape[0] if np.ndim(m) == 3
+                    else np.asarray(m).shape[0] for m in mels]
+        return _stitch_windows(jobs, audio_parts, seq_lens, win_len, rate)
+
+    def vocode_windowed_from_device(self, mel, lengths, *, win_len,
+                                    hop_len = -64, pad_value = None,
+                                    vocoder_batch = None, ** kwargs):
+        """Windowed vocoding straight off a DEVICE mel batch ``(B, T, n_mel)``
+        (e.g. the synthesizer's decode output): windows are sliced ON DEVICE,
+        so the mel never round-trips through the host before vocoding — the
+        decode→vocode pipeline stays on the device queue and the bulk mel
+        fetch rides the transfer engine underneath the vocoder compute.
+
+        `lengths[i]` gives row i's valid frame count (frames past it are
+        replaced by `pad_value` inside the slicer, matching the host path's
+        trimmed-mel windows).  Returns one stitched waveform per row,
+        trimmed to ``lengths[i] * upsample_rate`` samples."""
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(win_len, float): win_len = int(win_len)
+        if isinstance(hop_len, float): hop_len = int(win_len * hop_len)
+        if hop_len < 0: hop_len = win_len + hop_len
+        if pad_value is None: pad_value = self.pad_mel_value
+        kwargs.pop('padding_multiple', None)
+        rate = self.upsample_rate
+
+        lengths = [max(1, int(l)) for l in np.asarray(lengths).reshape(-1)]
+        jobs = []
+        for idx, L in enumerate(lengths):
+            starts = _get_steps(L, win_len, hop_len) if L > win_len \
+                else np.array([0])
+            for start in starts:
+                jobs.append((idx, int(start), min(win_len, L - int(start))))
+
+        vocoder_batch = self._auto_vocoder_batch(
+            win_len, len(jobs), vocoder_batch)
+
+        if mel.shape[1] < win_len:      # decode buffer shorter than a window
+            mel = jnp.pad(mel, ((0, 0), (0, win_len - mel.shape[1]), (0, 0)),
+                          constant_values = pad_value)
+
+        n_mel = int(mel.shape[-1])
+        key = ('win_slice', win_len, int(vocoder_batch), n_mel,
+               float(pad_value))
+
+        def builder():
+            def fn(mel, owners, starts, lens):
+                def one(o, s):
+                    row = jnp.take(mel, o, axis = 0)
+                    w = jax.lax.dynamic_slice(row, (s, 0), (win_len, n_mel))
+                    idx = s + jnp.arange(win_len)
+                    return jnp.where((idx < lens[o])[:, None], w, pad_value)
+                return jax.vmap(one)(owners, starts)
+            return fn
+
+        slicer = self.get_compiled(key, builder)
+        lens_arr = np.asarray(lengths, np.int32)
+
+        dev_parts, batch_sizes = [], []
+        for lo in range(0, len(jobs), vocoder_batch):
+            group = jobs[lo: lo + vocoder_batch]
+            batch_sizes.append(len(group))
+            n_pad = vocoder_batch - len(group)
+            owners = np.asarray([j[0] for j in group] + [0] * n_pad, np.int32)
+            starts = np.asarray([j[1] for j in group] + [0] * n_pad, np.int32)
+            windows = slicer(mel, owners, starts, lens_arr)
+            dev_parts.append(self.compiled_infer(
+                windows, padding_multiple = None, ** kwargs))
+        audio_parts = _materialize_window_batches(dev_parts, batch_sizes)
+        return _stitch_windows(jobs, audio_parts, lengths, win_len, rate)
+
+    def _auto_vocoder_batch(self, win_len, n_windows, vocoder_batch):
+        """Launch-size policy for window batches: aim each launch at the
+        measured MXU sweet spot — batch × grouped-T ≈ 32 × 8192, the bench.py
+        single-tile shape — so the per-launch weight DMA (12 flows resident
+        in VMEM) amortizes over as much audio as at the headline benchmark.
+        (B=8 windows of 256 frames leave the kernel at 1/4 of that
+        amortization.)  Clamped to the pow2 ceiling of the window count
+        (small inputs should not pad a launch 8x) so shapes stay bucketed."""
+        if vocoder_batch is not None:
+            return vocoder_batch
+        grouped = max(1, win_len * self.upsample_rate // self.arch.hp.n_group)
+        sweet = max(1, (32 * 8192) // grouped)
+        pow2 = 1
+        while pow2 < n_windows: pow2 *= 2
+        return int(min(64, sweet, pow2))
 
     # -- data processing (training) --------------------------------------------
 
@@ -285,6 +362,45 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
     def get_saving_objects(self):
         return {** super().get_saving_objects(), ** self.get_saving_objects_audio()}
+
+
+def _materialize_window_batches(dev_parts, batch_sizes):
+    """Start every device→host copy, THEN block: batch k's fetch hides under
+    batch k+1's compute instead of serializing a tunnel round-trip each."""
+    for dev in dev_parts:
+        try:
+            dev.copy_to_host_async()
+        except AttributeError:          # numpy on CPU/eager backends
+            pass
+    audio_parts = []
+    for dev, n_valid in zip(dev_parts, batch_sizes):
+        out = np.asarray(dev)
+        audio_parts.extend(out[i] for i in range(n_valid))
+    return audio_parts
+
+
+def _stitch_windows(jobs, audio_parts, seq_lens, win_len, rate):
+    """Half-overlap-trim stitching of per-window waveforms back into one
+    waveform per input.  `jobs[k] = (input_idx, start_frame, valid_frames)`
+    in input-major order; `seq_lens[i]` is input i's total frame count."""
+    results = []
+    cursor = 0
+    for idx, seq_len in enumerate(seq_lens):
+        my_jobs = []
+        while cursor < len(jobs) and jobs[cursor][0] == idx:
+            my_jobs.append((jobs[cursor], audio_parts[cursor]))
+            cursor += 1
+        starts = np.array([j[0][1] for j in my_jobs])
+        overlaps = ((starts[:-1] + win_len) - starts[1:]) * rate \
+            if len(starts) > 1 else np.array([], np.int64)
+        pieces = []
+        for i, ((_, start, valid), audio) in enumerate(my_jobs):
+            audio = audio[: valid * rate]
+            lo = 0 if i == 0 else int(overlaps[i - 1]) // 2
+            trim = 0 if i == len(my_jobs) - 1 else int(overlaps[i]) // 2
+            pieces.append(audio[lo: len(audio) - trim])
+        results.append(np.concatenate(pieces)[: seq_len * rate])
+    return results
 
 
 def _get_steps(length, win_len, hop_len):
