@@ -12,9 +12,13 @@ Default path: the fused int8 whole-coupling-block Pallas kernel (per-row
 dynamic activation quant, per-channel weight scales — see
 ops/pallas_kernels.fused_wn_block_int8), guarded by an inline quality gate:
 the int8 waveform must reach >= 25 dB SNR vs the f32 XLA chain on the same
-weights/noise, else the bench falls back to the bf16 Pallas path.  bf16 is
-MXU-peak-bound at ~135x RT (1.45 TFLOP per audio-second vs 197 TFLOP/s peak);
-int8 doubles the ceiling.
+weights/noise.  **Gate-failure fallback is the f32/XLA chain** (~70x RT of
+correct audio) — NEVER the bf16 kernel path: this repo's trained-weights
+measurement (docs/PERFORMANCE.md) shows bf16 kernels produce −3 dB noise in
+exactly the regime where the gate trips.
+
+The headline is the MEDIAN of >=3 timed repetitions (one compile, repeated
+timing loops) so axon-tunnel session scatter cannot flip the driver gate.
 
 The measurement runs in a child process with a watchdog because the axon
 tunnel intermittently hangs device-to-host transfers; timing uses a scalar
@@ -30,6 +34,7 @@ import subprocess
 BATCH = int(os.environ.get('BENCH_BATCH', 32))
 FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
 ITERS = int(os.environ.get('BENCH_ITERS', 6))
+REPS = int(os.environ.get('BENCH_REPS', 3))        # timed repetitions (median)
 DTYPE = os.environ.get('BENCH_DTYPE', 'int8')      # int8 | bfloat16 | float32
 SNR_GATE_DB = float(os.environ.get('BENCH_SNR_GATE', 25.))
 BASELINE_RTF = 10.0
@@ -90,17 +95,27 @@ def worker():
         noise = float(jnp.mean((w_f - w_q) ** 2))
         snr = 10 * np.log10(float(jnp.mean(w_f ** 2)) / max(noise, 1e-20))
         if snr < SNR_GATE_DB:
+            # gate-failure policy (VERDICT r2 weak #2): the safe fallback is
+            # the f32/XLA chain.  bf16 KERNELS are the one mode the repo's
+            # trained-weights measurement shows producing −3 dB garbage in
+            # exactly this regime — never fall back to them.
             sys.stderr.write('int8 SNR gate failed: %.1f dB < %.1f; '
-                             'falling back to bf16\n' % (snr, SNR_GATE_DB))
-            mode = 'bfloat16'
+                             'falling back to the f32/XLA chain\n'
+                             % (snr, SNR_GATE_DB))
+            mode = 'float32_xla'
         else:
             sys.stderr.write('int8 SNR gate: %.1f dB\n' % snr)
-    if mode != 'int8':
-        with jax.default_device(cpu):
-            params = arch.pack_pallas_params(raw)
-        params = jax.device_put(params, tpu)
+    if mode == 'float32_xla':
+        arch = WaveGlow(use_pallas = False)
+        params = jax.device_put(raw, tpu)
+        dtype = None
+    else:
+        if mode != 'int8':
+            with jax.default_device(cpu):
+                params = arch.pack_pallas_params(raw)
+            params = jax.device_put(params, tpu)
+        dtype = jnp.bfloat16 if mode != 'float32' else jnp.float32
 
-    dtype = jnp.bfloat16 if mode != 'float32' else jnp.float32
     # the per-iteration key derivation lives INSIDE the jitted program (the
     # iteration index is the traced argument): a bare `fold_in` between
     # launches would be a separate eager dispatch riding the axon tunnel
@@ -115,11 +130,16 @@ def worker():
         out = infer(params, mel, np.int32(100 + i))
     sync(out)
 
-    start = time.perf_counter()
-    for i in range(ITERS):
-        out = infer(params, mel, np.int32(i))
-    sync(out)
-    elapsed = time.perf_counter() - start
+    # median of REPS timed repetitions (single compile, repeated timing
+    # loops): one noisy tunnel hiccup cannot flip the driver gate
+    times = []
+    for rep in range(max(1, REPS)):
+        start = time.perf_counter()
+        for i in range(ITERS):
+            out = infer(params, mel, np.int32(rep * ITERS + i))
+        sync(out)
+        times.append(time.perf_counter() - start)
+    elapsed = float(np.median(times))
 
     audio_seconds = ITERS * BATCH * FRAMES * 256 / 22050.
     rtf = audio_seconds / elapsed
@@ -132,6 +152,7 @@ def worker():
         raise RuntimeError('implausible timing: {:.0f} TFLOP/s'.format(implied_tflops))
 
     print(json.dumps({'rtf': rtf, 'elapsed_s': elapsed,
+                      'rep_times_s': [round(t, 4) for t in times],
                       'audio_s': audio_seconds, 'mode': mode,
                       'implied_tflops': implied_tflops}), flush = True)
 

@@ -264,10 +264,15 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         synth_time, vocoder_time = 0., 0.
         mels, attn_weights, audios = [], [], []
 
-        # attention maps are telemetry: fetched only when a consumer
-        # (callback / explicit request) will read them
-        if fetch_attention is None:
-            fetch_attention = bool(callbacks)
+        # attention-fetch contract: `infer()` returns attention maps by
+        # default (reference semantics, tacotron2_arch.py:866-925 — consumers
+        # like duration distillation read out['attention']).  Only the
+        # pipelined vocoder fast path treats them as telemetry and skips the
+        # fetch when no callback will read them; pass fetch_attention=True
+        # there to override.
+        fa_sequential = True if fetch_attention is None else fetch_attention
+        fa_pipelined = (bool(callbacks) if fetch_attention is None
+                        else fetch_attention)
 
         if encoded:
             start = time.time()
@@ -278,7 +283,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                     max_length = max_length, min_fpt_ratio = min_fpt_ratio,
                     max_fpt_ratio = max_fpt_ratio,
                     vocoder_config = vocoder_config,
-                    fetch_attention = fetch_attention, ** kwargs,
+                    fetch_attention = fa_pipelined, ** kwargs,
                 )
             if pipelined is not None:
                 mels, attn_weights, audios = pipelined
@@ -288,7 +293,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                     encoded, embeddings = embeddings, max_length = max_length,
                     max_trial = max_trial, min_fpt_ratio = min_fpt_ratio,
                     max_fpt_ratio = max_fpt_ratio, batch_chunks = batch_chunks,
-                    fetch_attention = fetch_attention, ** kwargs,
+                    fetch_attention = fa_sequential, ** kwargs,
                 )
                 synth_time = time.time() - start
 
@@ -342,7 +347,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     def _synthesize_and_vocode(self, encoded, vocoder, *, embeddings = None,
                                max_length = 10., min_fpt_ratio = 2.,
                                max_fpt_ratio = 10., vocoder_config = {},
-                               vocoder_batch = 8, fetch_attention = True,
+                               vocoder_batch = None, fetch_attention = True,
                                ** kwargs):
         """Pipelined decode→vocode (BASELINE config 5): the vocoder launches
         on the DEVICE mel before any bulk host fetch, so the device queue
@@ -386,6 +391,14 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 vkwargs.pop(k, None)
         vkwargs.pop('win_len', None)
         hop_len = vkwargs.pop('hop_len', -64)
+
+        # an explicitly passed top-level vocoder_batch wins on BOTH branches:
+        # forwarded into the windowed slicer's kwargs (None keeps its auto
+        # MXU-sweet-spot policy), and used for the sub-batch slicing below
+        if vocoder_batch is not None:
+            vkwargs.setdefault('vocoder_batch', vocoder_batch)
+        else:
+            vocoder_batch = vkwargs.get('vocoder_batch') or 8
 
         audio_dev = None
         if not win_len:
@@ -714,6 +727,15 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
 
         texts = [t.get('text', t.get('content')) if isinstance(t, dict) else t
                  for t in texts]
+
+        # same attention-fetch contract as infer(): default True on the
+        # sequential path, bool(callbacks) on the pipelined fast path;
+        # an explicit fetch_attention kwarg wins everywhere
+        fetch_attention = kwargs.pop('fetch_attention', None)
+        fa_sequential = True if fetch_attention is None else fetch_attention
+        fa_pipelined = (bool(callbacks) if fetch_attention is None
+                        else fetch_attention)
+
         results = []
         for group_start in range(0, len(texts), batch_size):
             group = texts[group_start: group_start + batch_size]
@@ -750,7 +772,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         min_fpt_ratio = min_fpt_ratio,
                         max_fpt_ratio = max_fpt_ratio,
                         vocoder_config = vocoder_config,
-                        fetch_attention = bool(callbacks), ** kwargs,
+                        fetch_attention = fa_pipelined, ** kwargs,
                     )
                 if pipelined is not None:
                     chunk_mels, chunk_attn, chunk_audios = pipelined
@@ -760,7 +782,7 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                         max_length = max_length, max_trial = max_trial,
                         min_fpt_ratio = min_fpt_ratio,
                         max_fpt_ratio = max_fpt_ratio,
-                        fetch_attention = bool(callbacks), ** kwargs,
+                        fetch_attention = fa_sequential, ** kwargs,
                     )
                     chunk_audios = (
                         self._vocode_chunks(vocoder, chunk_mels,

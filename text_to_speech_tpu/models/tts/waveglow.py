@@ -85,11 +85,15 @@ class WaveGlow(BaseAudioModel, BaseModel):
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))
 
         # the fused whole-block Pallas kernel needs a TPU backend; other
-        # backends stay on the XLA chain
+        # backends stay on the XLA chain.  `_serve_force_xla` (set when a
+        # quantization quality gate failed) pins the SAFE serving mode: the
+        # f32/XLA chain — never the bf16 kernel path, which measured −3 dB
+        # on trained weights (docs/PERFORMANCE.md)
         default_dev = jax.config.jax_default_device
         platform = default_dev.platform if default_dev is not None \
             else jax.default_backend()
-        use_pallas = platform == 'tpu'
+        use_pallas = platform == 'tpu' \
+            and not getattr(self, '_serve_force_xla', False)
         int8 = bool(getattr(self, '_serve_int8', False)) and use_pallas
         static = (float(sigma) if sigma is not None else None,
                   bool(deterministic), dtype, use_pallas)
@@ -122,17 +126,69 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
         return self.get_compiled(key, builder)(params, mel, rng)
 
-    def quantize_for_serving(self, enable = True):
+    def quantize_for_serving(self, enable = True, *, validate = None,
+                             gate_db = 25.):
         """Serve through the fused int8 WN-block kernels: weights
         pre-quantized to int8 with per-output-channel scales; activations
         quantize per-row inside the kernel.  Measured on v5e: ~1.6x faster
-        than the bf16 kernel AND closer to the f32 chain (42 vs −3 dB
-        waveform SNR — see `ops/pallas_kernels.py`).  Training, export and
-        checkpointing are unaffected: the quantized copy lives only in the
-        serving cache.  Requires a TPU backend; no-op elsewhere."""
+        than the bf16 kernel AND closer to the f32 chain (48.3 vs −3 dB
+        waveform SNR on trained weights — see `ops/pallas_kernels.py`,
+        docs/PERFORMANCE.md).  Training, export and checkpointing are
+        unaffected: the quantized copy lives only in the serving cache.
+        Requires a TPU backend; no-op elsewhere.
+
+        With `validate` (a mel array), the int8 path is SNR-gated against
+        the f32/XLA chain on that mel before being enabled.  **Gate-failure
+        policy**: fall back to the f32/XLA chain — NEVER the bf16 kernel
+        path, which this repo measured at −3 dB on trained weights (learned
+        non-contractive flows amplify residual-stream rounding) precisely in
+        the regime where the gate trips.  The chosen mode is readable at
+        `serving_mode`; the measured SNR at `_last_serving_snr_db`."""
         self._serve_int8 = bool(enable)
+        self._serve_force_xla = False
         self._packed_params = None
+        if enable and validate is not None:
+            snr = self.serving_snr(validate)
+            self._last_serving_snr_db = snr
+            if snr < gate_db:
+                logger.warning(
+                    'int8 serving SNR gate FAILED (%.1f dB < %.1f dB): '
+                    'serving falls back to the f32/XLA chain', snr, gate_db)
+                self._serve_int8 = False
+                self._serve_force_xla = True
+            else:
+                logger.info('int8 serving SNR gate: %.1f dB', snr)
         return self
+
+    @property
+    def serving_mode(self):
+        """'int8' | 'float32_xla' (gate-failure fallback) | 'default'."""
+        if getattr(self, '_serve_force_xla', False): return 'float32_xla'
+        if getattr(self, '_serve_int8', False): return 'int8'
+        return 'default'
+
+    def serving_snr(self, mel, *, rng = None):
+        """int8-kernel vs f32/XLA-chain waveform SNR (dB) on `mel`, with the
+        same noise sample — the quality gate for `quantize_for_serving`.
+        Runs the exact mixed-precision configuration the int8 serving path
+        uses (bf16 operands, f32 audio stream)."""
+        import jax
+        import jax.numpy as jnp
+
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2: mel = mel[None]
+        if rng is None: rng = jax.random.PRNGKey(0)
+
+        packed = self.arch.quantize_pallas_params(
+            self.arch.pack_pallas_params(self.params))
+        w_f = jax.jit(lambda p, m: self.arch.infer(
+            p, m, rng = rng, use_pallas = False))(self.params, mel)
+        w_q = jax.jit(lambda p, m: self.arch.infer(
+            p, m, rng = rng, dtype = jnp.bfloat16,
+            use_pallas = True))(packed, mel)
+        noise = float(jnp.mean((w_f - w_q) ** 2))
+        sig = float(jnp.mean(w_f ** 2))
+        return 10. * float(np.log10(sig / max(noise, 1e-20)))
 
     # -- inference -------------------------------------------------------------
 
