@@ -36,18 +36,27 @@ class HiFiGAN(BaseAudioModel, BaseModel):
         BaseModel.__init__(self, name = self.name, ** kwargs)
 
     @classmethod
-    def from_torch_pretrained(cls, checkpoint, *, name = 'hifigan', ** kwargs):
+    def from_torch_pretrained(cls, checkpoint, *, name = 'hifigan',
+                              config = None, ** kwargs):
         """Create a vocoder from a published torch HiFi-GAN generator
         checkpoint (weight-norm folded; layout verified numerically vs
-        torch in ``tests/test_torch_parity.py``)."""
+        torch in ``tests/test_torch_parity.py``).  Architecture sizes are
+        inferred from the state dict's shapes; pass `config` overrides for
+        non-derivable fields (`upsample_rates` if not kernel//2, exotic
+        dilation schedules)."""
         import jax
         import jax.numpy as jnp
-        from ..tts_checkpoints import load_hifigan
+        from ..tts_checkpoints import (
+            _load_state_dict, remove_torch_weight_norm, convert_hifigan,
+            hifigan_config_from_state_dict,
+        )
 
-        model = cls(name = name, ** kwargs)
-        params = load_hifigan(
-            checkpoint,
-            num_kernels = len(model.arch.hp.resblock_kernel_sizes))
+        sd = remove_torch_weight_norm(_load_state_dict(checkpoint))
+        inferred = hifigan_config_from_state_dict(sd)
+        inferred.update(config or {})
+        model = cls(name = name, ** {** inferred, ** kwargs})
+        params = convert_hifigan(
+            sd, num_kernels = len(model.arch.hp.resblock_kernel_sizes))
         model.set_weights(jax.tree_util.tree_map(jnp.asarray, params))
         model.save()
         return model

@@ -77,21 +77,32 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
 
     @classmethod
     def from_nvidia_pretrained(cls, checkpoint, *, name = 'pretrained_tacotron2',
-                               lang = 'en', ** kwargs):
-        """Create a model from a published NVIDIA Tacotron-2 torch checkpoint
-        (LJSpeech, vocab 148 with ARPAbet)."""
+                               lang = 'en', config = None, ** kwargs):
+        """Create a model from a NVIDIA-layout Tacotron-2 torch checkpoint
+        (e.g. the published LJSpeech release, vocab 148 with ARPAbet).
+        Architecture sizes are inferred from the state dict's shapes, so
+        non-default checkpoints import too; pass `config` overrides for
+        anything non-derivable (dropout rates, flags)."""
         import jax
         import jax.numpy as jnp
-        from ..tts_checkpoints import load_nvidia_tacotron2
+        from ..tts_checkpoints import (
+            _load_state_dict, convert_nvidia_tacotron2,
+            tacotron2_config_from_state_dict,
+        )
         from ...text import en_symbols
 
+        sd = _load_state_dict(checkpoint)
+        inferred = tacotron2_config_from_state_dict(sd)
+        inferred.pop('vocab_size', None)    # the tokenizer drives vocab_size
+        inferred.update(config or {})
         model = cls(
             lang = lang, name = name,
-            tokenizer = {'vocab': en_symbols, 'level': 'char',
-                         'cleaners': ['english_cleaners']},
-            ** kwargs,
+            tokenizer = kwargs.pop('tokenizer', None) or {
+                'vocab': en_symbols, 'level': 'char',
+                'cleaners': ['english_cleaners']},
+            ** {** inferred, ** kwargs},
         )
-        params, state = load_nvidia_tacotron2(checkpoint)
+        params, state = convert_nvidia_tacotron2(sd)
         model.set_weights(
             jax.tree_util.tree_map(jnp.asarray, params),
             jax.tree_util.tree_map(jnp.asarray, state),

@@ -39,16 +39,25 @@ class WaveGlow(BaseAudioModel, BaseModel):
         BaseModel.__init__(self, name = self.name, ** kwargs)
 
     @classmethod
-    def from_nvidia_pretrained(cls, checkpoint, *, name = 'waveglow', ** kwargs):
-        """Create a vocoder from the published NVIDIA WaveGlow torch
-        checkpoint (weight-norm folded, fused cond layers)."""
+    def from_nvidia_pretrained(cls, checkpoint, *, name = 'waveglow',
+                               config = None, ** kwargs):
+        """Create a vocoder from a NVIDIA-layout WaveGlow torch checkpoint
+        (weight-norm folded, fused cond layers).  Architecture sizes are
+        inferred from the state dict's shapes; pass `config` overrides for
+        non-derivable fields (`upsample_stride` if not 256)."""
         import jax
         import jax.numpy as jnp
-        from ..tts_checkpoints import load_nvidia_waveglow
+        from ..tts_checkpoints import (
+            _load_state_dict, remove_torch_weight_norm,
+            convert_nvidia_waveglow, waveglow_config_from_state_dict,
+        )
 
-        model = cls(name = name, wn_fused = True, ** kwargs)
-        params = load_nvidia_waveglow(checkpoint)
-        model.set_weights(jax.tree_util.tree_map(jnp.asarray, params))
+        sd = remove_torch_weight_norm(_load_state_dict(checkpoint))
+        inferred = waveglow_config_from_state_dict(sd)
+        inferred.update(config or {})
+        model = cls(name = name, ** {** inferred, ** kwargs})
+        model.set_weights(jax.tree_util.tree_map(
+            jnp.asarray, convert_nvidia_waveglow(sd)))
         model.save()
         return model
 

@@ -29,6 +29,16 @@ def _t(w):
     return np.ascontiguousarray(np.asarray(w).T)
 
 
+def _strip_prefix(sd, pattern):
+    """Strip wrapper prefixes (``module.`` / ``model.`` / ``generator.``)
+    from the state-dict keys.  Returns `sd` UNCHANGED when no key matches —
+    preserving dict subclasses (``tools/import_and_verify.py`` wraps state
+    dicts in a consumption-tracking dict for its coverage gate)."""
+    if not any(re.match(pattern, k) for k in sd):
+        return sd
+    return {re.sub(pattern, '', k): v for k, v in sd.items()}
+
+
 def _conv(sd, prefix):
     out = {'kernel': np.ascontiguousarray(
         np.asarray(sd[prefix + '.weight']).transpose(2, 1, 0))}
@@ -64,7 +74,7 @@ def _batch_norm(sd, prefix):
 def convert_nvidia_tacotron2(sd):
     """NVIDIA/torch-hub Tacotron-2 ``state_dict`` → (params, state) trees
     matching ``models.tacotron2_arch.Tacotron2`` (default hparams)."""
-    sd = {re.sub(r'^module\.', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^module\.')
     params = {'encoder': {}, 'decoder': {}, 'postnet': {}}
     state = {'encoder': {}, 'postnet': {}}
 
@@ -111,7 +121,7 @@ def convert_nvidia_waveglow(sd):
     """NVIDIA WaveGlow ``state_dict`` (weight-norm removed) → params tree
     matching ``models.waveglow_arch.WaveGlow`` (default hparams,
     ``wn_fused=True`` — NVIDIA's blocks use one fused cond conv)."""
-    sd = {re.sub(r'^module\.', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^module\.')
     params = {
         'upsample': {
             # torch ConvTranspose1d (in, out, k) -> (k, in, out) with the
@@ -160,7 +170,7 @@ def convert_hifigan(sd, *, num_kernels = None):
     `convs1`/`convs2` (dilated + plain pairs); v3 (ResBlock2) has a single
     `convs` list.  `num_kernels` (MRF size) is inferred from the resblock
     count when omitted (total = n_up * num_kernels)."""
-    sd = {re.sub(r'^(module\.|generator\.)', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^(module\.|generator\.)')
     params = {'conv_pre': _conv(sd, 'conv_pre'),
               'conv_post': _conv(sd, 'conv_post')}
     n_up = 1 + max(int(m.group(1)) for k in sd
@@ -307,7 +317,7 @@ def convert_vits(sd):
     ``convert_hifigan``), both duration predictors (`dp`: stochastic when
     `dp.flows.0.m` exists, conv stack otherwise), and speaker conditioning
     (`emb_g`, `dec.cond`, per-module cond layers)."""
-    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^(module\.|model\.)')
     params = {
         'embedding': {'embeddings': np.asarray(sd['enc_p.emb.weight'])},
         'text_proj': _conv(sd, 'enc_p.proj'),
@@ -316,8 +326,10 @@ def convert_vits(sd):
             'wn': _vits_wn(sd, 'enc_q.enc'),
             'proj': _conv(sd, 'enc_q.proj'),
         },
+        # indexed (not .items()) so consumption-tracking wrappers see the
+        # generator tensors being read (tools/import_and_verify.py)
         'generator': convert_hifigan(
-            {k[len('dec.'):]: v for k, v in sd.items()
+            {k[len('dec.'):]: sd[k] for k in list(sd)
              if k.startswith('dec.') and not k.startswith('dec.cond')}),
     }
 
@@ -419,7 +431,7 @@ def vits_config_from_state_dict(sd):
     config differed): `n_heads` when no relative embeddings are present,
     `upsample_rates` (strides — inferred as kernel//2, the published
     convention), `resblock_dilation_sizes`, and the dropout rates."""
-    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^(module\.|model\.)')
     shp = lambda k: tuple(np.shape(sd[k]))
 
     config = {}
@@ -490,11 +502,105 @@ def vits_config_from_state_dict(sd):
     return config
 
 
+def tacotron2_config_from_state_dict(sd):
+    """Shape-derivable ``HParamsTacotron2`` fields from a NVIDIA-layout
+    ``state_dict`` (every architecture size is in the tensor shapes; only
+    rates/flags keep their defaults)."""
+    sd = _strip_prefix(sd, r'^module\.')
+    shp = lambda k: tuple(np.shape(sd[k]))
+    vocab_size, emb = shp('embedding.weight')
+    config = {
+        'vocab_size': vocab_size,
+        'encoder_embedding_dim': emb,
+        'encoder_n_conv': _count(sd, r'encoder\.convolutions\.(\d+)\.'),
+        'encoder_kernel_size': shp('encoder.convolutions.0.0.conv.weight')[2],
+        'prenet_sizes': tuple(
+            shp('decoder.prenet.layers.{}.linear_layer.weight'.format(i))[0]
+            for i in range(_count(
+                sd, r'decoder\.prenet\.layers\.(\d+)\.'))),
+        'lsa_attention_dim': shp(
+            'decoder.attention_layer.query_layer.linear_layer.weight')[0],
+        'lsa_attention_filters': shp(
+            'decoder.attention_layer.location_layer.location_conv'
+            '.conv.weight')[0],
+        'lsa_attention_kernel_size': shp(
+            'decoder.attention_layer.location_layer.location_conv'
+            '.conv.weight')[2],
+        'attention_rnn_dim': shp('decoder.attention_rnn.weight_hh')[1],
+        'decoder_rnn_dim': shp('decoder.decoder_rnn.weight_hh')[1],
+        'postnet_n_conv': _count(sd, r'postnet\.convolutions\.(\d+)\.'),
+        'postnet_filters': shp('postnet.convolutions.0.0.conv.weight')[0],
+        'postnet_kernel_size': shp('postnet.convolutions.0.0.conv.weight')[2],
+        'n_mel_channels': shp(
+            'decoder.linear_projection.linear_layer.weight')[0],
+    }
+    return config
+
+
+def waveglow_config_from_state_dict(sd):
+    """Shape-derivable ``HParamsWaveGlow`` fields from a NVIDIA-layout
+    ``state_dict`` (weight-norm removed).  The early-output schedule is
+    reconstructed from the per-flow 1x1-conv channel counts.  Not
+    shape-derivable: ``upsample_stride`` (the published checkpoints use
+    256 — pass an override otherwise)."""
+    sd = _strip_prefix(sd, r'^module\.')
+    shp = lambda k: tuple(np.shape(sd[k]))
+    n_flows = _count(sd, r'WN\.(\d+)\.')
+    remaining = [shp('convinv.{}.conv.weight'.format(k))[0]
+                 for k in range(n_flows)]
+    n_early_every, n_early_size = n_flows + 1, 0
+    for k in range(1, n_flows):
+        if remaining[k] < remaining[k - 1]:
+            n_early_every = k
+            n_early_size = remaining[k - 1] - remaining[k]
+            break
+    return {
+        'n_mel_channels': shp('upsample.weight')[0],
+        'n_flows': n_flows,
+        'n_group': remaining[0],
+        'n_early_every': n_early_every,
+        'n_early_size': n_early_size,
+        'wn_layers': _count(sd, r'WN\.0\.in_layers\.(\d+)\.'),
+        'wn_channels': shp('WN.0.start.weight')[0],
+        'wn_kernel_size': shp('WN.0.in_layers.0.weight')[2],
+        'wn_fused': 'WN.0.cond_layer.weight' in sd,
+        'upsample_width': shp('upsample.weight')[2],
+    }
+
+
+def hifigan_config_from_state_dict(sd):
+    """Shape-derivable ``HParamsHiFiGAN`` fields from an official-layout
+    generator ``state_dict`` (weight-norm removed).  Not shape-derivable:
+    ``upsample_rates`` (inferred as kernel//2, the published convention)
+    and the dilation values (the (1, 3, 5) prefix convention)."""
+    sd = _strip_prefix(sd, r'^(module\.|generator\.)')
+    shp = lambda k: tuple(np.shape(sd[k]))
+    n_up = _count(sd, r'ups\.(\d+)\.')
+    n_res = _count(sd, r'resblocks\.(\d+)\.')
+    num_kernels = n_res // n_up
+    version = 1 if 'resblocks.0.convs1.0.weight' in sd else 2
+    res_key = 'convs1' if version == 1 else 'convs'
+    kernels = [shp('ups.{}.weight'.format(i))[2] for i in range(n_up)]
+    n_dil = _count(sd, r'resblocks\.0\.{}\.(\d+)\.'.format(res_key))
+    return {
+        'n_mel_channels': shp('conv_pre.weight')[1],
+        'upsample_initial_channel': shp('conv_pre.weight')[0],
+        'upsample_kernel_sizes': tuple(kernels),
+        'upsample_rates': tuple(k // 2 for k in kernels),
+        'resblock_version': version,
+        'resblock_kernel_sizes': tuple(
+            shp('resblocks.{}.{}.0.weight'.format(j, res_key))[2]
+            for j in range(num_kernels)),
+        'resblock_dilation_sizes': tuple(
+            tuple((1, 3, 5)[:n_dil]) for _ in range(num_kernels)),
+    }
+
+
 def convert_vocos(sd):
     """Official torch Vocos state_dict (``backbone.convnext`` layout,
     e.g. the published mel-spectrogram release) → params tree matching
     ``models.vocos_arch.Vocos``."""
-    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    sd = _strip_prefix(sd, r'^(module\.|model\.)')
 
     def norm(prefix):
         return {'gamma': np.asarray(sd[prefix + '.weight']).reshape(-1),
@@ -521,17 +627,22 @@ def convert_vocos(sd):
 
 def vocos_config_from_state_dict(sd):
     """Shape-derivable ``HParamsVocos`` fields from an official Vocos
-    state dict (hop_length is a front-end fact — pass it if != 256)."""
-    sd = {re.sub(r'^(module\.|model\.)', '', k): v for k, v in sd.items()}
+    state dict.  hop/win follow the published convention
+    (win = n_fft, hop = n_fft/4 — 256/1024 in the mel release); pass
+    overrides if the training front-end differed."""
+    sd = _strip_prefix(sd, r'^(module\.|model\.)')
     shp = lambda k: tuple(np.shape(sd[k]))
     dim, n_mels, kernel = shp('backbone.embed.weight')
+    n_fft = shp('head.out.weight')[0] - 2
     return {
         'dim': dim,
         'n_mel_channels': n_mels,
         'kernel_size': kernel,
         'n_layers': _count(sd, r'backbone\.convnext\.(\d+)\.'),
         'intermediate_dim': shp('backbone.convnext.0.pwconv1.weight')[0],
-        'n_fft': shp('head.out.weight')[0] - 2,
+        'n_fft': n_fft,
+        'win_length': n_fft,
+        'hop_length': max(1, n_fft // 4),
     }
 
 
@@ -545,7 +656,11 @@ def load_vocos(path_or_sd):
 
 def remove_torch_weight_norm(sd):
     """Fold torch weight-norm (weight_g/weight_v) pairs back into plain
-    weights (the published WaveGlow checkpoint ships weight-normed)."""
+    weights (the published WaveGlow checkpoint ships weight-normed).
+    Returns `sd` unchanged when nothing is weight-normed (preserving dict
+    subclasses — see ``_strip_prefix``)."""
+    if not any(k.endswith('weight_g') for k in sd):
+        return sd
     out = {}
     for key, value in sd.items():
         if key.endswith('weight_g'):
@@ -577,6 +692,8 @@ def load_nvidia_waveglow(path_or_sd):
 
 def _load_state_dict(path_or_sd):
     if isinstance(path_or_sd, dict):
+        if all(isinstance(v, np.ndarray) for v in path_or_sd.values()):
+            return path_or_sd       # already numpy: keep dict subclasses
         sd = path_or_sd
     else:
         import torch
