@@ -222,6 +222,135 @@ class AudioAnnotation:
     def set_text(self, index, text):
         self.alignment[index]['text'] = text
 
+    # -- workspace editing (reference ``audio_annotation.py:307-628``) ---------
+
+    def pop(self, index, rebuild = True):
+        """Remove segment(s) by index (int or list) — reference ``:307``."""
+        if not isinstance(index, (list, tuple, np.ndarray)):
+            index = [index]
+        drop = {int(i) % max(1, len(self.alignment)) for i in index}
+        self.alignment = [seg for i, seg in enumerate(self.alignment)
+                          if i not in drop]
+        if rebuild and getattr(self, 'parts', None) is not None:
+            self.build_alignment()
+        return self
+
+    def split(self, index, at = None, rebuild = True):
+        """Split segment `index` in two — at its midpoint (reference
+        ``:313``) or at absolute time `at` (seconds).  Both halves keep the
+        segment's text/speaker annotations."""
+        seg = self.alignment[index]
+        if at is None:
+            at = (seg['start'] + seg['end']) / 2.
+        if not (seg['start'] < at < seg['end']):
+            raise ValueError('split point {:.3f}s outside [{:.3f}, {:.3f}]'
+                             .format(at, seg['start'], seg['end']))
+        second = dict(seg)
+        seg['end'] = at
+        second['start'] = at
+        self.alignment.insert(index + 1, second)
+        if rebuild and getattr(self, 'parts', None) is not None:
+            self.build_alignment()
+        return self
+
+    def update_segment(self, index, *, rebuild = True, ** kwargs):
+        """Update one segment's fields.  `start` / `end` are RELATIVE
+        offsets in seconds (the reference's ``_update_infos:327``
+        convention: ``start = 1`` shifts the start 1 s later); every other
+        field is assigned."""
+        seg = self.alignment[index]
+        for key, value in kwargs.items():
+            if key in ('start', 'end'):
+                seg[key] = seg[key] + float(value)
+            else:
+                seg[key] = value
+        if seg['start'] > seg['end']:
+            raise ValueError('segment {} now empty: start {:.3f} > end {:.3f}'
+                             .format(index, seg['start'], seg['end']))
+        if rebuild and getattr(self, 'parts', None) is not None:
+            self.build_alignment()
+        return self
+
+    # -- speaker management ----------------------------------------------------
+
+    def rename(self, old_id, new_id):
+        """New id for a speaker across the whole alignment — ``:589``."""
+        return self.set_speaker_infos(old_id, speaker = new_id)
+
+    def set_speaker_infos(self, name, ** kwargs):
+        """Set fields on every segment of one speaker (e.g. ``sex='F'``) —
+        reference ``:593``.  Timing fields are refused (they are
+        per-segment facts)."""
+        for key in ('start', 'end', 'time'):
+            kwargs.pop(key, None)
+        for seg in self.alignment:
+            if seg.get('speaker') == name:
+                seg.update(kwargs)
+        for part in getattr(self, 'parts', None) or []:
+            if part.get('speaker') == name:
+                part.update(kwargs)
+        return self
+
+    def remove_speaker(self, name):
+        """Drop every segment of a speaker — reference ``:611``."""
+        return self.pop([i for i, seg in enumerate(self.alignment)
+                         if seg.get('speaker') == name])
+
+    def get_speaker_alignment(self, name):
+        return [dict(seg) for seg in self.alignment
+                if seg.get('speaker') == name]
+
+    def speaker_infos(self, names = None):
+        """{speaker: {non-timing fields common to its segments}} —
+        reference ``:615``."""
+        if names is not None and not isinstance(names, (list, tuple)):
+            names = [names]
+        infos = {}
+        for seg in self.alignment:
+            speaker = seg.get('speaker')
+            if speaker is None or (names is not None and speaker not in names):
+                continue
+            fields = {k: v for k, v in seg.items()
+                      if k not in ('start', 'end', 'time', 'embedding',
+                                   'text', 'indexes')}
+            if speaker not in infos:
+                infos[speaker] = dict(fields)
+            else:   # keep only fields identical across the speaker's segments
+                infos[speaker] = {
+                    k: v for k, v in infos[speaker].items()
+                    if k in fields and _same(fields[k], v)}
+        return infos
+
+    def get_speaker_audios(self, name):
+        """Per-segment audio clips of one speaker (rate, [clips])."""
+        return self.rate, [self.extract(seg) for seg in self.alignment
+                           if seg.get('speaker') == name]
+
+    def display(self, name = None, *, max_display = None, by_part = False,
+                play = False, verbose = True):
+        """Print (and optionally play) segments — reference ``:640``.
+        `name` filters to one speaker (or a list); `by_part` shows the
+        merged ``build_alignment`` parts."""
+        if name is not None and not isinstance(name, (list, tuple)):
+            name = [name]
+        segments = (getattr(self, 'parts', None) or self.build_alignment()) \
+            if by_part else self.alignment
+        shown = 0
+        for i, seg in enumerate(segments):
+            if name is not None and seg.get('speaker') not in name:
+                continue
+            if max_display is not None and shown >= max_display:
+                break
+            shown += 1
+            if verbose:
+                print('[{:4d}] {:8.2f} - {:8.2f}  {:<12} {}'.format(
+                    i, seg['start'], seg['end'],
+                    str(seg.get('speaker', '-')), seg.get('text', '')))
+            if play:
+                from .audio_io import display_audio
+                display_audio(self.extract(seg), rate = self.rate)
+        return shown
+
     def build_alignment(self, join_threshold = 0.5, text_based = True):
         """Group consecutive same-speaker segments into alignment parts
         (reference ``audio_annotation.py:179``): segments merge when the
@@ -280,6 +409,78 @@ class AudioAnnotation:
                  if s.get('speaker') == speaker]
         return np.concatenate(clips) if clips else np.zeros((0,), np.float32)
 
+    # -- persistence (reference ``audio_annotation.py:689,828``) ---------------
+
+    def get_config(self):
+        return {
+            'filename': self.filename,
+            'rate': self.rate,
+        }
+
+    def save(self, directory = None):
+        """Persist the whole workspace (config + alignment + parts) to
+        ``<directory>/config.json``; segment embeddings (numpy) go to an
+        ``embeddings.npy`` sidecar.  Round-trip partner of `load`."""
+        directory = directory or self.directory
+        if not directory:
+            raise ValueError('a directory is required to save')
+        self.directory = directory
+        os.makedirs(directory, exist_ok = True)
+
+        from ..utils import dump_json
+        alignment, embeddings = [], []
+        for seg in self.alignment:
+            seg = dict(seg)
+            emb = seg.pop('embedding', None)
+            if emb is not None:
+                seg['embedding_index'] = len(embeddings)
+                embeddings.append(np.asarray(emb))
+            alignment.append(seg)
+        data = {** self.get_config(), 'alignment': alignment}
+        if getattr(self, 'parts', None) is not None:
+            data['parts'] = self.parts
+        dump_json(os.path.join(directory, 'config.json'), data, indent = 4)
+        if embeddings:
+            np.save(os.path.join(directory, 'embeddings.npy'),
+                    np.stack(embeddings))
+        return directory
+
+    @classmethod
+    def load(cls, directory, *, audio = None, rate = None, ** kwargs):
+        """Re-open a saved workspace from a directory or its
+        ``config.json``.  The audio reloads from the saved `filename`;
+        pass `audio` (+ `rate`) explicitly when the recording moved."""
+        from ..utils import load_json
+
+        if directory.endswith('.json'):
+            config_file, directory = directory, os.path.dirname(directory)
+        else:
+            config_file = os.path.join(directory, 'config.json')
+        config = load_json(config_file)
+
+        if audio is None:
+            if not config.get('filename'):
+                raise ValueError('the saved workspace has no source filename;'
+                                 ' pass `audio` explicitly')
+            audio = config['filename']
+        self = cls(audio, rate or config.get('rate'),
+                   directory = directory, ** kwargs)
+
+        emb_file = os.path.join(directory, 'embeddings.npy')
+        embeddings = np.load(emb_file) if os.path.exists(emb_file) else None
+        self.alignment = []
+        for seg in config.get('alignment', []):
+            seg = dict(seg)
+            idx = seg.pop('embedding_index', None)
+            if idx is not None and embeddings is not None:
+                seg['embedding'] = embeddings[idx]
+            self.alignment.append(seg)
+        if 'parts' in config:
+            self.parts = config['parts']
+        return self
+
+    load_from_file = load
+
     # -- export ---------------------------------------------------------------
 
     def save_as_dataset(self, directory = None, *, merged = False):
@@ -312,3 +513,68 @@ class AudioAnnotation:
         df = pd.DataFrame(rows)
         df.to_csv(os.path.join(directory, 'metadata.csv'), index = False)
         return df
+
+
+def _same(a, b):
+    try:
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def load_annotation_dir(directory):
+    """Load every saved `AudioAnnotation` workspace under `directory`
+    (sub-directories with a ``config.json``, or bare ``.json`` files) —
+    reference ``audio_annotation.py:843``.  Unloadable entries are skipped
+    with a log line (e.g. the source audio moved)."""
+    results = []
+    for entry in sorted(os.listdir(directory)):
+        path = os.path.join(directory, entry)
+        if os.path.isdir(path):
+            if not os.path.exists(os.path.join(path, 'config.json')):
+                continue
+        elif not entry.endswith('.json'):
+            continue
+        try:
+            results.append(AudioAnnotation.load(path))
+        except Exception as e:
+            logger.info('skipping %s: %s', path, e)
+    return results
+
+
+def embed_annotation_dataset(directory, embed_fn, *, rate = None,
+                             overwrite = False, filename = 'embeddings.h5',
+                             ** kwargs):
+    """Embed every exported annotation dataset under `directory` (the
+    ``save_as_dataset`` layout: ``<name>/metadata.csv`` + ``wavs/``) and
+    save per-segment embeddings next to each — the SV2TTS preparation step
+    (reference ``audio_annotation.py:857``).
+
+    `embed_fn(rows) -> (N, D)` is typically ``SpeakerEncoder.embed``.
+    Returns {dataset_dir: embeddings_path}."""
+    import pandas as pd
+    from ..utils.embeddings import save_embeddings
+    from .audio_io import load_audio
+
+    out = {}
+    candidates = [directory] if os.path.exists(
+        os.path.join(directory, 'metadata.csv')) else [
+        os.path.join(directory, d) for d in sorted(os.listdir(directory))
+        if os.path.exists(os.path.join(directory, d, 'metadata.csv'))]
+    for ds_dir in candidates:
+        target = os.path.join(ds_dir, filename)
+        if os.path.exists(target) and not overwrite:
+            out[ds_dir] = target
+            continue
+        df = pd.read_csv(os.path.join(ds_dir, 'metadata.csv'))
+        rows = []
+        for _, row in df.iterrows():
+            audio = load_audio(row['filename'], rate)
+            rows.append({'audio': audio, 'rate': rate, 'id': row.get('id'),
+                         'speaker': row.get('speaker')})
+        embeddings = np.asarray(embed_fn(rows))
+        save_embeddings(target, embeddings,
+                        ids = list(df['id']), speakers = list(df['speaker']),
+                        ** kwargs)
+        out[ds_dir] = target
+    return out
