@@ -31,7 +31,9 @@ import sys
 import json
 import subprocess
 
-BATCH = int(os.environ.get('BENCH_BATCH', 32))
+BATCH = int(os.environ.get('BENCH_BATCH', 64))   # 64 amortizes the ~1.5%
+                                                 # non-kernel share 2x vs 32
+                                                 # (measured +1.5% RTF)
 FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
 ITERS = int(os.environ.get('BENCH_ITERS', 6))
 REPS = int(os.environ.get('BENCH_REPS', 3))        # timed repetitions (median)

@@ -92,7 +92,9 @@ def main(epochs = 50, out_path = None, r = 1):
     # drifts a few frames) — the standard TTS copy-synthesis measure
     from text_to_speech_tpu.train.metrics import get_metric
     mcd = get_metric('mcd')(gt_mel, mel, align = 'dtw')
-    print('MCD vs ground truth: %.2f dB (dtw-aligned)' % mcd)
+    snr = get_metric('mel_snr')(gt_mel, mel)
+    print('MCD vs ground truth: %.2f dB (dtw-aligned); mel SNR %.1f dB'
+          % (mcd, snr))
 
     # Griffin-Lim: the weights-free vocoder fallback.  Also invert the
     # ground-truth mel — the quality ceiling of this vocoding path.
@@ -107,9 +109,13 @@ def main(epochs = 50, out_path = None, r = 1):
                 ceiling, rate = model.rate)
     print('wrote', synth_path)
 
-    return {'loss_first': float(losses[0]), 'loss_last': float(losses[-1]),
-            'mel_mae': mae, 'mcd_db': float(mcd), 'frames': len(mel),
-            'gt_frames': len(gt_mel)}
+    result = {'loss_first': float(losses[0]), 'loss_last': float(losses[-1]),
+              'mel_mae': mae, 'mcd_db': float(mcd),
+              'mel_snr_db': float(snr), 'frames': len(mel),
+              'gt_frames': len(gt_mel), 'r': r}
+    import json
+    print('METRICS ' + json.dumps(result))
+    return result
 
 
 if __name__ == '__main__':

@@ -513,6 +513,24 @@ class TestTTSQualityMetrics:
         cut, dtw = mcd(a, shifted), mcd(a, shifted, align = 'dtw')
         assert dtw < cut * 0.2                            # alignment absorbed
 
+    def test_choose_reduction_factor_policy(self):
+        """r policy (VERDICT r2 next-round #8): r=1 default; a larger r is
+        accepted only when its measured MCD penalty stays under the gate."""
+        import pytest
+        from text_to_speech_tpu.train.metrics import choose_reduction_factor
+
+        # the measured 50-epoch overfit sweep: r>1 runs away (docs table)
+        measured = {1: {'mcd_db': 7.38}, 2: {'mcd_db': 32.38},
+                    3: {'mcd_db': 33.08}}
+        assert choose_reduction_factor(measured) == 1
+        # a hypothetical well-trained r=2 under the gate is accepted
+        good = {1: {'mcd_db': 7.0}, 2: {'mcd_db': 7.3}, 3: {'mcd_db': 9.0}}
+        assert choose_reduction_factor(good) == 2
+        assert choose_reduction_factor(good, max_mcd_penalty_db = 0.1) == 1
+        assert choose_reduction_factor(good, max_mcd_penalty_db = 5.) == 3
+        with pytest.raises(ValueError):
+            choose_reduction_factor({2: {'mcd_db': 1.}})
+
     def test_mcd_dtw_normalizes_by_path_length(self):
         """DTW MCD must divide by the optimal path's LENGTH (number of
         aligned pairs), not max(Ta, Tb) — brute-force path enumeration on

@@ -413,14 +413,22 @@ class WaveGlow:
             wk = kernel.reshape(taps, s // g, g, kernel.shape[1], n_mel)
             wk = wk[:, ::-1, ::-1]
             wk = jnp.transpose(wk, (0, 3, 1, 4, 2))       # (j, cin, rr, m, gg)
-            wk = wk.reshape(taps, kernel.shape[1], s * n_mel)
-            spect = jax.lax.conv_general_dilated(
-                mel, wk, (1,), [(taps - 1, 0)],
-                dimension_numbers = ('NWC', 'WIO', 'NWC'),
-            )
+            # explicit im2col (taps shifted copies of the tiny mel input)
+            # + ONE dense matmul: measured 8.6 vs 11.1 ms for the
+            # conv_general_dilated lowering at the serving shape
+            # (benchmarks/upsample_probe.py, B=64xF=256 on v5e) — the
+            # windows are 160x smaller than the output, so the concat is
+            # free and the matmul hits the MXU directly
+            wk = wk.reshape(taps * kernel.shape[1], s * n_mel)
+            padded = jnp.pad(mel, ((0, 0), (taps - 1, 0), (0, 0)))
+            windows = jnp.concatenate(
+                [padded[:, i: i + mel.shape[1]] for i in range(taps)],
+                axis = -1)
+            spect = windows @ wk
             if 'bias' in params['upsample']:
                 spect = spect + jnp.tile(
-                    jnp.repeat(params['upsample']['bias'], g), s // g)
+                    jnp.repeat(params['upsample']['bias'], g), s // g
+                ).astype(spect.dtype)
             return spect.reshape(mel.shape[0], mel.shape[1] * (s // g),
                                  n_mel * g)
         spect = nn.conv1d_transpose(params['upsample'], mel, stride = s)

@@ -219,3 +219,33 @@ def mel_snr(mel_true, mel_pred, ** kwargs):
     a, b = a[:n], b[:n]
     noise = float(np.mean((a - b) ** 2))
     return 10. * float(np.log10(float(np.mean(a ** 2)) / max(noise, 1e-20)))
+
+
+def choose_reduction_factor(metrics_by_r, *, max_mcd_penalty_db = 0.5,
+                            metric = 'mcd_db'):
+    """Quality-gated reduction-factor policy (``n_frames_per_step``).
+
+    ``metrics_by_r``: {r: {'mcd_db': ..., ...}} — objective copy-synthesis
+    metrics per candidate r (e.g. from ``benchmarks/r_quality_sweep.py``,
+    which overfit-trains one model per r and measures DTW-aligned MCD
+    against the ground-truth mel).
+
+    Policy: r=1 is the DEFAULT (exact frame-rate decoding).  A larger r
+    (r frames per sequential decode step ⇒ decode latency ÷ r) is an
+    opt-in trade accepted only when its measured MCD penalty vs r=1 stays
+    under ``max_mcd_penalty_db`` — returns the largest such r.  The
+    reference declares the hparam but its r>1 path is broken
+    (``/root/reference/architectures/tacotron2_arch.py:110-127``); here
+    r>1 works end-to-end, so the gate is what keeps it honest.
+    """
+    if 1 not in metrics_by_r:
+        raise ValueError('metrics for the r=1 baseline are required')
+    base = float(metrics_by_r[1][metric])
+    best = 1
+    for r in sorted(metrics_by_r):
+        if r == 1 or r <= best:
+            continue
+        penalty = float(metrics_by_r[r][metric]) - base
+        if penalty < max_mcd_penalty_db:
+            best = r
+    return best
