@@ -19,10 +19,16 @@ Default model is the end-to-end VITS family through `make_vits_stepper`
 Usage:
     python benchmarks/serving_load.py [--requests 64] [--rate 8]
         [--max-batch 8] [--window 64] [--model vits|tacotron2]
+    python benchmarks/serving_load.py --sweep \
+        [--max-batches 8,16,32] [--rates 8,16,32,0]
 
 Offered load vs capacity: at `--rate` below capacity the p99 tracks the
 per-request service time; above it the queue grows and p99 explodes —
-sweep `--rate` to find the knee.
+`--sweep` runs the max_batch x rate grid in ONE process (model/steppers
+compiled once; each engine's pow2 buckets warm once), prints one JSON
+line per cell plus the loop's time split (step/admit/finish) and batch
+occupancy so the gap to the offline batched RTF is attributable.
+rate 0 = all requests submitted at once (pure capacity).
 """
 
 import os
@@ -52,6 +58,94 @@ def percentile(values, q):
     return float(np.percentile(values, q))
 
 
+def build_steppers(args):
+    os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
+    from text_to_speech_tpu.runtimes.serving import (
+        make_vits_stepper, make_tacotron_stepper)
+
+    if args.model == 'vits':
+        from text_to_speech_tpu.models.tts import VITS
+        model = VITS(lang = 'en', name = 'bench_vits')
+        rate_hz = model.rate
+        steppers = make_vits_stepper(
+            model, window = args.window, min_duration = 6,
+            transfer_dtype = args.transfer_dtype)
+    else:
+        from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
+        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+        vocoder = WaveGlow(name = 'bench_waveglow')
+        vocoder.quantize_for_serving()
+        rate_hz = 22050
+        steppers = make_tacotron_stepper(
+            model, chunk = args.window, vocoder = vocoder,
+            stream_audio = args.stream)
+    return steppers, rate_hz
+
+
+def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
+             model, max_batch, transfer_dtype):
+    """Drive one (engine, offered-rate) cell; returns the result dict."""
+    rng = random.Random(seed)
+    # streaming requests attach a sink callback so the steppers emit (and
+    # timestamp) incremental audio; oneshot requests decode whole
+    sub_kwargs = {'on_audio': (lambda part: None)} if stream else {}
+    with engine:
+        engine.stats['latencies'].clear()
+        for key in ('step_s', 'admit_s', 'finish_s', 'rows_stepped',
+                    'chunks'):
+            engine.stats[key] = type(engine.stats[key])()
+
+        t0 = time.perf_counter()
+        pending = []
+        for i in range(requests):
+            pending.append(engine.submit(TEXTS[i % len(TEXTS)],
+                                         ** sub_kwargs))
+            if rate > 0:
+                time.sleep(rng.expovariate(rate))
+        outputs = [r.result.get(timeout = 600) for r in pending]
+        elapsed = time.perf_counter() - t0
+
+    latencies = list(engine.stats['latencies'])
+    audio_s = sum(len(o['audio']) for o in outputs
+                  if isinstance(o, dict) and 'audio' in o) / float(rate_hz)
+    first_audio = [o['first_audio_s'] for o in outputs
+                   if isinstance(o, dict) and 'first_audio_s' in o]
+
+    chunks = max(1, engine.stats['chunks'])
+    result = {
+        'metric': 'serving_load_{}'.format(model),
+        'value': round(requests / elapsed, 2),
+        'unit': 'requests/s',
+        'offered_rate': rate,
+        'stream': bool(stream),
+        'transfer_dtype': transfer_dtype if model == 'vits' else None,
+        'warmup_s': round(warmup_s, 2),
+        'max_batch': max_batch,
+        'requests': requests,
+        'elapsed_s': round(elapsed, 2),
+        'audio_s_per_s': round(audio_s / elapsed, 1),
+        'latency_p50_s': round(percentile(latencies, 50), 3),
+        'latency_p95_s': round(percentile(latencies, 95), 3),
+        'latency_p99_s': round(percentile(latencies, 99), 3),
+        # where the loop's wall time went + how full the batches ran
+        'loop': {
+            'step_s': round(engine.stats['step_s'], 2),
+            'admit_s': round(engine.stats['admit_s'], 2),
+            'finish_s': round(engine.stats['finish_s'], 2),
+            'chunks': engine.stats['chunks'],
+            'ms_per_chunk': round(1e3 * engine.stats['step_s'] / chunks, 1),
+            'occupancy': round(
+                engine.stats['rows_stepped'] / (chunks * max_batch), 3),
+        },
+        'scheduler': {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in dict(engine.scheduler_stats).items()},
+    }
+    if first_audio:
+        result['first_audio_p50_s'] = round(percentile(first_audio, 50), 3)
+        result['first_audio_p95_s'] = round(percentile(first_audio, 95), 3)
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default = 'vits',
@@ -72,82 +166,54 @@ def main():
                         help = 'device->host chunk transfer dtype for the '
                                'vits stepper (int16 = 4x fewer bytes, '
                                'matches the serve() default)')
+    parser.add_argument('--sweep', action = 'store_true',
+                        help = 'max_batch x rate saturation grid in one '
+                               'process')
+    parser.add_argument('--max-batches', default = '8,16,32')
+    parser.add_argument('--rates', default = '8,16,32,0')
     args = parser.parse_args()
 
-    os.environ.setdefault('TTS_PRETRAINED_DIR', '/tmp/bench_models')
-    import numpy as np
-    from text_to_speech_tpu.runtimes.serving import (
-        ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
+    from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+    (start_fn, step_fn, finish_fn), rate_hz = build_steppers(args)
 
-    if args.model == 'vits':
-        from text_to_speech_tpu.models.tts import VITS
-        model = VITS(lang = 'en', name = 'bench_vits')
-        rate_hz = model.rate
-        start_fn, step_fn, finish_fn = make_vits_stepper(
-            model, window = args.window, min_duration = 6,
-            transfer_dtype = args.transfer_dtype)
-    else:
-        from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
-        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
-        vocoder = WaveGlow(name = 'bench_waveglow')
-        vocoder.quantize_for_serving()
-        rate_hz = 22050
-        start_fn, step_fn, finish_fn = make_tacotron_stepper(
-            model, chunk = args.window, vocoder = vocoder,
-            stream_audio = args.stream)
-
-    engine = ContinuousServingEngine(
-        start_fn, step_fn, finish_fn, max_batch_size = args.max_batch,
-        name = 'load-bench')
-
-    rng = random.Random(args.seed)
-    # streaming requests attach a sink callback so the steppers emit (and
-    # timestamp) incremental audio; oneshot requests decode whole
     sub_kwargs = {'on_audio': (lambda part: None)} if args.stream else {}
-    # compile outside the measurement: every token bucket the load will
-    # hit x every pow2 batch bucket, through the engine's warmup API
-    warmup_s = engine.warmup(sorted(set(TEXTS), key = len), ** sub_kwargs)
-    with engine:
-        engine.stats['latencies'].clear()
-
-        t0 = time.perf_counter()
-        requests = []
-        for i in range(args.requests):
-            requests.append(engine.submit(TEXTS[i % len(TEXTS)],
-                                          ** sub_kwargs))
-            if args.rate > 0:
-                time.sleep(rng.expovariate(args.rate))
-        outputs = [r.result.get(timeout = 600) for r in requests]
-        elapsed = time.perf_counter() - t0
-
-    latencies = list(engine.stats['latencies'])
-    audio_s = sum(len(o['audio']) for o in outputs
-                  if isinstance(o, dict) and 'audio' in o) / float(rate_hz)
-    first_audio = [o['first_audio_s'] for o in outputs
-                   if isinstance(o, dict) and 'first_audio_s' in o]
-
-    result = {
-        'metric': 'serving_load_{}'.format(args.model),
-        'value': round(args.requests / elapsed, 2),
-        'unit': 'requests/s',
-        'offered_rate': args.rate,
-        'stream': bool(args.stream),
-        'transfer_dtype': args.transfer_dtype if args.model == 'vits' else None,
-        'warmup_s': round(warmup_s, 2),
-        'max_batch': args.max_batch,
-        'requests': args.requests,
-        'elapsed_s': round(elapsed, 2),
-        'audio_s_per_s': round(audio_s / elapsed, 1),
-        'latency_p50_s': round(percentile(latencies, 50), 3),
-        'latency_p95_s': round(percentile(latencies, 95), 3),
-        'latency_p99_s': round(percentile(latencies, 99), 3),
-        'scheduler': {k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in dict(engine.scheduler_stats).items()},
-    }
-    if first_audio:
-        result['first_audio_p50_s'] = round(percentile(first_audio, 50), 3)
-        result['first_audio_p95_s'] = round(percentile(first_audio, 95), 3)
-    print(json.dumps(result))
+    cells = []
+    max_batches = ([int(b) for b in args.max_batches.split(',')]
+                   if args.sweep else [args.max_batch])
+    rates = ([float(r) for r in args.rates.split(',')]
+             if args.sweep else [args.rate])
+    for max_batch in max_batches:
+        engine = ContinuousServingEngine(
+            start_fn, step_fn, finish_fn, max_batch_size = max_batch,
+            name = 'load-bench-b{}'.format(max_batch))
+        # compile outside the measurement: every token bucket the load
+        # will hit x every pow2 batch bucket, through the warmup API
+        # (compiled executables are shared across engines, so only NEW
+        # buckets compile for the larger max_batch)
+        warmup_s = engine.warmup(sorted(set(TEXTS), key = len),
+                                 ** sub_kwargs)
+        for rate in rates:
+            result = run_cell(
+                engine, rate_hz, requests = args.requests, rate = rate,
+                stream = args.stream, seed = args.seed,
+                warmup_s = warmup_s, model = args.model,
+                max_batch = max_batch,
+                transfer_dtype = args.transfer_dtype)
+            cells.append(result)
+            print(json.dumps(result), flush = True)
+    if args.sweep:
+        print('\n| max_batch | offered | served req/s | audio-s/s | '
+              'p50/p95/p99 (s) | occupancy | ms/chunk | admit_s |')
+        print('|---|---|---|---|---|---|---|---|')
+        for c in cells:
+            print('| {} | {} | {} | {} | {} / {} / {} | {} | {} | {} |'
+                  .format(c['max_batch'],
+                          c['offered_rate'] or 'inf', c['value'],
+                          c['audio_s_per_s'], c['latency_p50_s'],
+                          c['latency_p95_s'], c['latency_p99_s'],
+                          c['loop']['occupancy'],
+                          c['loop']['ms_per_chunk'],
+                          c['loop']['admit_s']))
 
 
 if __name__ == '__main__':

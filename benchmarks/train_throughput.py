@@ -22,6 +22,37 @@ def sync(x):
     return float(x)
 
 
+PEAK_BF16 = 197e12          # 1x v5e
+
+
+def aot_with_flops(step, *args):
+    """AOT-compile the jitted step ONCE and read XLA's own flop count
+    (executable.cost_analysis()) — the basis of the MFU column in
+    docs/PERFORMANCE.md's training ledger.  Falls back to the plain jitted
+    callable (flops=None) when the backend exposes no cost analysis."""
+    try:
+        compiled = step.lower(*args).compile()
+    except Exception:
+        return step, None
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if ca:
+            flops = float(ca.get('flops', 0.)) or None
+    except Exception:
+        pass
+    return compiled, flops
+
+
+def mfu_str(flops, el):
+    if not flops:
+        return ''
+    tf = flops / el / 1e12
+    return ', %.1f TFLOP/s = %.0f%%%% of bf16 peak' % (tf, 100. * flops / el / PEAK_BF16)
+
+
 def bench_tacotron(batch, tokens, frames, iters):
     import numpy as np
     import jax
@@ -56,7 +87,8 @@ def bench_tacotron(batch, tokens, frames, iters):
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, l
 
-    step = jax.jit(step, donate_argnums = (0, 2))
+    step, flops = aot_with_flops(
+        jax.jit(step, donate_argnums = (0, 2)), params, state, opt_state, rng)
     params, state, opt_state, l = step(params, state, opt_state, rng)
     sync(l)
     start = time.perf_counter()
@@ -66,8 +98,8 @@ def bench_tacotron(batch, tokens, frames, iters):
     sync(l)
     el = (time.perf_counter() - start) / iters
     audio_s = batch * frames * 256 / 22050.
-    print('tacotron2 train step B=%d T=%d: %.0f ms (%.1f steps/s, '
-          '%.1fx realtime-audio/step-throughput)' % (
+    print(('tacotron2 train step B=%d T=%d: %.0f ms (%.1f steps/s, '
+           '%.1fx realtime-audio/step-throughput' + mfu_str(flops, el) + ')') % (
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
@@ -97,7 +129,8 @@ def bench_waveglow(batch, frames, iters):
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
 
-    step = jax.jit(step, donate_argnums = (0, 1))
+    step, flops = aot_with_flops(
+        jax.jit(step, donate_argnums = (0, 1)), params, opt_state)
     params, opt_state, l = step(params, opt_state)
     sync(l)
     start = time.perf_counter()
@@ -106,8 +139,8 @@ def bench_waveglow(batch, frames, iters):
     sync(l)
     el = (time.perf_counter() - start) / iters
     audio_s = batch * frames * 256 / 22050.
-    print('waveglow train step B=%d T=%d: %.0f ms (%.1f steps/s, '
-          '%.1fx realtime-audio/step-throughput)' % (
+    print(('waveglow train step B=%d T=%d: %.0f ms (%.1f steps/s, '
+           '%.1fx realtime-audio/step-throughput' + mfu_str(flops, el) + ')') % (
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
@@ -143,8 +176,9 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, l
 
-    step = jax.jit(step, donate_argnums = (0, 2))
     rng = jax.random.PRNGKey(2)
+    step, flops = aot_with_flops(
+        jax.jit(step, donate_argnums = (0, 2)), params, state, opt_state, rng)
     params, state, opt_state, l = step(params, state, opt_state, rng)
     sync(l)
     start = time.perf_counter()
@@ -153,9 +187,9 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
                                            jax.random.fold_in(rng, i))
     sync(l)
     el = (time.perf_counter() - start) / iters
-    print('speaker-encoder GE2E step N=%d M=%d T=%d: %.1f ms (%.0f steps/s, '
-          '%.0f utterances/s)' % (n_speakers, n_utt, frames, el * 1e3,
-                                  1. / el, B / el))
+    print(('speaker-encoder GE2E step N=%d M=%d T=%d: %.1f ms (%.0f steps/s, '
+           '%.0f utterances/s' + mfu_str(flops, el) + ')') % (
+              n_speakers, n_utt, frames, el * 1e3, 1. / el, B / el))
 
 
 def bench_vits(batch, tokens, frames, iters):
@@ -187,6 +221,8 @@ def bench_vits(batch, tokens, frames, iters):
         rs.randn(batch, frames * hop) * 0.1, jnp.float32)
     rng = jax.random.PRNGKey(1)
 
+    step, flops = aot_with_flops(step, state, (tok, spec, lengths, audio),
+                                 rng)
     state, metrics = step(state, (tok, spec, lengths, audio), rng)
     sync(metrics['gen_loss'])
     start = time.perf_counter()
@@ -196,9 +232,9 @@ def bench_vits(batch, tokens, frames, iters):
     sync(metrics['gen_loss'])
     el = (time.perf_counter() - start) / iters
     audio_s = batch * frames * hop / 22050.
-    print('VITS GAN step B=%d L=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
-          'realtime-audio)' % (batch, tokens, frames, el * 1e3, 1. / el,
-                               audio_s / el))
+    print(('VITS GAN step B=%d L=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
+           'realtime-audio' + mfu_str(flops, el) + ')') % (
+              batch, tokens, frames, el * 1e3, 1. / el, audio_s / el))
 
 
 def bench_hifigan(batch, frames, iters):
@@ -225,6 +261,7 @@ def bench_hifigan(batch, frames, iters):
     mel = jnp.asarray(rs.randn(batch, frames, 80), jnp.float32)
     audio = jnp.asarray(rs.randn(batch, frames * hop) * 0.1, jnp.float32)
 
+    step, flops = aot_with_flops(step, state, mel, audio)
     state, metrics = step(state, mel, audio)
     sync(metrics['gen_loss'])
     start = time.perf_counter()
@@ -233,9 +270,9 @@ def bench_hifigan(batch, frames, iters):
     sync(metrics['gen_loss'])
     el = (time.perf_counter() - start) / iters
     audio_s = batch * frames * hop / 22050.
-    print('HiFi-GAN GAN step B=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
-          'realtime-audio)' % (batch, frames, el * 1e3, 1. / el,
-                               audio_s / el))
+    print(('HiFi-GAN GAN step B=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
+           'realtime-audio' + mfu_str(flops, el) + ')') % (
+              batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
 def main():

@@ -391,3 +391,8 @@ class TestClassificationMixin:
         enc = m.encode_label(['a', 'c'])
         assert enc.tolist() == [1., 0., 1.]
         assert m.decode_label([0.9, 0.2, 0.8]) == ['a', 'c']
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -228,3 +228,8 @@ class TestGoldenParityExtended:
         out = reduce_noise(audio, 16000)
         assert out.shape == golden.shape
         assert np.abs(out - golden).max() < 1e-2
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

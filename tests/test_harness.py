@@ -3,6 +3,7 @@ front-ends (the reference exercises its analogs on exactly these surfaces:
 STFT/mel goldens, graph-compiled text/audio ops)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,3 +54,8 @@ class TestJitCompatibility:
             lambda *a: wn_layer_reference(*a, dilation = 2),
             x, cond, w_in, jnp.zeros((64,)), w_rs, jnp.zeros((64,)),
             max_err = 1e-5)
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -416,3 +416,8 @@ class TestDisplayers:
         from text_to_speech_tpu.utils.callbacks import BoxesDisplayer
         infos = BoxesDisplayer()({}, {'other': 1})
         assert 'drawn' not in infos
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -183,3 +183,8 @@ class TestNativeDataLoader:
             for (t1, a1), (t2, a2) in zip(pb, fb):
                 assert t1 == t2
                 np.testing.assert_allclose(a1, a2, atol = 1e-6)
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

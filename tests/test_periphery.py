@@ -139,3 +139,8 @@ class TestAudioDatasets:
         assert len(df) == 1
         assert df.iloc[0]['speaker'] == 'spk1'
         assert df.iloc[0]['filename'].endswith(os.path.join('clips', 'c1.mp3'))
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -571,3 +571,8 @@ class TestTTSQualityMetrics:
         a = np.random.RandomState(3).randn(30, 80).astype('float32')
         assert snr(a, a) > 100.
         assert 15. < snr(a, a + 0.1 * a) < 25.            # ≈20 dB
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

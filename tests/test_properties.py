@@ -149,3 +149,8 @@ class TestPadBatchInvariants:
         for i, r in enumerate(rows):
             np.testing.assert_array_equal(out[i, :len(r)], r)
             assert (out[i, len(r):] == -7.).all()
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -173,6 +173,101 @@ class TestContinuousServingEngine:
         assert order == ['fast', 'slow']
         assert len(engine.stats['latencies']) == 2
 
+    def test_batched_admission_uses_start_many(self):
+        """An admission burst goes through start_fn.start_many in ONE call
+        (the serialized per-request path costs a device call per request —
+        the measured dominant loop cost under load); custom-kwargs requests
+        keep the single path."""
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        calls = {'many': [], 'single': 0}
+        gate = threading.Event()
+
+        def start_fn(n, special = None, on_audio = None):
+            calls['single'] += 1
+            return {'remaining': n, 'n': n}
+
+        def start_many(inputs, kwargs_list):
+            calls['many'].append(len(inputs))
+            return [{'remaining': n, 'n': n} for n in inputs]
+        start_fn.start_many = start_many
+
+        def step_fn(states):
+            gate.wait(timeout = 5)      # hold chunk 1 until all submitted
+            out = [dict(st, remaining = st['remaining'] - 1)
+                   for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        with ContinuousServingEngine(start_fn, step_fn,
+                                     lambda st: st['n'],
+                                     max_batch_size = 8) as engine:
+            reqs = [engine.submit(2) for _ in range(4)]
+            special = engine.submit(2, special = 'x')   # non-batchable
+            gate.set()
+            assert [r.result.get(timeout = 10) for r in reqs] == [2] * 4
+            assert special.result.get(timeout = 10) == 2
+        assert sum(calls['many']) == 4          # the burst batched
+        assert all(n > 1 for n in calls['many'])
+        assert calls['single'] == 1             # only the special one
+
+    def test_batched_admission_failure_falls_back(self):
+        """start_many raising must not lose the burst — every request is
+        re-admitted through the per-request path."""
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        def start_fn(n, on_audio = None):
+            return {'remaining': n, 'n': n}
+        start_fn.start_many = lambda inputs, kwargs_list: 1 / 0
+
+        def step_fn(states):
+            time.sleep(0.02)
+            out = [dict(st, remaining = st['remaining'] - 1)
+                   for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        with ContinuousServingEngine(start_fn, step_fn,
+                                     lambda st: st['n']) as engine:
+            reqs = [engine.submit(2) for _ in range(3)]
+            assert [r.result.get(timeout = 10) for r in reqs] == [2] * 3
+
+    def test_async_admission_overlaps_stepping(self):
+        """With a slow start_fn, the chunk loop must keep stepping the
+        active batch while the admission worker prepares the next request
+        (admission off the critical path); sync mode stays correct too."""
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        for async_admission in (True, False):
+            stepped_during_admit = threading.Event()
+            admitting = threading.Event()
+
+            def start_fn(n):
+                if n == 99:                     # the second (slow) admission
+                    admitting.set()
+                    time.sleep(0.3)
+                return {'remaining': 5 if n == 99 else n, 'n': n}
+
+            def step_fn(states):
+                if admitting.is_set():
+                    stepped_during_admit.set()
+                time.sleep(0.02)
+                out = [dict(st, remaining = st['remaining'] - 1)
+                       for st in states]
+                return out, [st['remaining'] <= 0 for st in out]
+
+            with ContinuousServingEngine(
+                    start_fn, step_fn, lambda st: st['n'],
+                    async_admission = async_admission) as engine:
+                slow = engine.submit(30)
+                time.sleep(0.1)                 # the batch is mid-decode
+                fast = engine.submit(99)
+                assert fast.result.get(timeout = 10) == 99
+                assert slow.result.get(timeout = 10) == 30
+            if async_admission:
+                # chunks advanced while the 0.3 s admission ran
+                assert stepped_during_admit.is_set()
+
     def test_batch_slot_reuse_and_abort(self):
         from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
 

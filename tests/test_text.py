@@ -424,3 +424,8 @@ class TestSentencePiece:
         tok = SentencePieceTokenizer(self._unigram(), use_sos_and_eos = True)
         ids = list(tok.encode('hello'))
         assert ids[0] == tok.sos_token_idx and ids[-1] == tok.eos_token_idx
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -301,3 +301,8 @@ class TestReviewFixes:
         add_dataset(loader, name = 'dircheck')
         get_dataset({'dircheck': {}}, directory = str(tmp_path / 'custom'))
         assert seen['dir'] == str(tmp_path / 'custom')
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

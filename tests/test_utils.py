@@ -531,3 +531,8 @@ class TestFormatterRobustness:
         f = get_formatter('{message} 50%')
         rec = logging.LogRecord('n', logging.INFO, 'p', 1, 'msg', (), None)
         assert f.format(rec) == 'msg 50%'
+
+
+# smoke tier: host-side/cheap-compile tests that gate every commit
+# (<3 min cold on one core; see pytest.ini)
+pytestmark = [pytest.mark.smoke]

@@ -839,6 +839,38 @@ class TestVITSStreaming:
         np.testing.assert_allclose(out['audio'], full, atol = 1e-5)
         assert 'first_audio_s' in out
 
+    def test_start_many_matches_single_admission(self, model_root):
+        """Batched admission (start_fn.start_many — one latent launch per
+        burst) must serve each request bit-identically to the per-request
+        path.  noise scales pinned to 0 so the comparison is rng-free."""
+        from text_to_speech_tpu.runtimes.serving import make_vits_stepper
+
+        model = make_model('batch_admit_vits')
+        start_fn, step_fn, finish_fn = make_vits_stepper(
+            model, window = 16, context = 12, token_multiple = 8,
+            max_frames = 64, min_duration = 3,
+            noise_scale = 0., noise_scale_w = 0.)
+        assert hasattr(start_fn, 'start_many')
+
+        texts = ['first stream', 'the second longer stream here', 'third']
+
+        def drain(states):
+            outs = [None] * len(states)
+            while any(o is None for o in outs):
+                idx = [i for i, o in enumerate(outs) if o is None]
+                live, done = step_fn([states[i] for i in idx])
+                for j, i in enumerate(idx):
+                    states[i] = live[j]
+                    if done[j]:
+                        outs[i] = finish_fn(live[j])
+            return outs
+
+        batched = drain(start_fn.start_many(texts, [{}] * len(texts)))
+        singles = drain([start_fn(t) for t in texts])
+        for b, s in zip(batched, singles):
+            assert b['frames'] == s['frames']
+            np.testing.assert_allclose(b['audio'], s['audio'], atol = 1e-5)
+
     def test_non_pow2_batch_is_exact(self, model_root):
         """3 concurrent streams (pads to the 4-bucket): every request's
         stream still bit-matches its own one-shot decode — pad rows are

@@ -242,7 +242,7 @@ class ContinuousServingEngine(_SchedulerMixin):
 
     def __init__(self, start_fn, step_fn, finish_fn = None, *,
                  max_batch_size = 8, name = 'serving-cb',
-                 native_scheduler = True):
+                 native_scheduler = True, async_admission = True):
         self.start_fn = start_fn
         self.step_fn = step_fn
         self.finish_fn = finish_fn or (lambda state: state)
@@ -250,15 +250,29 @@ class ContinuousServingEngine(_SchedulerMixin):
         self.name = name
         self._init_scheduler(force_python = not native_scheduler)
         self._thread = None
+        self._admit_pool = None
+        self._async_admission = bool(async_admission)
         self._running = threading.Event()
         import collections
-        # bounded: a long-running server must not grow per-request state
+        # bounded: a long-running server must not grow per-request state.
+        # step_s/admit_s/finish_s + rows_stepped expose the loop's time
+        # split and batch occupancy for capacity planning
+        # (benchmarks/serving_load.py --sweep).
         self.stats = {'requests': 0, 'chunks': 0, 'aborted': 0,
+                      'step_s': 0., 'admit_s': 0., 'finish_s': 0.,
+                      'rows_stepped': 0,
                       'latencies': collections.deque(maxlen = 10_000)}
 
     def start(self):
         if self._running.is_set(): return self
         self._running.set()
+        if self._async_admission and self._admit_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            # ONE worker: admissions stay serialized with each other (the
+            # stepper's latent stage shares device queues) but overlap the
+            # loop thread's step_fn launches
+            self._admit_pool = ThreadPoolExecutor(
+                max_workers = 1, thread_name_prefix = self.name + '-admit')
         self._thread = threading.Thread(target = self._loop, daemon = True,
                                         name = self.name)
         self._thread.start()
@@ -269,6 +283,9 @@ class ContinuousServingEngine(_SchedulerMixin):
         self._sched.wake()
         if self._thread:
             self._thread.join(timeout = 10)
+        if self._admit_pool is not None:
+            self._admit_pool.shutdown(wait = True)
+            self._admit_pool = None
 
     def __enter__(self):
         return self.start()
@@ -305,10 +322,16 @@ class ContinuousServingEngine(_SchedulerMixin):
             sample_inputs = [sample_inputs]
         if batch_sizes is None:
             batch_sizes = _pow2_buckets(self.max_batch_size)
+        start_many = getattr(self.start_fn, 'start_many', None)
         t0 = time.perf_counter()
         for sample in sample_inputs:
             for b in batch_sizes:
-                states = [self.start_fn(sample, ** kwargs) for _ in range(b)]
+                if start_many is not None and b > 1:
+                    # compiles the batched-admission bucket too
+                    states = start_many([sample] * b, [kwargs] * b)
+                else:
+                    states = [self.start_fn(sample, ** kwargs)
+                              for _ in range(b)]
                 for _ in range(max_chunks):
                     states, done = self.step_fn(states)
                     if all(done):
@@ -324,30 +347,92 @@ class ContinuousServingEngine(_SchedulerMixin):
         free = self.max_batch_size - len(slots)
         if free <= 0:
             return
+        live = self._collect_live(free, block)
+        if live:
+            slots.extend(self._start_requests(live))
+
+    def _collect_live(self, free, block):
+        """Pull up to `free` queued requests and drop already-aborted ones."""
         if block:
             ids = self._sched.collect(free, first_timeout = 0.05,
                                       batch_wait = 0.)
         else:
             ids = self._sched.collect_nowait(free)
+        live = []
         for request in self._resolve(ids):
             if request.aborted.is_set():
                 self.stats['aborted'] += 1
                 self._finish(request, error = RuntimeError(
                     'request {} aborted'.format(request.request_id)))
                 continue
+            live.append(request)
+        return live
+
+    def _start_requests(self, live):
+        """Admit a burst → [(request, state)] (failures resolved inline).
+
+        Batched admission: one start_many launch for the whole burst when
+        the stepper offers it (per-request start_fn serializes a device
+        call + a blocking fetch per request — the dominant loop cost under
+        load).  Requests with custom kwargs beyond the batchable ones keep
+        the single path.  Runs on the admission worker thread when
+        admissions overlap stepping (see `_loop`)."""
+        start_many = getattr(self.start_fn, 'start_many', None)
+        batchable_keys = getattr(self.start_fn, 'batchable_kwargs',
+                                 ('on_audio',))
+        batchable = [r for r in live
+                     if set(r.kwargs) <= set(batchable_keys)] \
+            if start_many is not None else []
+        singles = [r for r in live if r not in batchable]
+
+        admitted = []
+        t0 = time.perf_counter()
+        if len(batchable) > 1:
+            try:
+                states = start_many([r.inputs for r in batchable],
+                                    [r.kwargs for r in batchable])
+                admitted.extend(zip(batchable, states))
+                batchable = []
+            except Exception:
+                logger.exception('start_many failed; falling back to '
+                                 'per-request admission')
+        for request in batchable + singles:
             try:
                 state = self.start_fn(request.inputs, ** request.kwargs)
             except Exception as e:
                 logger.exception('start_fn failed')
                 self._finish(request, error = e)
                 continue
-            slots.append((request, state))
+            admitted.append((request, state))
+        self.stats['admit_s'] += time.perf_counter() - t0
+        return admitted
 
     def _loop(self):
         slots = []          # [(request, state)] — the active batch rows
+        # admissions OVERLAP stepping: while the device runs chunk k, the
+        # admission worker prepares the next burst's states (the start_fn
+        # device call + blocking fetch otherwise serializes ~1-2 tunnel
+        # RTTs per burst INTO the chunk loop — measured as the largest
+        # non-step loop cost under load, benchmarks/serving_load.py)
+        inflight = None     # (future, n_requests) on the admission worker
         while self._running.is_set():
-            self._admit(slots, block = not slots)
+            if inflight is not None and inflight[0].done():
+                slots.extend(inflight[0].result())
+                inflight = None
+            reserved = inflight[1] if inflight is not None else 0
+            free = self.max_batch_size - len(slots) - reserved
+            if inflight is None and free > 0:
+                live = self._collect_live(free, block = not slots)
+                if live:
+                    if self._admit_pool is not None and slots:
+                        inflight = (self._admit_pool.submit(
+                            self._start_requests, live), len(live))
+                    else:
+                        slots.extend(self._start_requests(live))
             if not slots:
+                if inflight is not None:
+                    slots.extend(inflight[0].result())
+                    inflight = None
                 continue
             live = [(r, s) for r, s in slots if not r.aborted.is_set()]
             for request, _ in slots:
@@ -359,6 +444,8 @@ class ContinuousServingEngine(_SchedulerMixin):
                 slots = []
                 continue
             self.stats['chunks'] += 1
+            self.stats['rows_stepped'] += len(live)
+            t0 = time.perf_counter()
             try:
                 states, done = self.step_fn([s for _, s in live])
             except Exception as e:
@@ -367,17 +454,22 @@ class ContinuousServingEngine(_SchedulerMixin):
                     self._finish(request, error = e)
                 slots = []
                 continue
+            finally:
+                self.stats['step_s'] += time.perf_counter() - t0
             slots = []
             for (request, _), state, is_done in zip(live, states, done):
                 if not is_done:
                     slots.append((request, state))
                     continue
+                t0 = time.perf_counter()
                 try:
                     output = self.finish_fn(state)
                 except Exception as e:
                     logger.exception('finish_fn failed')
                     self._finish(request, error = e)
                     continue
+                finally:
+                    self.stats['finish_s'] += time.perf_counter() - t0
                 self.stats['latencies'].append(
                     time.perf_counter() - getattr(request, 'submitted_at',
                                                   time.perf_counter()))
@@ -387,6 +479,16 @@ class ContinuousServingEngine(_SchedulerMixin):
                     except Exception:
                         logger.exception('request callback failed')
                 self._finish(request, output)
+
+        # shutdown: requests whose admission was still in flight must not
+        # hang their callers
+        if inflight is not None:
+            try:
+                for request, _ in inflight[0].result(timeout = 30):
+                    self._finish(request, error = RuntimeError(
+                        'engine stopped during admission'))
+            except Exception:
+                logger.exception('in-flight admission failed at shutdown')
 
 
 def _pow2_buckets(max_batch_size):
@@ -889,21 +991,59 @@ def make_vits_stepper(model, *, window = 64, context = 16,
     # one's cached device rows)
     seq = itertools.count()
 
-    def start_fn(text, on_audio = None, rng = None, ** kwargs):
-        tokens = np.asarray(model.encode_text(text))[None, :]
-        s = -(-tokens.shape[1] // token_multiple) * token_multiple
-        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
-                        constant_values = model.blank_token_idx)
-        if rng is None:
-            rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
-        z, cond, lengths, _, _ = latent(_params(), jnp.asarray(tokens), rng)
+    def _encode_pad(texts):
+        toks = [np.asarray(model.encode_text(t)) for t in texts]
+        s = -(-max(len(t) for t in toks) // token_multiple) * token_multiple
+        return np.stack([
+            np.pad(t, (0, s - len(t)),
+                   constant_values = model.blank_token_idx) for t in toks])
+
+    def _make_state(text, z_row, cond_row, length, on_audio):
         return {
             'text': text, '_seq': next(seq),
-            'z': z[0], 'cond': None if cond is None else cond[0],
-            'length': max(1, int(lengths[0])),
+            'z': z_row, 'cond': cond_row,
+            'length': max(1, int(length)),
             'emitted': 0, 'audio_parts': [], 'on_audio': on_audio,
             't_start': time.perf_counter(), 't_first_audio': None,
         }
+
+    def start_fn(text, on_audio = None, rng = None, ** kwargs):
+        tokens = _encode_pad([text])
+        if rng is None:
+            rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
+        z, cond, lengths, _, _ = latent(_params(), jnp.asarray(tokens), rng)
+        return _make_state(text, z[0],
+                           None if cond is None else cond[0],
+                           np.asarray(lengths)[0], on_audio)
+
+    def start_many(texts, kwargs_list, rng = None):
+        """Batched admission: ONE latent launch + ONE bulk lengths fetch
+        for a whole admission burst.  The serialized per-request path costs
+        a device call + a blocking scalar fetch (~2 tunnel RTTs) per
+        request — measured as the DOMINANT loop cost under load (~55-60 %
+        of saturated wall time, benchmarks/serving_load.py --sweep); this
+        cuts an n-request burst to one call.  Token batches pad to a pow2
+        row bucket (row-0 copies) so admission traces a bounded executable
+        set."""
+        tokens = _encode_pad(texts)
+        n = tokens.shape[0]
+        bucket = _bucket(n, 1)
+        if bucket > n:
+            tokens = np.concatenate(
+                [tokens, np.broadcast_to(tokens[:1],
+                                         (bucket - n,) + tokens.shape[1:])])
+        if rng is None:
+            rng = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
+        z, cond, lengths, _, _ = latent(_params(), jnp.asarray(tokens), rng)
+        lengths = np.asarray(lengths)
+        return [
+            _make_state(texts[i], z[i],
+                        None if cond is None else cond[i], lengths[i],
+                        kwargs_list[i].get('on_audio'))
+            for i in range(n)
+        ]
+
+    start_fn.start_many = start_many
 
     def step_fn(states):
         ids = tuple(st['_seq'] for st in states)
