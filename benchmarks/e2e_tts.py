@@ -48,6 +48,17 @@ def main():
                                'vocoding win 256 hop -64)')
     parser.add_argument('--batch', type = int, default = None,
                         help = 'cross-text batched synthesis (predict_batched)')
+    parser.add_argument('--reduction', type = int, default = 1,
+                        help = 'tacotron2 n_frames_per_step (r): r frames '
+                               'per sequential decode step — the decode '
+                               'latency axis divides by r.  r=2 passes the '
+                               'MCD quality gate at convergence '
+                               '(docs/PERFORMANCE.md r-sweep)')
+    parser.add_argument('--fixed-length', action = 'store_true',
+                        help = 'decode to max_length without gate early-stop '
+                               '(random r>1 weights stop at the first step '
+                               'otherwise — this pins the decode length so '
+                               'r configurations time the same audio)')
     parser.add_argument('--gate', action = 'store_true',
                         help = 'keep the frames/token retry gate (default off: '
                                'random weights always fail it, so the gate '
@@ -70,6 +81,8 @@ def main():
     if not args.gate:
         extra['min_fpt_ratio'] = -1.
         extra['max_fpt_ratio'] = float('inf')
+    if args.fixed_length:
+        extra['early_stopping'] = False
 
     if args.synthesizer == 'fastspeech2':
         if args.fused_decoder:
@@ -86,7 +99,10 @@ def main():
                      use_sdp = args.sdp)
         extra['min_duration'] = args.min_duration
     else:
-        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+        name = 'bench_tacotron2' if args.reduction == 1 \
+            else 'bench_tacotron2_r{}'.format(args.reduction)
+        model = Tacotron2(lang = 'en', name = name,
+                          n_frames_per_step = args.reduction)
     if getattr(model, 'is_end_to_end', False):
         vocoder = None          # the facade resolves the model as its vocoder
     elif args.vocoder in ('hifigan', 'vocos'):
@@ -127,21 +143,28 @@ def main():
     # warm-up (compiles the padding buckets)
     tts(warm, model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)
 
-    best = float('inf')
+    # median ± spread over runs: the axon tunnel adds ~30 ms/RTT of session
+    # noise, so single numbers can't distinguish rig variance from
+    # regression (VERDICT r2 weak #5) — report the distribution
+    times = []
     audio_s = 0.
     for _ in range(args.runs):
         start = time.perf_counter()
         results = tts(texts, model = model, vocoder = vocoder,
                       max_trial = 1, save = False, display = False, overwrite = True, ** extra)
-        elapsed = time.perf_counter() - start
+        times.append(time.perf_counter() - start)
         audio_s = sum(r.get('time', 0.) for r in results)
-        best = min(best, elapsed)
 
+    import numpy as np
+    med = float(np.median(times))
+    spread = (max(times) - min(times)) / med
     what = ('1 document ({} sentences)'.format(args.long_doc) if args.long_doc
             else '{} sentences'.format(args.sentences))
-    print('{} -> {:.2f}s audio in {:.2f}s wall '
-          '({:.1f}x real-time end-to-end)'.format(
-              what, audio_s, best, audio_s / best))
+    print('{} -> {:.2f}s audio; wall median {:.2f}s over {} runs '
+          '(min {:.2f} / max {:.2f}, spread {:.0f}%) = '
+          '{:.1f}x real-time end-to-end ({:.1f}x best-run)'.format(
+              what, audio_s, med, len(times), min(times), max(times),
+              100 * spread, audio_s / med, audio_s / min(times)))
 
 
 if __name__ == '__main__':

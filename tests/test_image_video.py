@@ -333,6 +333,21 @@ class TestImageProcessing:
         assert get_image_normalization_fn(None)(img).dtype == np.float32
         with pytest.raises(ValueError):
             get_image_normalization_fn('nope')
+        # the full reference scheme set (image_normalization.py:47-59)
+        rnd = np.random.RandomState(0).rand(4, 4, 3).astype(np.float32) * 255
+        out = normalize_image(rnd, 'normal')
+        assert abs(float(out.mean())) < 1e-5 and abs(float(out.std()) - 1.) < 1e-4
+        assert np.allclose(normalize_image(img, 'tanh'), 1.)
+        assert np.allclose(normalize_image(img, 'mobilenet'), 1.)
+        assert normalize_image(img, 'clip').shape == img.shape
+        assert np.allclose(normalize_image(img, 'easyocr'), 1.)
+        bgr = normalize_image(img, 'vggface')
+        assert bgr.shape == img.shape and bgr[0, 0, 0] != 255.
+        # dict / tuple dispatch builds a mean normalizer
+        assert np.allclose(get_image_normalization_fn(
+            {'means': 0.5, 'std': 2.})(np.ones((1, 1, 3))), 0.25)
+        assert np.allclose(get_image_normalization_fn(
+            ([0.5], [2.]))(np.ones((1, 1, 3))), 0.25)
 
     def test_size_and_uint8(self, tmp_path):
         import numpy as np

@@ -41,6 +41,42 @@ class TestPlotUtils:
                     filename = str(tmp_path / 'opts.png'))
         assert os.path.getsize(path) > 0
 
+    def test_plot_date_axis(self, tmp_path):
+        import datetime
+        xs = [datetime.datetime(2026, 8, 20, 12, 0, i) for i in range(5)]
+        path = plot([1, 3, 2, 5, 4], x = xs, date_format = '%H:%M:%S',
+                    filename = str(tmp_path / 'dates.png'))
+        assert os.path.getsize(path) > 0
+
+    def test_plot_3d(self, tmp_path):
+        pts = np.random.RandomState(0).randn(20, 3)
+        assert os.path.exists(plot(pts, plot_3d = True,
+                                   plot_type = 'scatter',
+                                   filename = str(tmp_path / 'p3a.png')))
+        assert os.path.exists(plot(np.random.rand(6, 8), plot_3d = True,
+                                   filename = str(tmp_path / 'p3b.png')))
+
+    def test_plot_into_existing_ax(self, tmp_path):
+        import matplotlib
+        matplotlib.use('Agg', force = True)
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 2)
+        plot([1, 2, 3], ax = axes[0], title = 'left')
+        plot([3, 2, 1], ax = axes[1], title = 'right')
+        out = str(tmp_path / 'composed.png')
+        fig.savefig(out)
+        plt.close(fig)
+        assert os.path.getsize(out) > 0
+        assert axes[0].get_title() == 'left'
+
+    def test_plot_tick_positions(self, tmp_path):
+        path = plot([5, 1, 4, 2], xtick_pos = [0, 3],
+                    xtick_labels = ['start', 'end'],
+                    ytick_pos = [1, 5], ytick_labels = ['lo', 'hi'],
+                    ytick_rotation = 90,
+                    filename = str(tmp_path / 'ticks.png'))
+        assert os.path.getsize(path) > 0
+
     def test_plot_bar_and_hist(self, tmp_path):
         assert os.path.exists(plot([3, 1, 2], plot_type = 'bar',
                                    filename = str(tmp_path / 'b.png')))

@@ -237,10 +237,35 @@ _NORMALIZATION_FNS['east'] = lambda image: (
     build_mean_normalize([0.5, 0.5, 0.5], [1., 1., 1.])(_normalize_01(image)))
 _NORMALIZATION_FNS['identity'] = lambda image: np.asarray(image, np.float32)
 
+# remaining reference scheme set (image_normalization.py:47-59)
+_NORMALIZATION_FNS['normal'] = lambda image: (
+    lambda x: (x - x.mean()) / max(float(x.std()), 1e-12))(
+        np.asarray(image, np.float32))
+_NORMALIZATION_FNS['tanh'] = lambda image: _normalize_01(image) * 2. - 1.
+_NORMALIZATION_FNS['mobilenet'] = lambda image: (
+    np.asarray(image, np.float32) / 127.5 - 1.)
+_NORMALIZATION_FNS['clip'] = lambda image: (
+    build_mean_normalize([0.48145466, 0.4578275, 0.40821073],
+                         [0.26862954, 0.26130258, 0.27577711])(
+        _normalize_01(image)))
+_NORMALIZATION_FNS['easyocr'] = lambda image: (
+    build_mean_normalize(0.5, 0.5)(_normalize_01(image)))
+_NORMALIZATION_FNS['vggface'] = lambda image: (
+    np.asarray(image, np.float32)[..., ::-1]
+    - np.asarray([91.4953, 103.8827, 131.0912], np.float32))
+
 
 def get_image_normalization_fn(method):
+    """Resolve a normalization scheme: a name from the registry, a callable
+    (pass-through), a ``(means, std)`` tuple/list, or a
+    ``{'means':..., 'std':...}`` dict (the reference's dispatch surface,
+    ``image_normalization.py:62``)."""
     if callable(method): return method
     if method is None: return _NORMALIZATION_FNS['identity']
+    if isinstance(method, dict):
+        return build_mean_normalize(** method)
+    if isinstance(method, (list, tuple)):
+        return build_mean_normalize(* method)
     if method not in _NORMALIZATION_FNS:
         raise ValueError('Unknown normalization {!r} (known: {})'.format(
             method, sorted(_NORMALIZATION_FNS)))

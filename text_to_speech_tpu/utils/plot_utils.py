@@ -47,6 +47,12 @@ def plot(data,
          tick_rotation = 0,
          linewidth = None,
          linestyle = None,
+         ax = None,
+         date_format = '%H:%M:%S',
+         plot_3d = False,
+         xtick_pos = None,
+         ytick_pos = None,
+         ytick_rotation = 0,
          ** kwargs
         ):
     """Plot 1-D series (or dict of named series) / 2-D images.
@@ -55,10 +61,45 @@ def plot(data,
     (``/root/reference/utils/plot_utils.py:177``): `hlines`/`vlines` draw
     reference lines (scalar or list), `logscale`/`xlogscale` switch axes
     to log, `with_grid`+`gridstyle` toggles the grid, `xtick_labels`/
-    `ytick_labels` relabel ticks (rotated by `tick_rotation`).
+    `ytick_labels` relabel ticks (at `xtick_pos`/`ytick_pos` when given,
+    rotated by `tick_rotation`/`ytick_rotation`); `ax` composes into an
+    existing axes instead of a new figure; datetime `x` values format
+    through `date_format` (the reference's date-axis behavior); `plot_3d`
+    renders an (N, 3) point cloud / z-series on a 3-D projection.
     """
+    import datetime as _dt
     plt = _plt()
-    fig, ax = plt.subplots(figsize = figsize)
+    caller_ax = ax is not None
+    if ax is not None:
+        fig = ax.figure
+    elif plot_3d:
+        from mpl_toolkits.mplot3d import Axes3D      # noqa: F401
+        fig = plt.figure(figsize = figsize)
+        ax = fig.add_subplot(projection = '3d')
+    else:
+        fig, ax = plt.subplots(figsize = figsize)
+
+    is_dates = (x is not None and len(np.atleast_1d(x))
+                and isinstance(np.atleast_1d(np.asarray(x, object))[0],
+                               (_dt.datetime, _dt.date, np.datetime64)))
+
+    if plot_3d and not isinstance(data, dict):
+        pts = np.asarray(data)
+        if pts.ndim == 2 and pts.shape[1] == 3:      # (N, 3) point cloud
+            if plot_type == 'scatter':
+                ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], color = color)
+            else:
+                ax.plot(pts[:, 0], pts[:, 1], pts[:, 2], color = color)
+        else:                                        # z-series over a grid
+            z = np.atleast_2d(pts)
+            xs, ys = np.meshgrid(np.arange(z.shape[1]),
+                                 np.arange(z.shape[0]))
+            ax.plot_surface(xs, ys, z, ** kwargs)
+        if title: ax.set_title(title)
+        if xlabel: ax.set_xlabel(xlabel)
+        if ylabel: ax.set_ylabel(ylabel)
+        return _finalize(fig, filename, show)
+
     line_kw = {}
     if linewidth is not None: line_kw['linewidth'] = linewidth
     if linestyle is not None: line_kw['linestyle'] = linestyle
@@ -100,15 +141,24 @@ def plot(data,
     if xlim: ax.set_xlim(* xlim)
     if ylim: ax.set_ylim(* ylim)
     if xtick_labels is not None:
-        ax.set_xticks(np.arange(len(xtick_labels)))
+        ax.set_xticks(np.asarray(xtick_pos) if xtick_pos is not None
+                      else np.arange(len(xtick_labels)))
         ax.set_xticklabels([str(l) for l in xtick_labels],
                            rotation = tick_rotation)
     if ytick_labels is not None:
-        ax.set_yticks(np.arange(len(ytick_labels)))
-        ax.set_yticklabels([str(l) for l in ytick_labels])
+        ax.set_yticks(np.asarray(ytick_pos) if ytick_pos is not None
+                      else np.arange(len(ytick_labels)))
+        ax.set_yticklabels([str(l) for l in ytick_labels],
+                           rotation = ytick_rotation)
+    if is_dates:
+        import matplotlib.dates as mdates
+        ax.xaxis.set_major_formatter(mdates.DateFormatter(date_format))
+        fig.autofmt_xdate()
     if title: ax.set_title(title)
     if xlabel: ax.set_xlabel(xlabel)
     if ylabel: ax.set_ylabel(ylabel)
+    if caller_ax and filename is None and not show:
+        return fig                  # composed into a caller-owned figure
     return _finalize(fig, filename, show)
 
 
