@@ -649,20 +649,49 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     # a finished one's rows) — a monotonic sequence number never is
     seq = itertools.count()
 
-    def start_fn(text, on_audio = None, ** kwargs):
-        tokens = np.asarray(model.encode_text(text))[None, :]
-        s = -(-tokens.shape[1] // token_multiple) * token_multiple
-        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
-                        constant_values = model.blank_token_idx)
-        memory, pm, mask = encode_jit(
-            model.params, model.state, jnp.asarray(tokens))
+    def _encode_batch(texts):
+        toks = [np.asarray(model.encode_text(t)) for t in texts]
+        s = -(-max(len(t) for t in toks) // token_multiple) * token_multiple
+        return np.stack([
+            np.pad(t, (0, s - len(t)),
+                   constant_values = model.blank_token_idx) for t in toks])
+
+    def _admit_state(text, memory_row, pm_row, mask_row, on_audio):
         return {
             'text': text, '_seq': next(seq),
-            'memory': memory[0], 'pm': pm[0], 'mask': mask[0],   # device rows
+            'memory': memory_row, 'pm': pm_row, 'mask': mask_row,
             'frames': [], 'steps': 0,
             'on_audio': on_audio, 'emitted': 0, 'audio_parts': [],
             't_start': time.perf_counter(), 't_first_audio': None,
         }
+
+    def start_fn(text, on_audio = None, ** kwargs):
+        tokens = _encode_batch([text])
+        memory, pm, mask = encode_jit(
+            model.params, model.state, jnp.asarray(tokens))
+        return _admit_state(text, memory[0], pm[0], mask[0], on_audio)
+
+    def start_many(texts, kwargs_list):
+        """Batched admission: one encoder launch per burst (see the VITS
+        stepper's start_many — the same tunnel-RTT economics).  Token rows
+        pad to a pow2 bucket so admission traces a bounded executable
+        set."""
+        tokens = _encode_batch(texts)
+        n = tokens.shape[0]
+        bucket = _bucket(n, 1)
+        if bucket > n:
+            tokens = np.concatenate(
+                [tokens, np.broadcast_to(tokens[:1],
+                                         (bucket - n,) + tokens.shape[1:])])
+        memory, pm, mask = encode_jit(
+            model.params, model.state, jnp.asarray(tokens))
+        return [
+            _admit_state(texts[i], memory[i], pm[i], mask[i],
+                         kwargs_list[i].get('on_audio'))
+            for i in range(n)
+        ]
+
+    start_fn.start_many = start_many
 
     def _postnet_mel(decoder_output):
         # window lengths bucket to ×chunk so postnet compiles a few programs;
