@@ -89,6 +89,10 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
     # streaming requests attach a sink callback so the steppers emit (and
     # timestamp) incremental audio; oneshot requests decode whole
     sub_kwargs = {'on_audio': (lambda part: None)} if stream else {}
+    # the scheduler has no reset API: snapshot its cumulative counters so
+    # each sweep cell reports ITS OWN deltas (means stay cumulative and
+    # are labeled as such)
+    sched_before = dict(engine.scheduler_stats)
     with engine:
         engine.stats['latencies'].clear()
         for key in ('step_s', 'admit_s', 'finish_s', 'rows_stepped',
@@ -137,8 +141,12 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
             'occupancy': round(
                 engine.stats['rows_stepped'] / (chunks * max_batch), 3),
         },
-        'scheduler': {k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in dict(engine.scheduler_stats).items()},
+        'scheduler': {
+            (k if isinstance(v, float) else k):
+                (round(v, 4) if isinstance(v, float)
+                 else v - sched_before.get(k, 0))
+            for k, v in dict(engine.scheduler_stats).items()},
+        'scheduler_means_cumulative': True,
     }
     if first_audio:
         result['first_audio_p50_s'] = round(percentile(first_audio, 50), 3)

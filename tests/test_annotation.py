@@ -157,6 +157,25 @@ class TestWorkspaceEditing:
         with pytest.raises(ValueError):
             ann.split(0, at = 1e9)
 
+    def test_pop_out_of_range_ignored_and_negative(self):
+        """Out-of-range indices must be IGNORED (never wrapped onto a
+        different segment — review finding); negatives count from the
+        end."""
+        ann = self._workspace()
+        ann.pop(7)                          # stale index: no-op
+        assert [s['text'] for s in ann.alignment] == ['one', 'two', 'three']
+        ann.pop(-1)
+        assert [s['text'] for s in ann.alignment] == ['one', 'two']
+
+    def test_update_segment_is_atomic(self):
+        """A rejected update must leave the segment untouched (review
+        finding: fields were mutated before validation)."""
+        ann = self._workspace()
+        before = dict(ann.alignment[0])
+        with pytest.raises(ValueError):
+            ann.update_segment(0, start = 1e9, text = 'poison')
+        assert ann.alignment[0] == before
+
     def test_update_segment_relative_timing(self):
         ann = self._workspace()
         start, end = ann.alignment[0]['start'], ann.alignment[0]['end']

@@ -69,6 +69,22 @@ class TestPlotUtils:
         assert os.path.getsize(out) > 0
         assert axes[0].get_title() == 'left'
 
+    def test_plot_3d_into_existing_ax(self, tmp_path):
+        """A caller-supplied 3-D axes must not be closed by plot()
+        (review finding: the 3-D branch skipped the caller_ax guard)."""
+        import matplotlib
+        matplotlib.use('Agg', force = True)
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        ax = fig.add_subplot(projection = '3d')
+        out = plot(np.random.rand(10, 3), ax = ax, plot_3d = True,
+                   plot_type = 'scatter', title = 'cloud')
+        assert out is fig                       # figure still alive
+        path = str(tmp_path / 'p3ax.png')
+        fig.savefig(path)
+        plt.close(fig)
+        assert os.path.getsize(path) > 0
+
     def test_plot_tick_positions(self, tmp_path):
         path = plot([5, 1, 4, 2], xtick_pos = [0, 3],
                     xtick_labels = ['start', 'end'],

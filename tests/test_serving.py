@@ -199,17 +199,44 @@ class TestContinuousServingEngine:
                    for st in states]
             return out, [st['remaining'] <= 0 for st in out]
 
-        with ContinuousServingEngine(start_fn, step_fn,
-                                     lambda st: st['n'],
-                                     max_batch_size = 8) as engine:
-            reqs = [engine.submit(2) for _ in range(4)]
-            special = engine.submit(2, special = 'x')   # non-batchable
+        engine = ContinuousServingEngine(start_fn, step_fn,
+                                         lambda st: st['n'],
+                                         max_batch_size = 8)
+        # submit the whole burst BEFORE the loop starts so the first
+        # collect deterministically sees all of it (submission vs the
+        # loop's wakeup is otherwise racy on multi-core hosts)
+        reqs = [engine.submit(2) for _ in range(4)]
+        special = engine.submit(2, special = 'x')       # non-batchable
+        with engine:
             gate.set()
             assert [r.result.get(timeout = 10) for r in reqs] == [2] * 4
             assert special.result.get(timeout = 10) == 2
         assert sum(calls['many']) == 4          # the burst batched
         assert all(n > 1 for n in calls['many'])
         assert calls['single'] == 1             # only the special one
+
+    def test_start_many_short_return_falls_back(self):
+        """start_many returning FEWER states than requests must not drop
+        the tail request (review finding: zip truncation) — the whole
+        burst re-admits through the per-request path."""
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        def start_fn(n, on_audio = None):
+            return {'remaining': n, 'n': n}
+        start_fn.start_many = lambda inputs, kwargs_list: [
+            {'remaining': n, 'n': n} for n in inputs[:-1]]   # short!
+
+        def step_fn(states):
+            time.sleep(0.02)
+            out = [dict(st, remaining = st['remaining'] - 1)
+                   for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        engine = ContinuousServingEngine(start_fn, step_fn,
+                                         lambda st: st['n'])
+        reqs = [engine.submit(2) for _ in range(3)]
+        with engine:
+            assert [r.result.get(timeout = 10) for r in reqs] == [2] * 3
 
     def test_batched_admission_failure_falls_back(self):
         """start_many raising must not lose the burst — every request is

@@ -403,11 +403,14 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         vkwargs.pop('win_len', None)
         hop_len = vkwargs.pop('hop_len', -64)
 
-        # an explicitly passed top-level vocoder_batch wins on BOTH branches:
-        # forwarded into the windowed slicer's kwargs (None keeps its auto
-        # MXU-sweet-spot policy), and used for the sub-batch slicing below
+        # an explicitly passed top-level vocoder_batch wins on BOTH branches
+        # (overriding any vocoder_config value): forwarded into the windowed
+        # slicer's kwargs, and used for the sub-batch slicing below.  When
+        # only vocoder_config provides it, that value is used consistently;
+        # with neither, the non-windowed branch slices by 8 and the windowed
+        # slicer keeps its auto MXU-sweet-spot policy (None).
         if vocoder_batch is not None:
-            vkwargs.setdefault('vocoder_batch', vocoder_batch)
+            vkwargs['vocoder_batch'] = vocoder_batch
         else:
             vocoder_batch = vkwargs.get('vocoder_batch') or 8
 

@@ -157,7 +157,14 @@ class WaveGlow(BaseAudioModel, BaseModel):
         self._serve_force_xla = False
         self._packed_params = None
         if enable and validate is not None:
-            snr = self.serving_snr(validate)
+            try:
+                snr = self.serving_snr(validate)
+            except RuntimeError as e:
+                # non-TPU backend: int8 serving never engages there
+                # (compiled_infer is XLA-only off-TPU), so validation is
+                # moot — keep the documented no-op behavior
+                logger.warning('int8 validation skipped: %s', e)
+                return self
             self._last_serving_snr_db = snr
             if snr < gate_db:
                 logger.warning(
@@ -180,12 +187,30 @@ class WaveGlow(BaseAudioModel, BaseModel):
         """int8-kernel vs f32/XLA-chain waveform SNR (dB) on `mel`, with the
         same noise sample — the quality gate for `quantize_for_serving`.
         Runs the exact mixed-precision configuration the int8 serving path
-        uses (bf16 operands, f32 audio stream)."""
+        uses (bf16 operands, f32 audio stream).  Requires a TPU backend
+        (the fused int8 kernel is Pallas/Mosaic); raises on other
+        platforms rather than silently comparing a never-exercised path."""
         import jax
         import jax.numpy as jnp
 
+        default_dev = jax.config.jax_default_device
+        platform = default_dev.platform if default_dev is not None \
+            else jax.default_backend()
+        if platform != 'tpu':
+            raise RuntimeError(
+                'serving_snr needs a TPU backend (fused int8 Pallas '
+                'kernels); got {!r}.  Run the gate on TPU, e.g. '
+                'tools/import_and_verify.py --device tpu.'.format(platform))
+
         mel = np.asarray(mel, np.float32)
         if mel.ndim == 2: mel = mel[None]
+        # pad frames to a multiple of 16 (grouped length % 512 == 0) so the
+        # comparison exercises the FUSED kernel path — the one being gated —
+        # not the XLA fallback it would silently take at odd lengths
+        if mel.shape[1] % 16:
+            pad = 16 - mel.shape[1] % 16
+            mel = np.pad(mel, ((0, 0), (0, pad), (0, 0)),
+                         constant_values = float(self.pad_mel_value))
         if rng is None: rng = jax.random.PRNGKey(0)
 
         packed = self.arch.quantize_pallas_params(

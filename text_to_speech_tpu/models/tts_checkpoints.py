@@ -572,7 +572,13 @@ def hifigan_config_from_state_dict(sd):
     """Shape-derivable ``HParamsHiFiGAN`` fields from an official-layout
     generator ``state_dict`` (weight-norm removed).  Not shape-derivable:
     ``upsample_rates`` (inferred as kernel//2, the published convention)
-    and the dilation values (the (1, 3, 5) prefix convention)."""
+    and the DILATION values — dilation changes no weight shape, so the
+    published conventions are assumed: v1/v2 (ResBlock1) use (1, 3, 5)
+    per kernel; v3 (ResBlock2) uses ((1, 2), (2, 6), (3, 12)) (the
+    official config_v3, mirrored by ``HIFIGAN_V3``).  Pass a `config`
+    override through ``HiFiGAN.from_torch_pretrained`` for anything
+    non-standard — the forward gate of ``tools/import_and_verify.py``
+    (with a golden) is what catches a wrong assumption."""
     sd = _strip_prefix(sd, r'^(module\.|generator\.)')
     shp = lambda k: tuple(np.shape(sd[k]))
     n_up = _count(sd, r'ups\.(\d+)\.')
@@ -582,6 +588,13 @@ def hifigan_config_from_state_dict(sd):
     res_key = 'convs1' if version == 1 else 'convs'
     kernels = [shp('ups.{}.weight'.format(i))[2] for i in range(n_up)]
     n_dil = _count(sd, r'resblocks\.0\.{}\.(\d+)\.'.format(res_key))
+    if version == 2:
+        v3 = ((1, 2), (2, 6), (3, 12))
+        dilations = tuple(v3[j % len(v3)][:n_dil]
+                          for j in range(num_kernels))
+    else:
+        dilations = tuple(tuple((1, 3, 5)[:n_dil])
+                          for _ in range(num_kernels))
     return {
         'n_mel_channels': shp('conv_pre.weight')[1],
         'upsample_initial_channel': shp('conv_pre.weight')[0],
@@ -591,8 +604,7 @@ def hifigan_config_from_state_dict(sd):
         'resblock_kernel_sizes': tuple(
             shp('resblocks.{}.{}.0.weight'.format(j, res_key))[2]
             for j in range(num_kernels)),
-        'resblock_dilation_sizes': tuple(
-            tuple((1, 3, 5)[:n_dil]) for _ in range(num_kernels)),
+        'resblock_dilation_sizes': dilations,
     }
 
 

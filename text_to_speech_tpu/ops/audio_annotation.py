@@ -225,10 +225,14 @@ class AudioAnnotation:
     # -- workspace editing (reference ``audio_annotation.py:307-628``) ---------
 
     def pop(self, index, rebuild = True):
-        """Remove segment(s) by index (int or list) — reference ``:307``."""
+        """Remove segment(s) by index (int or list; negatives count from
+        the end; out-of-range indices are IGNORED, matching the
+        reference's filter semantics ``:307`` — never wrapped onto a
+        different segment)."""
         if not isinstance(index, (list, tuple, np.ndarray)):
             index = [index]
-        drop = {int(i) % max(1, len(self.alignment)) for i in index}
+        n = len(self.alignment)
+        drop = {int(i) + n if int(i) < 0 else int(i) for i in index}
         self.alignment = [seg for i, seg in enumerate(self.alignment)
                           if i not in drop]
         if rebuild and getattr(self, 'parts', None) is not None:
@@ -259,14 +263,20 @@ class AudioAnnotation:
         convention: ``start = 1`` shifts the start 1 s later); every other
         field is assigned."""
         seg = self.alignment[index]
+        updated = dict(seg)
         for key, value in kwargs.items():
             if key in ('start', 'end'):
-                seg[key] = seg[key] + float(value)
+                updated[key] = updated[key] + float(value)
             else:
-                seg[key] = value
-        if seg['start'] > seg['end']:
-            raise ValueError('segment {} now empty: start {:.3f} > end {:.3f}'
-                             .format(index, seg['start'], seg['end']))
+                updated[key] = value
+        if updated['start'] > updated['end']:
+            # validate BEFORE committing: a rejected edit leaves the
+            # segment untouched
+            raise ValueError('segment {} would be empty: start {:.3f} > '
+                             'end {:.3f}'.format(index, updated['start'],
+                                                 updated['end']))
+        seg.clear()
+        seg.update(updated)
         if rebuild and getattr(self, 'parts', None) is not None:
             self.build_alignment()
         return self

@@ -340,17 +340,6 @@ class ContinuousServingEngine(_SchedulerMixin):
                     self.finish_fn(st)
         return time.perf_counter() - t0
 
-    def _admit(self, slots, block):
-        """Fill free slots from the scheduler; blocks briefly only when
-        idle (otherwise admission is the non-blocking chunk-boundary
-        variant)."""
-        free = self.max_batch_size - len(slots)
-        if free <= 0:
-            return
-        live = self._collect_live(free, block)
-        if live:
-            slots.extend(self._start_requests(live))
-
     def _collect_live(self, free, block):
         """Pull up to `free` queued requests and drop already-aborted ones."""
         if block:
@@ -391,6 +380,12 @@ class ContinuousServingEngine(_SchedulerMixin):
             try:
                 states = start_many([r.inputs for r in batchable],
                                     [r.kwargs for r in batchable])
+                if len(states) != len(batchable):
+                    # zip() would silently drop the tail request — it
+                    # would then never resolve; treat as a failed batch
+                    raise RuntimeError(
+                        'start_many returned {} states for {} requests'
+                        .format(len(states), len(batchable)))
                 admitted.extend(zip(batchable, states))
                 batchable = []
             except Exception:

@@ -98,6 +98,8 @@ def plot(data,
         if title: ax.set_title(title)
         if xlabel: ax.set_xlabel(xlabel)
         if ylabel: ax.set_ylabel(ylabel)
+        if caller_ax and filename is None and not show:
+            return fig              # composed into a caller-owned figure
         return _finalize(fig, filename, show)
 
     line_kw = {}
