@@ -215,6 +215,48 @@ class TestContinuousServingEngine:
         assert all(n > 1 for n in calls['many'])
         assert calls['single'] == 1             # only the special one
 
+    def test_batched_finish_uses_finish_many(self):
+        """Rows completing at the same chunk boundary finish through ONE
+        finish_many call; a short return falls back per-request without
+        losing outputs."""
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        calls = {'many': [], 'single': 0}
+
+        def start_fn(n):
+            return {'remaining': n, 'n': n}
+
+        def step_fn(states):
+            out = [dict(st, remaining = st['remaining'] - 1)
+                   for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        def finish_fn(st):
+            calls['single'] += 1
+            return st['n']
+
+        def finish_many(states):
+            calls['many'].append(len(states))
+            return [st['n'] for st in states]
+        finish_fn.finish_many = finish_many
+
+        engine = ContinuousServingEngine(start_fn, step_fn, finish_fn)
+        reqs = [engine.submit(2) for _ in range(3)]     # all finish together
+        with engine:
+            assert [r.result.get(timeout = 10) for r in reqs] == [2] * 3
+        assert calls['many'] == [3]
+        assert calls['single'] == 0
+
+        # short return → per-request fallback, nothing lost
+        calls['many'], calls['single'] = [], 0
+        finish_fn.finish_many = lambda states: [st['n']
+                                                for st in states[:-1]]
+        engine = ContinuousServingEngine(start_fn, step_fn, finish_fn)
+        reqs = [engine.submit(2) for _ in range(3)]
+        with engine:
+            assert [r.result.get(timeout = 10) for r in reqs] == [2] * 3
+        assert calls['single'] == 3
+
     def test_start_many_short_return_falls_back(self):
         """start_many returning FEWER states than requests must not drop
         the tail request (review finding: zip truncation) — the whole
@@ -440,6 +482,55 @@ class TestContinuousTacotron:
             deterministic = True, early_stopping = False, max_length = 12)
         np.testing.assert_allclose(
             out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
+        reset_instances()
+
+    def test_finish_many_matches_single(self, tmp_path, monkeypatch):
+        """The batched finish (one padded postnet + one batched vocode per
+        boundary) must match per-request finish_fn outputs numerically."""
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
+        from text_to_speech_tpu.runtimes.serving import make_tacotron_stepper
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'fin_taco',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+        )
+        model.arch.hp.gate_threshold = 1.1
+        vocoder = WaveGlow(
+            name = 'fin_wg', n_flows = 2, n_group = 4, n_early_every = 4,
+            n_early_size = 2, wn_layers = 2, wn_channels = 8,
+            upsample_width = 16, upsample_stride = 8)
+
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 4, token_multiple = 8, max_steps = 12,
+            deterministic = True, vocoder = vocoder)
+        assert hasattr(finish_fn, 'finish_many')
+
+        states = [start_fn(t) for t in
+                  ('hello world', 'test', 'a third one here')]
+        done = [False] * 3
+        while not all(done):
+            states, done = step_fn(states)
+
+        import copy
+        batched = finish_fn.finish_many(copy.deepcopy(states))
+        singles = [finish_fn(st) for st in states]
+        for b, s in zip(batched, singles):
+            assert b['text'] == s['text'] and b['steps'] == s['steps']
+            # postnet mels must match exactly (deterministic path)
+            np.testing.assert_allclose(b['mel'], s['mel'], atol = 1e-4)
+            # audio: same length contract (the waveform itself uses fresh
+            # flow noise per call, so sample values legitimately differ)
+            assert b['audio'].shape == s['audio'].shape
+            assert b['rate'] == s['rate'] == model.rate
         reset_instances()
 
 

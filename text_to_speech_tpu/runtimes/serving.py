@@ -452,28 +452,14 @@ class ContinuousServingEngine(_SchedulerMixin):
             finally:
                 self.stats['step_s'] += time.perf_counter() - t0
             slots = []
+            completed = []
             for (request, _), state, is_done in zip(live, states, done):
                 if not is_done:
                     slots.append((request, state))
-                    continue
-                t0 = time.perf_counter()
-                try:
-                    output = self.finish_fn(state)
-                except Exception as e:
-                    logger.exception('finish_fn failed')
-                    self._finish(request, error = e)
-                    continue
-                finally:
-                    self.stats['finish_s'] += time.perf_counter() - t0
-                self.stats['latencies'].append(
-                    time.perf_counter() - getattr(request, 'submitted_at',
-                                                  time.perf_counter()))
-                if request.callback is not None:
-                    try:
-                        request.callback(output, request.request_id)
-                    except Exception:
-                        logger.exception('request callback failed')
-                self._finish(request, output)
+                else:
+                    completed.append((request, state))
+            if completed:
+                self._finish_completed(completed)
 
         # shutdown: requests whose admission was still in flight must not
         # hang their callers
@@ -484,6 +470,49 @@ class ContinuousServingEngine(_SchedulerMixin):
                         'engine stopped during admission'))
             except Exception:
                 logger.exception('in-flight admission failed at shutdown')
+
+    def _finish_completed(self, completed):
+        """Resolve this chunk's finished rows.  When several rows complete
+        at the same boundary and the stepper offers
+        ``finish_fn.finish_many``, ONE batched finish call serves them all
+        (measured: per-request finish — postnet + vocode device calls,
+        serialized in the loop thread — dominated the saturated AR-family
+        loop at 9.9 s of a 17 s run); a wrong-length or failing batch falls
+        back to per-request finishes."""
+        finish_many = getattr(self.finish_fn, 'finish_many', None)
+        t0 = time.perf_counter()
+        outputs = None
+        if finish_many is not None and len(completed) > 1:
+            try:
+                outputs = finish_many([s for _, s in completed])
+                if len(outputs) != len(completed):
+                    raise RuntimeError(
+                        'finish_many returned {} outputs for {} states'
+                        .format(len(outputs), len(completed)))
+            except Exception:
+                logger.exception('finish_many failed; falling back to '
+                                 'per-request finish')
+                outputs = None
+        for i, (request, state) in enumerate(completed):
+            if outputs is not None:
+                output = outputs[i]
+            else:
+                try:
+                    output = self.finish_fn(state)
+                except Exception as e:
+                    logger.exception('finish_fn failed')
+                    self._finish(request, error = e)
+                    continue
+            self.stats['latencies'].append(
+                time.perf_counter() - getattr(request, 'submitted_at',
+                                              time.perf_counter()))
+            if request.callback is not None:
+                try:
+                    request.callback(output, request.request_id)
+                except Exception:
+                    logger.exception('request callback failed')
+            self._finish(request, output)
+        self.stats['finish_s'] += time.perf_counter() - t0
 
 
 def _pow2_buckets(max_batch_size):
@@ -869,6 +898,68 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
             result['rate'] = model.rate
         return result
 
+    def finish_many(states):
+        """Batched finish for rows completing at the same chunk boundary:
+        ONE padded postnet launch + ONE batched vocoder launch for the
+        whole group (the per-request finish serializes 2+ device calls per
+        request in the loop thread — measured as the dominant saturated-
+        loop cost for this stepper, benchmarks/serving_load.py)."""
+        if stream_audio:
+            jobs = [(_emit_window(st, final = True)) for st in states]
+            real = [j for j in jobs if j is not None]
+            if real:
+                _emit_batch(real)
+            out = []
+            for st in states:
+                result = {
+                    'text': st['text'],
+                    'mel': _postnet_mel(
+                        np.concatenate(st['frames'], axis = 0)),
+                    'steps': st['steps'],
+                    'audio': (np.concatenate(st['audio_parts'])
+                              if st['audio_parts']
+                              else np.zeros((0,), np.float32)),
+                    'rate': model.rate,
+                }
+                if st['t_first_audio'] is not None:
+                    result['first_audio_s'] = \
+                        st['t_first_audio'] - st['t_start']
+                out.append(result)
+            return out
+
+        decs = [np.concatenate(st['frames'], axis = 0) for st in states]
+        b = max(-(-len(d) // chunk) * chunk for d in decs)
+        rows = _pow2(len(decs))             # pow2 batch bucket
+        padded = np.zeros((rows, b, decs[0].shape[-1]), decs[0].dtype)
+        for i, d in enumerate(decs):
+            padded[i, :len(d)] = d
+        post = np.asarray(postnet_jit(model.params, model.state,
+                                      jnp.asarray(padded)))
+        mels = [decs[i] + post[i, :len(decs[i])] for i in range(len(decs))]
+
+        results = [{'text': st['text'], 'mel': mel, 'steps': st['steps']}
+                   for st, mel in zip(states, mels)]
+        if vocoder is not None and hasattr(vocoder, 'compiled_infer'):
+            rate = getattr(vocoder, 'upsample_rate', 256)
+            pad_value = getattr(vocoder, 'pad_mel_value', -11.)
+            batch_mel = pad_batch(mels, pad_value = pad_value)
+            if len(mels) < rows:
+                batch_mel = np.concatenate(
+                    [batch_mel, np.broadcast_to(
+                        batch_mel[:1], (rows - len(mels),)
+                        + batch_mel.shape[1:])])
+            audio = np.asarray(vocoder.compiled_infer(batch_mel))
+            for i, result in enumerate(results):
+                result['audio'] = audio[i, : len(mels[i]) * rate]
+                result['rate'] = model.rate
+        elif vocoder is not None:
+            for result in results:
+                a = np.asarray(vocoder(result['mel']))
+                result['audio'] = a[0] if a.ndim == 2 else a
+                result['rate'] = model.rate
+        return results
+
+    finish_fn.finish_many = finish_many
     step_fn._batch = batch      # introspection (tests assert shardings)
     return start_fn, step_fn, finish_fn
 
