@@ -415,9 +415,15 @@ class Tacotron2:
             if train and rng is not None:
                 rng, sub = jax.random.split(rng)
                 x = nn.dropout(sub, x, hp.postnet_drop_rate, train = True)
+            if mask is not None:
+                # mask BETWEEN layers too: padded frames stay exactly zero,
+                # so layer i+1's SAME padding sees the same zeros it would
+                # at the true length — pad-then-slice is bit-exact for any
+                # padded batch (bias/BN offsets otherwise leak nonzero
+                # values into the pad region and corrupt the tail
+                # receptive field)
+                x = jnp.where(mask[..., None], x, 0.)
             new_state[name] = {'bn': bn_state}
-        if mask is not None:
-            x = jnp.where(mask[..., None], x, 0.)
         return x, {** state, 'postnet': new_state}
 
     # -- chunked decoding (continuous-batching serving) --------------------------

@@ -323,6 +323,7 @@ class ContinuousServingEngine(_SchedulerMixin):
         if batch_sizes is None:
             batch_sizes = _pow2_buckets(self.max_batch_size)
         start_many = getattr(self.start_fn, 'start_many', None)
+        finish_many = getattr(self.finish_fn, 'finish_many', None)
         t0 = time.perf_counter()
         for sample in sample_inputs:
             for b in batch_sizes:
@@ -336,8 +337,12 @@ class ContinuousServingEngine(_SchedulerMixin):
                     states, done = self.step_fn(states)
                     if all(done):
                         break
-                for st in states:
-                    self.finish_fn(st)
+                if finish_many is not None and b > 1:
+                    # compiles the batched-finish bucket too
+                    finish_many(states)
+                else:
+                    for st in states:
+                        self.finish_fn(st)
         return time.perf_counter() - t0
 
     def _collect_live(self, free, block):
@@ -655,6 +660,12 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     encode_jit = jax.jit(_encode)
     postnet_jit = jax.jit(
         lambda p, s, dec: arch.postnet(p, s, dec, train = False)[0])
+    # masked variant for the batched finish: per-row lengths keep padded
+    # frames exactly zero between layers, so mixed-length rows postnet
+    # bit-identically to their per-request (unpadded) runs
+    postnet_masked_jit = jax.jit(
+        lambda p, s, dec, mask: arch.postnet(
+            p, s, dec, train = False, mask = mask)[0])
 
     # The ACTIVE BATCH lives on device between chunks (frame, cell state,
     # memory/pm/mask stacks) and is restacked only on admission / removal /
@@ -928,29 +939,39 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
             return out
 
         decs = [np.concatenate(st['frames'], axis = 0) for st in states]
-        b = max(-(-len(d) // chunk) * chunk for d in decs)
+        # FIXED shapes: frames pinned to the decode ceiling, rows to a pow2
+        # bucket — a handful of executables total (one per pow2 group
+        # size), all warmed by `warmup`.  Shape-per-group padding looked
+        # cheaper but every fresh (rows, frames) combination paid a cold
+        # XLA compile mid-traffic (measured: finish went 9.9 s -> 83.6 s).
+        # ceiling covers a one-chunk overrun (the decode only checks the
+        # step limit at chunk boundaries) — and is clamped to the longest
+        # actual row as a safety net
+        r = arch.hp.n_frames_per_step
+        b = (-(-limit // chunk) + 1) * chunk * r
+        b = max(b, -(-max(len(d) for d in decs) // chunk) * chunk)
         rows = _pow2(len(decs))             # pow2 batch bucket
         padded = np.zeros((rows, b, decs[0].shape[-1]), decs[0].dtype)
+        mask = np.zeros((rows, b), bool)
         for i, d in enumerate(decs):
             padded[i, :len(d)] = d
-        post = np.asarray(postnet_jit(model.params, model.state,
-                                      jnp.asarray(padded)))
+            mask[i, :len(d)] = True
+        post = np.asarray(postnet_masked_jit(
+            model.params, model.state, jnp.asarray(padded),
+            jnp.asarray(mask)))
         mels = [decs[i] + post[i, :len(decs[i])] for i in range(len(decs))]
 
         results = [{'text': st['text'], 'mel': mel, 'steps': st['steps']}
                    for st, mel in zip(states, mels)]
-        if vocoder is not None and hasattr(vocoder, 'compiled_infer'):
-            rate = getattr(vocoder, 'upsample_rate', 256)
-            pad_value = getattr(vocoder, 'pad_mel_value', -11.)
-            batch_mel = pad_batch(mels, pad_value = pad_value)
-            if len(mels) < rows:
-                batch_mel = np.concatenate(
-                    [batch_mel, np.broadcast_to(
-                        batch_mel[:1], (rows - len(mels),)
-                        + batch_mel.shape[1:])])
-            audio = np.asarray(vocoder.compiled_infer(batch_mel))
-            for i, result in enumerate(results):
-                result['audio'] = audio[i, : len(mels[i]) * rate]
+        if vocoder is not None and hasattr(vocoder, 'vocode_windowed_batch'):
+            # cross-request WINDOW batching (the long-document fast path):
+            # bounded window shapes regardless of utterance lengths — a
+            # full-length one-shot batch at the decode ceiling (e.g.
+            # 8 x 1024 frames) exceeds the fused kernel's envelope
+            audios = vocoder.vocode_windowed_batch(
+                mels, win_len = min(b, 256), hop_len = -64)
+            for result, audio in zip(results, audios):
+                result['audio'] = audio
                 result['rate'] = model.rate
         elif vocoder is not None:
             for result in results:
