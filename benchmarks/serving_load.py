@@ -78,7 +78,8 @@ def build_steppers(args):
         rate_hz = 22050
         steppers = make_tacotron_stepper(
             model, chunk = args.window, vocoder = vocoder,
-            stream_audio = args.stream)
+            stream_audio = args.stream,
+            transfer_dtype = args.transfer_dtype)
     return steppers, rate_hz
 
 
@@ -122,7 +123,7 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
         'unit': 'requests/s',
         'offered_rate': rate,
         'stream': bool(stream),
-        'transfer_dtype': transfer_dtype if model == 'vits' else None,
+        'transfer_dtype': transfer_dtype,
         'warmup_s': round(warmup_s, 2),
         'max_batch': max_batch,
         'requests': requests,

@@ -199,6 +199,23 @@ class TestWaveGlowModel:
                                     deterministic = True)).reshape(-1)
                 np.testing.assert_allclose(audio, ref[:len(audio)], atol = 1e-5)
 
+    def test_windowed_batch_int16_transfer(self):
+        """transfer_dtype='int16' quantizes windows on device before the
+        fetch; reconstructed audio matches f32 within the 16-bit PCM step."""
+        wg = make_wg('test_wg_i16')
+        rng = np.random.RandomState(3)
+        mels = [rng.randn(L, 80).astype(np.float32) for L in (30, 12)]
+        f32 = wg.vocode_windowed_batch(mels, win_len = 16, hop_len = -4,
+                                       deterministic = True)
+        i16 = wg.vocode_windowed_batch(mels, win_len = 16, hop_len = -4,
+                                       deterministic = True,
+                                       transfer_dtype = 'int16')
+        for a, b in zip(f32, i16):
+            assert a.shape == b.shape
+            assert b.dtype == np.float32
+            np.testing.assert_allclose(np.clip(a, -1., 1.), b,
+                                       atol = 1.01 / 32767.)
+
     def test_batched_windows(self):
         wg = make_wg()
         mel = np.random.randn(1, 20, 80).astype(np.float32)

@@ -288,10 +288,17 @@ class WaveGlow(BaseAudioModel, BaseModel):
     __call__ = infer
 
     def vocode_windowed_batch(self, mels, *, win_len, hop_len = -64,
-                              pad_value = None, vocoder_batch = None, ** kwargs):
+                              pad_value = None, vocoder_batch = None,
+                              transfer_dtype = 'float32', ** kwargs):
         """Windowed vocoding of MANY mels with the windows batched together
         across inputs (the long-document fast path: one chip-saturating call
         per `vocoder_batch` windows instead of one call per window).
+
+        ``transfer_dtype='int16'`` quantizes each window batch to 16-bit
+        PCM ON DEVICE before the device→host fetch (4× fewer bytes; the
+        same quantization a WAV container applies — max abs error
+        1/32767).  Measured as the AR serving family's finish bottleneck
+        over a tunneled chip (8 MB of f32 waveform per launch).
 
         Returns one stitched waveform per input mel."""
         if isinstance(win_len, float):
@@ -301,6 +308,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
         if pad_value is None: pad_value = self.pad_mel_value
         kwargs.pop('padding_multiple', None)    # windows are already one bucket
         rate = self.upsample_rate
+        quantize = np.dtype(transfer_dtype) == np.int16
 
         # collect (input_idx, start, valid_frames) for every window
         jobs, windows = [], []
@@ -336,8 +344,11 @@ class WaveGlow(BaseAudioModel, BaseModel):
                 # reuses ONE compiled executable (the padded rows are dropped)
                 group = group + [np.full_like(group[0], pad_value)] \
                     * (vocoder_batch - len(group))
-            dev_parts.append(self.compiled_infer(
-                np.stack(group), padding_multiple = None, ** kwargs))
+            dev = self.compiled_infer(
+                np.stack(group), padding_multiple = None, ** kwargs)
+            if quantize:
+                dev = self._quantize_i16(dev)
+            dev_parts.append(dev)
         audio_parts = _materialize_window_batches(dev_parts, batch_sizes)
 
         seq_lens = [np.asarray(m)[0].shape[0] if np.ndim(m) == 3
@@ -346,7 +357,8 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
     def vocode_windowed_from_device(self, mel, lengths, *, win_len,
                                     hop_len = -64, pad_value = None,
-                                    vocoder_batch = None, ** kwargs):
+                                    vocoder_batch = None,
+                                    transfer_dtype = 'float32', ** kwargs):
         """Windowed vocoding straight off a DEVICE mel batch ``(B, T, n_mel)``
         (e.g. the synthesizer's decode output): windows are sliced ON DEVICE,
         so the mel never round-trips through the host before vocoding — the
@@ -367,6 +379,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
         kwargs.pop('padding_multiple', None)
         rate = self.upsample_rate
 
+        quantize = np.dtype(transfer_dtype) == np.int16
         lengths = [max(1, int(l)) for l in np.asarray(lengths).reshape(-1)]
         jobs = []
         for idx, L in enumerate(lengths):
@@ -407,10 +420,27 @@ class WaveGlow(BaseAudioModel, BaseModel):
             owners = np.asarray([j[0] for j in group] + [0] * n_pad, np.int32)
             starts = np.asarray([j[1] for j in group] + [0] * n_pad, np.int32)
             windows = slicer(mel, owners, starts, lens_arr)
-            dev_parts.append(self.compiled_infer(
-                windows, padding_multiple = None, ** kwargs))
+            dev = self.compiled_infer(
+                windows, padding_multiple = None, ** kwargs)
+            if quantize:
+                dev = self._quantize_i16(dev)
+            dev_parts.append(dev)
         audio_parts = _materialize_window_batches(dev_parts, batch_sizes)
         return _stitch_windows(jobs, audio_parts, lengths, win_len, rate)
+
+    def _quantize_i16(self, audio_dev):
+        """On-device 16-bit PCM quantization before a device→host fetch."""
+        key = ('quant_i16',)
+
+        def builder():
+            import jax.numpy as jnp
+
+            def fn(a):
+                return jnp.round(jnp.clip(a, -1., 1.) * 32767.) \
+                    .astype(jnp.int16)
+            return fn
+
+        return self.get_compiled(key, builder)(audio_dev)
 
     def _auto_vocoder_batch(self, win_len, n_windows, vocoder_batch):
         """Launch-size policy for window batches: aim each launch at the
@@ -456,7 +486,8 @@ class WaveGlow(BaseAudioModel, BaseModel):
 
 def _materialize_window_batches(dev_parts, batch_sizes):
     """Start every device→host copy, THEN block: batch k's fetch hides under
-    batch k+1's compute instead of serializing a tunnel round-trip each."""
+    batch k+1's compute instead of serializing a tunnel round-trip each.
+    int16 batches (see ``transfer_dtype``) reconstruct to float32."""
     for dev in dev_parts:
         try:
             dev.copy_to_host_async()
@@ -465,6 +496,8 @@ def _materialize_window_batches(dev_parts, batch_sizes):
     audio_parts = []
     for dev, n_valid in zip(dev_parts, batch_sizes):
         out = np.asarray(dev)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) / 32767.
         audio_parts.extend(out[i] for i in range(n_valid))
     return audio_parts
 

@@ -579,6 +579,7 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                           max_steps = None, vocoder = None,
                           stream_audio = False, stream_context = 32,
                           stream_lookahead = None, mesh = None,
+                          transfer_dtype = 'float32',
                           ** infer_kwargs):
     """(start_fn, step_fn, finish_fn) driving a `Tacotron2` task model
     through `arch.decode_chunk`: per-request encode at admission, shared
@@ -969,7 +970,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
             # full-length one-shot batch at the decode ceiling (e.g.
             # 8 x 1024 frames) exceeds the fused kernel's envelope
             audios = vocoder.vocode_windowed_batch(
-                mels, win_len = min(b, 256), hop_len = -64)
+                mels, win_len = min(b, 256), hop_len = -64,
+                transfer_dtype = transfer_dtype)
             for result, audio in zip(results, audios):
                 result['audio'] = audio
                 result['rate'] = model.rate
