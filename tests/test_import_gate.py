@@ -162,6 +162,52 @@ class TestExportRoundtrips:
         assert cfg['n_fft'] == 64 and cfg['hop_length'] == 16
 
 
+class TestSafetensors:
+    def test_reader_matches_official_writer(self, tmp_path):
+        """The self-contained reader must parse files the official
+        safetensors library writes (the installed lib acts as the
+        ground-truth writer only)."""
+        import ml_dtypes
+        from safetensors.numpy import save_file
+        from text_to_speech_tpu.models.tts_checkpoints import \
+            load_safetensors
+        rng = np.random.RandomState(0)
+        tensors = {
+            'a.weight': rng.randn(3, 4).astype(np.float32),
+            'b.bias': rng.randn(5).astype(np.float16),
+            'c.table': rng.randint(0, 9, (2, 2)).astype(np.int64),
+            'd.bf': rng.randn(4, 2).astype(np.float32)
+                .astype(ml_dtypes.bfloat16),
+        }
+        path = str(tmp_path / 'x.safetensors')
+        save_file(tensors, path, metadata = {'format': 'pt'})
+        got = load_safetensors(path)
+        assert set(got) == set(tensors)
+        np.testing.assert_array_equal(got['a.weight'], tensors['a.weight'])
+        assert got['b.bias'].dtype == np.float32      # halves widen
+        np.testing.assert_allclose(got['b.bias'],
+                                   tensors['b.bias'].astype(np.float32))
+        np.testing.assert_array_equal(got['c.table'], tensors['c.table'])
+        assert got['d.bf'].dtype == np.float32
+        np.testing.assert_allclose(
+            got['d.bf'], tensors['d.bf'].astype(np.float32))
+
+    def test_vocos_safetensors_roundtrip(self, tmp_path):
+        """An official-layout Vocos checkpoint saved as .safetensors
+        imports through the loaders and the gate tool's auto-detection."""
+        from safetensors.numpy import save_file
+        from text_to_speech_tpu.models.vocos_arch import Vocos
+        arch = Vocos(dim = 16, n_layers = 2, intermediate_dim = 32,
+                     n_fft = 64, hop_length = 16, win_length = 64)
+        params = arch.init(jax.random.PRNGKey(0))
+        sd = {k: np.ascontiguousarray(v)
+              for k, v in ex.export_vocos(params).items()}
+        path = str(tmp_path / 'vocos.safetensors')
+        save_file(sd, path)
+        got = ck.convert_vocos(ck._load_state_dict(path))
+        assert_trees_equal(got, jax.tree_util.tree_map(np.asarray, params))
+
+
 def run_tool(* args):
     env = dict(os.environ, JAX_PLATFORMS = 'cpu')
     env.pop('PALLAS_AXON_POOL_IPS', None)

@@ -702,11 +702,57 @@ def load_nvidia_waveglow(path_or_sd):
     return convert_nvidia_waveglow(sd)
 
 
+#: safetensors dtype tags → numpy dtypes (BF16 handled separately)
+_SAFETENSORS_DTYPES = {
+    'F64': np.float64, 'F32': np.float32, 'F16': np.float16,
+    'I64': np.int64, 'I32': np.int32, 'I16': np.int16, 'I8': np.int8,
+    'U64': np.uint64, 'U32': np.uint32, 'U16': np.uint16, 'U8': np.uint8,
+    'BOOL': np.bool_,
+}
+
+
+def load_safetensors(path):
+    """Self-contained `.safetensors` reader (several official releases —
+    e.g. the Vocos mel checkpoint — ship this format): 8-byte
+    little-endian header length, JSON header of
+    ``{name: {dtype, shape, data_offsets}}``, then one raw buffer.
+    Half/bfloat16 tensors widen to float32 (this framework's parameter
+    dtype)."""
+    import json
+    with open(path, 'rb') as f:
+        n = int.from_bytes(f.read(8), 'little')
+        header = json.loads(f.read(n).decode('utf-8'))
+        buf = f.read()
+    out = {}
+    for name, info in header.items():
+        if name == '__metadata__':
+            continue
+        lo, hi = info['data_offsets']
+        tag = info['dtype']
+        if tag == 'BF16':
+            import ml_dtypes
+            arr = np.frombuffer(buf[lo:hi], dtype = ml_dtypes.bfloat16)
+            arr = arr.astype(np.float32)
+        else:
+            if tag not in _SAFETENSORS_DTYPES:
+                raise ValueError('unsupported safetensors dtype {!r} for '
+                                 '{!r}'.format(tag, name))
+            arr = np.frombuffer(buf[lo:hi],
+                                dtype = _SAFETENSORS_DTYPES[tag])
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+        out[name] = np.array(arr.reshape(info['shape']))
+    return out
+
+
 def _load_state_dict(path_or_sd):
     if isinstance(path_or_sd, dict):
         if all(isinstance(v, np.ndarray) for v in path_or_sd.values()):
             return path_or_sd       # already numpy: keep dict subclasses
         sd = path_or_sd
+    elif isinstance(path_or_sd, str) \
+            and path_or_sd.endswith('.safetensors'):
+        return load_safetensors(path_or_sd)
     else:
         import torch
         ckpt = torch.load(path_or_sd, map_location = 'cpu', weights_only = False)

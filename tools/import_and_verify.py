@@ -103,6 +103,10 @@ class TrackingDict(dict):
 def load_checkpoint(path):
     """checkpoint file → flat {name: ndarray}."""
     ext = os.path.splitext(path)[1].lower()
+    if ext == '.safetensors':
+        from text_to_speech_tpu.models.tts_checkpoints import \
+            load_safetensors
+        return load_safetensors(path)
     if ext in ('.npz', '.npy'):
         data = np.load(path, allow_pickle = False)
         return {k: np.asarray(data[k]) for k in data.files}
