@@ -16,6 +16,8 @@ ITERS = int(os.environ.get('SWEEP_ITERS', 4))
 
 
 def main():
+    import _cache
+    _cache.enable()
     import jax
     import jax.numpy as jnp
     from text_to_speech_tpu.ops import pallas_kernels as pk

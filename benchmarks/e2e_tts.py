@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--sentences', type = int, default = 4)
     parser.add_argument('--runs', type = int, default = 3)

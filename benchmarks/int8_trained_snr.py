@@ -52,6 +52,8 @@ def load_utterance(rate_out = 22050, max_seconds = 8.0):
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type = int, default = 500,
                         help = 'NLL training steps (>= 1)')

@@ -40,6 +40,8 @@ def timeit(fn, iters, *args):
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type = int, default = 32)
     parser.add_argument('--frames', type = int, default = 256)

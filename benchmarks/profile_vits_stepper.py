@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--window', type = int, default = 64)
     parser.add_argument('--context', type = int, default = 16)

@@ -156,6 +156,8 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default = 'vits',
                         choices = ('vits', 'tacotron2'))

@@ -15,6 +15,8 @@ AUDIO_FPS = 22050 / 256.      # mel frames per second of audio
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type = int, default = 8)
     parser.add_argument('--steps', type = int, default = 256)

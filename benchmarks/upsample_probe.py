@@ -39,6 +39,8 @@ def timeit(fn, iters, *args):
 
 
 def main():
+    import _cache
+    _cache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type = int, default = 64)
     parser.add_argument('--frames', type = int, default = 256)
