@@ -49,14 +49,13 @@ def worker():
     import jax.numpy as jnp
 
     # persistent executable cache: repeat bench runs skip the multi-minute
-    # TPU compiles (BENCH_NO_CACHE=1 opts out for cold-compile measurements)
-    if os.environ.get('BENCH_NO_CACHE') != '1':
-        jax.config.update('jax_compilation_cache_dir',
-                          os.environ.get('JAX_CACHE_DIR',
-                                         '/tmp/jax_bench_cache'))
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.)
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # TPU compiles (ONE policy, shared with benchmarks/: _cache.enable;
+    # BENCH_NO_CACHE=1 opts out for cold-compile measurements)
+    root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, 'benchmarks'))
+    import _cache
+    _cache.enable()
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
 
     # full-size model: 12 flows x 8 layers x 512 channels.  The zero-init

@@ -59,7 +59,7 @@ def segments(audio, rate, seconds = 1.0, hop = 0.5):
     return [audio[s: s + n] for s in range(0, max(1, len(audio) - n), h)]
 
 
-def main(encoder_epochs = 12, tts_epochs = 60, out_dir = None):
+def main(encoder_epochs = 12, tts_epochs = 300, out_dir = None):
     from text_to_speech_tpu.models.encoder import SpeakerEncoder
     from text_to_speech_tpu.models.tts import SV2TTSTacotron2
     from text_to_speech_tpu.ops.audio_io import write_audio

@@ -531,6 +531,33 @@ class TestContinuousTacotron:
             # flow noise per call, so sample values legitimately differ)
             assert b['audio'].shape == s['audio'].shape
             assert b['rate'] == s['rate'] == model.rate
+
+        # NON-chunk-multiple lengths (a gate firing mid-chunk): the one
+        # configuration that exposes pad-leak through the postnet's conv
+        # stack — the decode-driven states above always land on chunk
+        # multiples, which cannot (review finding).  Lengths 10/7/12 with
+        # chunk 4 force real padding on both the single and batched paths.
+        rng = np.random.RandomState(7)
+        def fake(n, i):
+            return {'text': 'f%d' % i, '_seq': 1000 + i,
+                    'frames': [rng.randn(n, 80).astype(np.float32)],
+                    'steps': n, 'on_audio': None, 'emitted': 0,
+                    'audio_parts': [], 't_start': 0., 't_first_audio': None}
+        odd = [fake(10, 0), fake(7, 1), fake(12, 2)]
+        batched = finish_fn.finish_many(copy.deepcopy(odd))
+        singles = [finish_fn(copy.deepcopy(st)) for st in odd]
+        import jax.numpy as jnp
+        for b, s, st in zip(batched, singles, odd):
+            assert b['mel'].shape == s['mel'].shape
+            np.testing.assert_allclose(b['mel'], s['mel'], atol = 1e-4)
+            assert b['audio'].shape == s['audio'].shape
+            # ...and both must equal the UNPADDED ground truth (padding
+            # must be invisible, not merely consistent between the paths)
+            dec = st['frames'][0]
+            truth = dec + np.asarray(model.arch.postnet(
+                model.params, model.state, jnp.asarray(dec[None]),
+                train = False)[0])[0]
+            np.testing.assert_allclose(s['mel'], truth, atol = 1e-4)
         reset_instances()
 
 

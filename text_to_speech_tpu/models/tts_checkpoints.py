@@ -17,6 +17,7 @@ Layout conventions verified against torch numerically (see
     torch biases sum into one; torch gate order i,f,g,o matches ``nn``.
 """
 
+import os
 import re
 import logging
 
@@ -750,9 +751,9 @@ def _load_state_dict(path_or_sd):
         if all(isinstance(v, np.ndarray) for v in path_or_sd.values()):
             return path_or_sd       # already numpy: keep dict subclasses
         sd = path_or_sd
-    elif isinstance(path_or_sd, str) \
-            and path_or_sd.endswith('.safetensors'):
-        return load_safetensors(path_or_sd)
+    elif isinstance(path_or_sd, (str, os.PathLike)) \
+            and os.fspath(path_or_sd).endswith('.safetensors'):
+        return load_safetensors(os.fspath(path_or_sd))
     else:
         import torch
         ckpt = torch.load(path_or_sd, map_location = 'cpu', weights_only = False)

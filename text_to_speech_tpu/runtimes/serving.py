@@ -659,11 +659,10 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         return memory, pm, mask
 
     encode_jit = jax.jit(_encode)
-    postnet_jit = jax.jit(
-        lambda p, s, dec: arch.postnet(p, s, dec, train = False)[0])
-    # masked variant for the batched finish: per-row lengths keep padded
-    # frames exactly zero between layers, so mixed-length rows postnet
-    # bit-identically to their per-request (unpadded) runs
+    # ALL finish/emission postnet calls go through the MASKED variant:
+    # per-row lengths keep padded frames exactly zero between layers, so
+    # any padded batch postnets bit-identically to its unpadded runs
+    # (multi-layer SAME convs are not pad-invariant otherwise)
     postnet_masked_jit = jax.jit(
         lambda p, s, dec, mask: arch.postnet(
             p, s, dec, train = False, mask = mask)[0])
@@ -730,13 +729,19 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
     start_fn.start_many = start_many
 
     def _postnet_mel(decoder_output):
-        # window lengths bucket to ×chunk so postnet compiles a few programs;
-        # SAME-conv zero padding makes pad-then-slice exact
+        # window lengths bucket to ×chunk so postnet compiles a few
+        # programs.  MASKED: multi-layer SAME convs are NOT pad-invariant
+        # (layer-1 bias/BN offsets leak into layer 2's receptive field
+        # through the pad region — measured 2.3 log-mel of tail corruption
+        # on perturbed BN params), so the mask keeps padded frames exactly
+        # zero between layers and pad-then-slice is bit-exact
         n = decoder_output.shape[0]
         b = -(-n // chunk) * chunk
         padded = np.pad(decoder_output, ((0, b - n), (0, 0)))
-        post = postnet_jit(model.params, model.state,
-                           jnp.asarray(padded[None]))
+        mask = np.arange(b) < n
+        post = postnet_masked_jit(model.params, model.state,
+                                  jnp.asarray(padded[None]),
+                                  jnp.asarray(mask[None]))
         return decoder_output + np.asarray(post)[0, :n]
 
     def _emit_window(st, final):
@@ -769,8 +774,14 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         stack = [np.pad(m, ((0, b - m.shape[0]), (0, 0))) for m in mels]
         stack += stack[:1] * (_pow2(len(stack)) - len(stack))
         dec = np.stack(stack)
-        post = np.asarray(postnet_jit(model.params, model.state,
-                                      jnp.asarray(dec)))
+        # masked postnet: see _postnet_mel — mixed-length rows must not
+        # leak pad energy into their valid tails
+        mask = np.zeros((dec.shape[0], b), bool)
+        for j, m in enumerate(mels):
+            mask[j, :m.shape[0]] = True
+        post = np.asarray(postnet_masked_jit(
+            model.params, model.state, jnp.asarray(dec),
+            jnp.asarray(mask)))
         mel = dec + post
         # rows beyond each job's real length must read as SILENCE for the
         # vocoder (its per-row path pads with pad_mel_value ≈ log-mel
@@ -957,9 +968,15 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         for i, d in enumerate(decs):
             padded[i, :len(d)] = d
             mask[i, :len(d)] = True
-        post = np.asarray(postnet_masked_jit(
+        # fetch only the live rows and a chunk-bucketed frame window: the
+        # pinned (pow2 rows x decode-ceiling) output is mostly padding and
+        # the tunnel charges per byte (one cheap device slice saves ~80 %
+        # of the transfer at typical lengths)
+        b_fetch = -(-max(len(d) for d in decs) // chunk) * chunk
+        post_dev = postnet_masked_jit(
             model.params, model.state, jnp.asarray(padded),
-            jnp.asarray(mask)))
+            jnp.asarray(mask))
+        post = np.asarray(post_dev[:len(decs), :b_fetch])
         mels = [decs[i] + post[i, :len(decs[i])] for i in range(len(decs))]
 
         results = [{'text': st['text'], 'mel': mel, 'steps': st['steps']}
