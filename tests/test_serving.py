@@ -484,6 +484,57 @@ class TestContinuousTacotron:
             out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
         reset_instances()
 
+    def test_chunked_decode_matches_infer_r2(self, tmp_path, monkeypatch):
+        """Reduction-factor serving (VERDICT r3 #4): with r=2 the stepper
+        emits 2 frames per sequential step and must be numerically the
+        arch.infer decode — the serving path can now run the decode config
+        the r-quality gate measured best (converged r=2 beats r=1 at half
+        the sequential steps)."""
+        import jax.numpy as jnp
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import Tacotron2
+        from text_to_speech_tpu.runtimes.serving import (
+            ContinuousServingEngine, make_tacotron_stepper)
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        model = Tacotron2(
+            lang = 'en', name = 'serving_taco_r2',
+            encoder_embedding_dim = 8, encoder_n_conv = 1,
+            encoder_kernel_size = 3, prenet_sizes = (4, 4),
+            lsa_attention_dim = 4, lsa_attention_filters = 2,
+            lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+            decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+            postnet_kernel_size = 3, max_decoder_steps = 16,
+            n_frames_per_step = 2,
+        )
+        model.arch.hp.gate_threshold = 1.1      # deterministic length
+
+        start_fn, step_fn, finish_fn = make_tacotron_stepper(
+            model, chunk = 3, token_multiple = 8, max_steps = 6,
+            deterministic = True)
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            a = engine.submit('hello world')
+            b = engine.submit('test')
+            out_a = a.result.get(timeout = 120)
+            out_b = b.result.get(timeout = 120)
+
+        assert out_a['mel'].shape == (12, 80)   # 6 steps x r=2 frames
+        assert out_b['steps'] == 12             # bookkeeping is in frames
+
+        tokens = np.asarray(model.encode_text('hello world'))[None, :]
+        s = -(-tokens.shape[1] // 8) * 8
+        tokens = np.pad(tokens, ((0, 0), (0, s - tokens.shape[1])),
+                        constant_values = model.blank_token_idx)
+        ref = model.arch.infer(
+            model.params, model.state, jnp.asarray(tokens),
+            deterministic = True, early_stopping = False, max_length = 12)
+        assert np.asarray(ref.mel).shape[1] == 12
+        np.testing.assert_allclose(
+            out_a['mel'], np.asarray(ref.mel)[0], atol = 1e-4)
+        reset_instances()
+
     def test_finish_many_matches_single(self, tmp_path, monkeypatch):
         """The batched finish (one padded postnet + one batched vocode per
         boundary) must match per-request finish_fn outputs numerically."""

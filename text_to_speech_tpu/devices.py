@@ -47,16 +47,32 @@ def set_device_config(*, platform = None, default_device = None,
             default_device = jax.devices(default_device)[0]
         jax.config.update('jax_default_device', default_device)
     if precision is not None:
-        mapping = {'bfloat16': 'default', 'float32': 'highest',
-                   'tensorfloat32': 'high'}
-        jax.config.update('jax_default_matmul_precision',
-                          mapping.get(precision, precision))
+        from .train.precision import set_global_policy
+        if str(precision) in ('mixed_bfloat16', 'mixed_float16'):
+            # a training dtype POLICY (the reference installs a keras
+            # mixed-precision policy here: params f32, compute bf16 —
+            # utils/keras/gpu.py:32-34); mixed_float16 maps to the TPU's
+            # native bf16 (no loss scaling needed)
+            set_global_policy('mixed_bfloat16')
+        else:
+            if str(precision) == 'float32':
+                set_global_policy('float32')
+            mapping = {'bfloat16': 'default', 'float32': 'highest',
+                       'tensorfloat32': 'high'}
+            jax.config.update('jax_default_matmul_precision',
+                              mapping.get(precision, precision))
     return jax.devices()
 
 
 def set_default_precision(precision):
-    """Thin alias of `set_device_config(precision = ...)` — the reference's
-    ``gpu.py`` `set_default_precision` surface."""
+    """The reference's ``gpu.py`` `set_default_precision` surface.
+
+    'mixed_bfloat16' / 'mixed_float16' install the global *training*
+    precision policy (bf16 compute / f32 master params — every
+    `fit`/`fit_gan` train step built afterwards picks it up, exactly like
+    `keras.mixed_precision.set_global_policy`); matmul-precision names
+    ('float32', 'tensorfloat32', 'bfloat16', 'default', 'high', 'highest')
+    remap XLA's default matmul precision for f32 programs."""
     return set_device_config(precision = precision)
 
 

@@ -254,17 +254,19 @@ class HiFiGAN:
     @staticmethod
     def discriminator_loss(real_outs, fake_outs):
         """LSGAN: real → 1, fake → 0 (fake scores must be stop-gradiented
-        upstream or computed on detached audio)."""
+        upstream or computed on detached audio).  Score means accumulate
+        float32 (the mixed-precision policy feeds bf16 scores)."""
         loss = 0.
         for (real, _), (fake, _) in zip(real_outs, fake_outs):
-            loss = loss + jnp.mean((real - 1.) ** 2) + jnp.mean(fake ** 2)
+            loss = loss + jnp.mean((real.astype(jnp.float32) - 1.) ** 2) \
+                + jnp.mean(fake.astype(jnp.float32) ** 2)
         return loss
 
     @staticmethod
     def generator_adversarial_loss(fake_outs):
         loss = 0.
         for fake, _ in fake_outs:
-            loss = loss + jnp.mean((fake - 1.) ** 2)
+            loss = loss + jnp.mean((fake.astype(jnp.float32) - 1.) ** 2)
         return loss
 
     @staticmethod
@@ -272,35 +274,62 @@ class HiFiGAN:
         loss = 0.
         for (_, real_feats), (_, fake_feats) in zip(real_outs, fake_outs):
             for r, f in zip(real_feats, fake_feats):
-                loss = loss + jnp.mean(jnp.abs(r - f))
+                loss = loss + jnp.mean(jnp.abs(
+                    r.astype(jnp.float32) - f.astype(jnp.float32)))
         return loss
 
     def generator_loss(self, gen_params, disc_params, mel_fn, mel, audio,
-                       *, lambda_mel = 45., lambda_fm = 2.):
-        """Full HiFi-GAN generator objective → (loss, components dict)."""
+                       *, lambda_mel = 45., lambda_fm = 2.,
+                       compute_dtype = None):
+        """Full HiFi-GAN generator objective → (loss, components dict).
+
+        ``compute_dtype`` is the mixed-precision hook (train/precision.py):
+        generator + discriminator convs run in that dtype; the L1-mel term
+        compares f32 spectrograms of the f32-upcast fake against the
+        UNCAST real audio, and every score/feature reduction is f32."""
+        if compute_dtype is not None:
+            from ..train.precision import cast_floating
+            gen_params = cast_floating(gen_params, compute_dtype)
+            disc_params = cast_floating(disc_params, compute_dtype)
+            mel = mel.astype(compute_dtype)
         fake = self.apply(gen_params, mel)
         n = min(fake.shape[1], audio.shape[1])
         fake, real = fake[:, :n], audio[:, :n]
+        # `apply` returns f32 waveforms by contract; under the mixed policy
+        # the discriminators run in the compute dtype, so their operands
+        # cast here (the mel term below keeps the f32 streams)
+        fake_c = fake if compute_dtype is None else fake.astype(compute_dtype)
+        real_c = real.astype(fake_c.dtype)
 
-        mpd_real = self.apply_mpd(disc_params['mpd'], real)
-        mpd_fake = self.apply_mpd(disc_params['mpd'], fake)
-        msd_real = self.apply_msd(disc_params['msd'], real)
-        msd_fake = self.apply_msd(disc_params['msd'], fake)
+        mpd_real = self.apply_mpd(disc_params['mpd'], real_c)
+        mpd_fake = self.apply_mpd(disc_params['mpd'], fake_c)
+        msd_real = self.apply_msd(disc_params['msd'], real_c)
+        msd_fake = self.apply_msd(disc_params['msd'], fake_c)
 
         adv = (self.generator_adversarial_loss(mpd_fake)
                + self.generator_adversarial_loss(msd_fake))
         fm = (self.feature_matching_loss(mpd_real, mpd_fake)
               + self.feature_matching_loss(msd_real, msd_fake))
-        mel_l1 = jnp.mean(jnp.abs(mel_fn(fake) - mel_fn(real))) \
+        mel_l1 = jnp.mean(jnp.abs(
+            mel_fn(fake.astype(jnp.float32))
+            - mel_fn(real.astype(jnp.float32)))) \
             if mel_fn is not None else 0.
         loss = adv + lambda_fm * fm + lambda_mel * mel_l1
         return loss, {'adv': adv, 'fm': fm, 'mel': mel_l1}
 
-    def discriminator_step_loss(self, disc_params, gen_params, mel, audio):
+    def discriminator_step_loss(self, disc_params, gen_params, mel, audio,
+                                *, compute_dtype = None):
         """Discriminator objective on detached generator audio."""
+        if compute_dtype is not None:
+            from ..train.precision import cast_floating
+            gen_params = cast_floating(gen_params, compute_dtype)
+            disc_params = cast_floating(disc_params, compute_dtype)
+            mel = mel.astype(compute_dtype)
         fake = lax.stop_gradient(self.apply(gen_params, mel))
         n = min(fake.shape[1], audio.shape[1])
         fake, real = fake[:, :n], audio[:, :n]
+        if compute_dtype is not None:       # `apply` returns f32 by contract
+            fake, real = fake.astype(compute_dtype), real.astype(compute_dtype)
         return (self.discriminator_loss(self.apply_mpd(disc_params['mpd'], real),
                                         self.apply_mpd(disc_params['mpd'], fake))
                 + self.discriminator_loss(self.apply_msd(disc_params['msd'], real),

@@ -452,7 +452,15 @@ class VITS:
         durations `w` (B, L), per batch row (masked mean over tokens).
         Variational dequantization: posterior flows produce u∈(0,1) and an
         auxiliary channel from noise; the main flows model (w−u, aux)."""
-        p = params['duration_predictor']
+        # f32 island: the SDP is spline flows over (B, L, 2) — negligible
+        # FLOPs but precision-sensitive log-dets — so under the mixed
+        # bf16 policy it runs float32 end-to-end (params re-upcast here,
+        # the conditioning h detached + upcast)
+        from ..train.precision import cast_floating
+        p = cast_floating(params['duration_predictor'], jnp.float32)
+        h = h.astype(jnp.float32)
+        if g is not None:
+            g = g.astype(jnp.float32)
         mask = token_mask[..., None].astype(jnp.float32)
         w = w.astype(jnp.float32)[..., None] * mask              # (B, L, 1)
 

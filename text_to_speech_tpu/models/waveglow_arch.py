@@ -566,7 +566,8 @@ class WaveGlow:
         flows = [params['flow_{}'.format(first + i)] for i in range(count)]
         return jax.tree_util.tree_map(lambda * leaves: jnp.stack(leaves), * flows)
 
-    def forward(self, params, mel, audio, *, remat = False):
+    def forward(self, params, mel, audio, *, remat = False,
+                compute_dtype = None):
         """audio (B, T) + mel (B, F, n_mel) → (z, log_s_total, log_det_w_total)
         for the flow negative-log-likelihood loss.
 
@@ -574,8 +575,25 @@ class WaveGlow:
         stack along the scan axis) — the traced program holds ONE flow body
         per group instead of 12, which large-batch training needs to even
         compile.  ``remat=True`` additionally checkpoints each flow: ~12x
-        less activation memory for ~1.3x flow FLOPs."""
+        less activation memory for ~1.3x flow FLOPs.
+
+        ``compute_dtype=jnp.bfloat16`` is the mixed-precision training path
+        (train/precision.py): the WN stacks + mel upsample — 98.9 % of the
+        step's FLOPs — run with bf16 operands on the MXU, while the audio
+        stream, the 8x8 invertible-conv slogdet, and every log-likelihood
+        reduction stay float32.  Params arrive float32 (masters) and are
+        cast at the matmul boundary, so gradients leave float32."""
         hp = self.hp
+        mixed = compute_dtype is not None and \
+            jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32)
+        if mixed:
+            from ..train.precision import cast_floating
+            # conditioning chain in compute dtype end-to-end; convinv
+            # kernels stay f32 for the slogdet (and the 8x8 matmul is
+            # negligible FLOPs)
+            params = cast_floating(params, compute_dtype,
+                                   exempt = ('convinv',))
+            mel = mel.astype(compute_dtype)
         spect = self.upsample_mel(params, mel)
         lg = spect.shape[1]
 
@@ -589,10 +607,15 @@ class WaveGlow:
             n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
             # training stays on the differentiable XLA chain (the Pallas
-            # kernel defines no VJP)
-            wn_out = self.wn_block(flow['block'], audio_0, spect, fused = False)
+            # kernel defines no VJP); under mixed precision the WN block's
+            # operands are cast here and b/s return to f32 for the f32
+            # audio stream + the log|s| sum
+            wn_out = self.wn_block(flow['block'],
+                                   audio_0.astype(spect.dtype), spect,
+                                   fused = False)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
-            audio_1 = jnp.exp(s) * audio_1 + b
+            s = s.astype(jnp.float32)
+            audio_1 = jnp.exp(s) * audio_1 + b.astype(jnp.float32)
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
             return audio, jnp.sum(s), logdet
 
@@ -620,10 +643,12 @@ class WaveGlow:
         z_out.append(audio)
         return jnp.concatenate(z_out, axis = -1), log_s_total, log_det_total
 
-    def loss(self, params, mel, audio, sigma = None, *, remat = False):
+    def loss(self, params, mel, audio, sigma = None, *, remat = False,
+             compute_dtype = None):
         """WaveGlow negative log-likelihood (per element)."""
         if sigma is None: sigma = self.hp.sigma
-        z, log_s, log_det = self.forward(params, mel, audio, remat = remat)
+        z, log_s, log_det = self.forward(params, mel, audio, remat = remat,
+                                         compute_dtype = compute_dtype)
         return (jnp.sum(z * z) / (2 * sigma * sigma) - log_s - log_det) / z.size
 
     def get_config(self):

@@ -139,16 +139,23 @@ def batch_norm(params, state, x, *, train = False, momentum = 0.1,
 
     `momentum` follows the torch/reference convention: new = (1-m)*old + m*batch.
     `mask` (B, T) restricts the statistics to valid frames.
+
+    Statistics are an f32 island: under the mixed-precision policy the
+    activations arrive bf16, but the mean/variance reductions (and the
+    moving-stat state) accumulate float32 — bf16's 8-bit mantissa cannot
+    sum a batch of squares — and the normalized output casts back to the
+    input dtype.
     """
+    x32 = x.astype(jnp.float32)
     if train:
         if mask is not None:
-            m = mask[..., None].astype(x.dtype)
+            m = mask[..., None].astype(jnp.float32)
             count = jnp.maximum(jnp.sum(m), 1.)
-            mean = jnp.sum(x * m, axis = (0, 1)) / count
-            var = jnp.sum(jnp.square(x - mean) * m, axis = (0, 1)) / count
+            mean = jnp.sum(x32 * m, axis = (0, 1)) / count
+            var = jnp.sum(jnp.square(x32 - mean) * m, axis = (0, 1)) / count
         else:
-            mean = jnp.mean(x, axis = tuple(range(x.ndim - 1)))
-            var = jnp.var(x, axis = tuple(range(x.ndim - 1)))
+            mean = jnp.mean(x32, axis = tuple(range(x.ndim - 1)))
+            var = jnp.var(x32, axis = tuple(range(x.ndim - 1)))
         new_state = {
             'moving_mean': (1. - momentum) * state['moving_mean'] + momentum * mean,
             'moving_var': (1. - momentum) * state['moving_var'] + momentum * var,
@@ -156,8 +163,9 @@ def batch_norm(params, state, x, *, train = False, momentum = 0.1,
     else:
         mean, var = state['moving_mean'], state['moving_var']
         new_state = state
-    inv = lax.rsqrt(var + epsilon) * params['gamma']
-    return (x - mean) * inv + params['beta'], new_state
+    inv = lax.rsqrt(var + epsilon) * params['gamma'].astype(jnp.float32)
+    y = (x32 - mean) * inv + params['beta'].astype(jnp.float32)
+    return y.astype(x.dtype), new_state
 
 
 # ---------------------------------------------------------------------------

@@ -106,9 +106,15 @@ class WaveGlowPipeline:
                 _, ld = jnp.linalg.slogdet(w)
                 n_half = c // 2
                 a0, a1 = active[..., :n_half], active[..., n_half:]
-                wn_out = arch.wn_block(flow['block'], a0, spect, fused = False)
+                # under the mixed policy spect (and the flow params) are
+                # bf16: cast the WN operand at the boundary, keep the
+                # audio stream + log-likelihood sums float32 — the same
+                # islands as `waveglow_arch.forward`
+                wn_out = arch.wn_block(flow['block'], a0.astype(spect.dtype),
+                                       spect, fused = False)
                 b, s = wn_out[..., :n_half], wn_out[..., n_half:]
-                a1 = jnp.exp(s) * a1 + b
+                s = s.astype(jnp.float32)
+                a1 = jnp.exp(s) * a1 + b.astype(jnp.float32)
                 active = jnp.concatenate([a0, a1], axis = -1)
                 buffer = jnp.concatenate([buffer[..., :off], active], axis = -1)
                 log_s = log_s + jnp.sum(s)
@@ -119,12 +125,20 @@ class WaveGlowPipeline:
 
     # -- pipelined loss --------------------------------------------------------
 
-    def loss(self, params, mel, audio, sigma = None):
+    def loss(self, params, mel, audio, sigma = None, *, compute_dtype = None):
         """Global-batch WaveGlow NLL (per element), numerically equal to
         `arch.loss` up to summation order; differentiable (use under
-        `jax.value_and_grad` for the train step)."""
+        `jax.value_and_grad` for the train step).  ``compute_dtype`` is the
+        mixed-precision training hook (bf16 WN matmuls, f32 masters/sums —
+        see `waveglow_arch.forward`)."""
         arch, hp = self.arch, self.arch.hp
         if sigma is None: sigma = hp.sigma
+        if compute_dtype is not None and \
+                jnp.dtype(compute_dtype) != jnp.dtype(jnp.float32):
+            from ..train.precision import cast_floating
+            params = cast_floating(params, compute_dtype,
+                                   exempt = ('convinv',))
+            mel = mel.astype(compute_dtype)
         n_micro, n_stages, axis = self.n_micro, self.n_stages, self.axis
 
         B = audio.shape[0]

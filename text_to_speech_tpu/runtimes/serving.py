@@ -625,10 +625,16 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
 
     arch = model.arch
     n_mel = arch.hp.n_mel_channels
-    if arch.hp.n_frames_per_step != 1:
-        raise NotImplementedError(
-            'the serving stepper assumes 1 frame/step; decode with '
-            'infer()/predict() for reduction-factor models')
+    # reduction factor r > 1: `decode_chunk` emits r mel frames per
+    # sequential step (its projection is r x n_mel wide, its gate the
+    # group's last subframe), so one serving chunk advances chunk x r
+    # frames at chunk sequential steps — the 2x-decode-latency lever the
+    # r-quality gate (benchmarks/r_quality_sweep.py: converged r=2 BEATS
+    # r=1, MCD 5.32 vs 5.94) makes usable in production.  All frame
+    # bookkeeping below (st['steps'], emission windows, finish buckets)
+    # is in FRAMES; `limit` stays in decode steps.  Reference fixed this
+    # hparam at 1 (architectures/tacotron2_arch.py:110-127).
+    r = arch.hp.n_frames_per_step
     limit = max_steps or arch.hp.max_decoder_steps
     threshold = arch.hp.gate_threshold
     if stream_audio and vocoder is None:
@@ -753,7 +759,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         if not stream_audio:
             return None
         hi = st['steps'] if final else st['steps'] - stream_lookahead
-        if hi <= st['emitted'] or (not final and hi - st['emitted'] < chunk):
+        if hi <= st['emitted'] \
+                or (not final and hi - st['emitted'] < chunk * r):
             return None
         return (st, max(0, st['emitted'] - stream_context), hi)
 
@@ -844,7 +851,8 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
                 rows_f.append(batch['frame'][i])
                 rows_c.append(_extract_cell(batch['cell'], i, batch['s'], s))
             else:
-                rows_f.append(jnp.zeros((n_mel,), jnp.float32))
+                # feedback frame carries the whole r-frame group
+                rows_f.append(jnp.zeros((n_mel * r,), jnp.float32))
                 one = arch.init_cell_state(1, s)
                 rows_c.append(jax.tree_util.tree_map(
                     lambda leaf: leaf[0], one))
@@ -890,9 +898,12 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         for i, st in enumerate(states):
             fired = np.nonzero(gates_h[i] > threshold)[0]
             keep = int(fired[0]) + 1 if fired.size else chunk
-            st['frames'].append(frames_h[i, :keep])
-            st['steps'] += keep
-            is_done = bool(fired.size) or st['steps'] >= limit
+            # unfold the kept groups to frame rate ((keep, r*n_mel) →
+            # (keep*r, n_mel)); whole groups are kept on gate fire,
+            # matching infer()'s lengths = steps * r
+            st['frames'].append(frames_h[i, :keep].reshape(-1, n_mel))
+            st['steps'] += keep * r
+            is_done = bool(fired.size) or st['steps'] >= limit * r
             if not is_done:
                 job = _emit_window(st, final = False)
                 if job is not None:
@@ -959,7 +970,6 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         # ceiling covers a one-chunk overrun (the decode only checks the
         # step limit at chunk boundaries) — and is clamped to the longest
         # actual row as a safety net
-        r = arch.hp.n_frames_per_step
         b = (-(-limit // chunk) + 1) * chunk * r
         b = max(b, -(-max(len(d) for d in decs) // chunk) * chunk)
         rows = _pow2(len(decs))             # pow2 batch bucket

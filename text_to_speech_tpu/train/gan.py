@@ -25,19 +25,26 @@ def mel_fn_from_stft(mel_stft):
 
 def make_hifigan_train_step(arch, gen_optimizer, disc_optimizer,
                             mel_fn = None, *, lambda_mel = 45.,
-                            lambda_fm = 2., donate = True):
+                            lambda_fm = 2., donate = True, precision = None):
     """→ `step(state, mel, audio) -> (state, metrics)` (jitted).
 
     `state` = {'gen', 'disc', 'gen_opt', 'disc_opt'}; build it with
     `init_hifigan_train_state`.  `mel_fn` (a jit-safe callable waveform →
-    mel) enables the L1 mel term; None disables it.
+    mel) enables the L1 mel term; None disables it.  `precision`
+    ('mixed_bfloat16' — see train/precision.py) runs the generator +
+    discriminator convs in bf16 against f32 master params; losses stay f32.
     """
+    from .precision import get_policy
+
+    policy = get_policy(precision)
+    cd = jnp.dtype(policy.compute_dtype) if policy.is_mixed else None
 
     def step(state, mel, audio):
         # -- discriminator update (generator detached) ----------------------
         disc_loss, disc_grads = jax.value_and_grad(
-            arch.discriminator_step_loss)(state['disc'], state['gen'],
-                                          mel, audio)
+            lambda d: arch.discriminator_step_loss(
+                d, state['gen'], mel, audio, compute_dtype = cd)
+        )(state['disc'])
         disc_updates, disc_opt = disc_optimizer.update(
             disc_grads, state['disc_opt'], state['disc'])
         import optax
@@ -45,9 +52,11 @@ def make_hifigan_train_step(arch, gen_optimizer, disc_optimizer,
 
         # -- generator update (against the UPDATED discriminator) -----------
         (gen_loss, comps), gen_grads = jax.value_and_grad(
-            arch.generator_loss, has_aux = True)(
-                state['gen'], new_disc, mel_fn, mel, audio,
-                lambda_mel = lambda_mel, lambda_fm = lambda_fm)
+            lambda g: arch.generator_loss(
+                g, new_disc, mel_fn, mel, audio,
+                lambda_mel = lambda_mel, lambda_fm = lambda_fm,
+                compute_dtype = cd),
+            has_aux = True)(state['gen'])
         gen_updates, gen_opt = gen_optimizer.update(
             gen_grads, state['gen_opt'], state['gen'])
         new_gen = optax.apply_updates(state['gen'], gen_updates)
@@ -76,7 +85,7 @@ def init_hifigan_train_state(arch, key, gen_optimizer, disc_optimizer):
 
 def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
                          *, lambda_mel = 45., lambda_fm = 2., lambda_kl = 1.,
-                         lambda_dur = 1., donate = True):
+                         lambda_dur = 1., donate = True, precision = None):
     """→ `step(state, batch, rng) -> (state, metrics)` (jitted).
 
     `batch` = (tokens, spec, spec_lengths, audio[, speaker]) where `spec`
@@ -85,13 +94,29 @@ def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
     detached windowed generator audio, then the generator/VAE side
     (adversarial + feature-matching + mel + KL + duration) — both passes
     share the same rng so MAS alignments and segment windows match.
+
+    Under ``precision='mixed_bfloat16'`` the encoder/posterior/flow/decoder
+    + discriminator convs run bf16 against f32 masters.  The waveform
+    target stays f32 (segments slice from it losslessly), the SDP keeps
+    its own f32 island (`vits_arch.sdp_nll`), and the KL/duration/score
+    reductions are f32 (`kl_loss` / the LSGAN losses cast internally).
     """
     import optax
+
+    from .precision import get_policy, cast_floating
+
+    policy = get_policy(precision)
+    cd = jnp.dtype(policy.compute_dtype) if policy.is_mixed else None
     hifigan = arch.generator
 
     def forward(params, batch, rng):
         tokens, spec, spec_lengths, audio = batch[:4]
         speaker = batch[4] if len(batch) > 4 else None
+        if cd is not None:
+            params = cast_floating(params, cd)
+            spec = spec.astype(cd)
+            if speaker is not None and speaker.ndim > 1:
+                speaker = speaker.astype(cd)
         kwargs = {}
         if speaker is not None:
             if speaker.ndim == 1:
@@ -105,6 +130,11 @@ def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
         out = forward(gen_params, batch, rng)
         fake = jax.lax.stop_gradient(out['audio_hat'])
         real = out['audio_seg']
+        if cd is not None:
+            # the generator emits f32 waveforms by contract; the
+            # discriminators run in the compute dtype
+            fake, real = fake.astype(cd), real.astype(cd)
+            disc_params = cast_floating(disc_params, cd)
         return (hifigan.discriminator_loss(
                     hifigan.apply_mpd(disc_params['mpd'], real),
                     hifigan.apply_mpd(disc_params['mpd'], fake))
@@ -115,17 +145,23 @@ def make_vits_train_step(arch, gen_optimizer, disc_optimizer, mel_fn = None,
     def gen_loss_fn(gen_params, disc_params, batch, rng):
         out = forward(gen_params, batch, rng)
         fake, real = out['audio_hat'], out['audio_seg']
+        # discriminator operands in the compute dtype (the generator emits
+        # f32 waveforms by contract); the mel term keeps the f32 streams
+        fake_c = fake if cd is None else fake.astype(cd)
+        real_c = real.astype(fake_c.dtype)
+        dp = cast_floating(disc_params, cd) if cd is not None else disc_params
 
-        mpd_real = hifigan.apply_mpd(disc_params['mpd'], real)
-        mpd_fake = hifigan.apply_mpd(disc_params['mpd'], fake)
-        msd_real = hifigan.apply_msd(disc_params['msd'], real)
-        msd_fake = hifigan.apply_msd(disc_params['msd'], fake)
+        mpd_real = hifigan.apply_mpd(dp['mpd'], real_c)
+        mpd_fake = hifigan.apply_mpd(dp['mpd'], fake_c)
+        msd_real = hifigan.apply_msd(dp['msd'], real_c)
+        msd_fake = hifigan.apply_msd(dp['msd'], fake_c)
 
         adv = (hifigan.generator_adversarial_loss(mpd_fake)
                + hifigan.generator_adversarial_loss(msd_fake))
         fm = (hifigan.feature_matching_loss(mpd_real, mpd_fake)
               + hifigan.feature_matching_loss(msd_real, msd_fake))
-        mel_l1 = jnp.mean(jnp.abs(mel_fn(fake) - mel_fn(real))) \
+        mel_l1 = jnp.mean(jnp.abs(mel_fn(fake.astype(jnp.float32))
+                                  - mel_fn(real.astype(jnp.float32)))) \
             if mel_fn is not None else 0.
         kl = arch.kl_loss(out['z_p'], out['logs_q'], out['m_p'],
                           out['logs_p'], out['frame_mask'])
@@ -177,6 +213,7 @@ def fit_gan(model,
             token_multiple = 16,
             frame_multiple = 32,
             terminate_on_nan = True,
+            precision = None,
             seed = 0,
             verbose = True,
             ** kwargs
@@ -217,11 +254,11 @@ def fit_gan(model,
         step = make_vits_train_step(
             arch, tx_g, tx_d, mel_fn = mel_fn, lambda_mel = lambda_mel,
             lambda_fm = lambda_fm, lambda_kl = lambda_kl,
-            lambda_dur = lambda_dur, donate = True)
+            lambda_dur = lambda_dur, donate = True, precision = precision)
     else:
         base = make_hifigan_train_step(
             arch, tx_g, tx_d, mel_fn = mel_fn, lambda_mel = lambda_mel,
-            lambda_fm = lambda_fm, donate = True)
+            lambda_fm = lambda_fm, donate = True, precision = precision)
         step = lambda state, batch, rng: base(state, * batch)
 
     train_ds = prepare_dataset(
@@ -293,11 +330,13 @@ def fit_gan(model,
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
+    from .precision import get_policy
     history = model.history
     history.set_config({
         'epochs': epochs, 'batch_size': batch_size, 'optimizer': 'gan-' + str(
             optimizer), 'lr': lr, 'loss': 'vits_gan' if is_vits else
-        'hifigan_gan', 'mesh': str(mesh.shape) if mesh is not None else None,
+        'hifigan_gan', 'precision': get_policy(precision).name,
+        'mesh': str(mesh.shape) if mesh is not None else None,
     })
 
     rng = jax.random.PRNGKey(seed + 1 + model.epochs)

@@ -31,18 +31,33 @@ logger = logging.getLogger(__name__)
 
 
 def model_forward(model, params, state, inputs, *, rng, train = True,
-                  targets = None):
+                  targets = None, compute_dtype = None):
     """Dispatch a padded batch to the model's architecture forward pass.
 
     `targets` is only consulted for static shape information (e.g. the
     FastSpeech-2 expansion buffer must match the padded mel target length).
-    Returns (y_pred, new_state)."""
+    `compute_dtype` (train/precision.py mixed policy) runs the matmul path
+    in that dtype: WaveGlow routes it to its own f32-island forward; every
+    other family casts params + float inputs at this boundary and returns
+    f32 predictions for the loss (losses + norm statistics keep their own
+    f32 islands).  Returns (y_pred, new_state)."""
     from ..models.tts.tacotron2 import Tacotron2 as TacoTask
     from ..models.tts.fastspeech2 import FastSpeech2 as FS2Task
     from ..models.tts.waveglow import WaveGlow as WGTask
     from ..models.encoder.speaker_encoder import SpeakerEncoder
+    from .precision import cast_floating
 
     arch = model.arch
+    if compute_dtype is not None and not isinstance(model, WGTask):
+        import jax.numpy as jnp
+        params = cast_floating(
+            params, compute_dtype,
+            exempt = tuple(getattr(model, 'precision_exempt', ())))
+        inputs = cast_floating(inputs, compute_dtype)
+        preds, new_state = model_forward(model, params, state, inputs,
+                                         rng = rng, train = train,
+                                         targets = targets)
+        return cast_floating(preds, jnp.float32), new_state
     if isinstance(model, FS2Task):      # subclasses TacoTask: dispatch first
         if len(inputs) == 5:
             tokens, embeddings, durations, pitch, energy = inputs
@@ -61,7 +76,8 @@ def model_forward(model, params, state, inputs, *, rng, train = True,
         # per-flow remat: 12x less activation memory, and the compiler
         # cannot digest the un-checkpointed 12-flow backward at real batches
         return arch.forward(params, mel, audio,
-                            remat = getattr(model, 'train_remat', True)), state
+                            remat = getattr(model, 'train_remat', True),
+                            compute_dtype = compute_dtype), state
     if isinstance(model, SpeakerEncoder):
         mels, lengths = inputs
         n_speakers, n_utt = model.ge2e_shape      # static at trace time
@@ -84,13 +100,18 @@ def model_forward(model, params, state, inputs, *, rng, train = True,
 
 
 def make_train_step(model, loss_fn, optimizer, *, mesh = None,
-                    pp_microbatches = None):
+                    pp_microbatches = None, precision = None):
     import jax
     import jax.numpy as jnp
     import optax
 
     from ..models.tts.waveglow import WaveGlow as WGTask
     from .losses import WaveGlowLoss
+    from .precision import get_policy
+
+    policy = get_policy(precision)
+    compute_dtype = jnp.dtype(policy.compute_dtype) if policy.is_mixed \
+        else None
     use_pp = mesh is not None and 'pp' in mesh.shape and isinstance(model, WGTask)
     if use_pp and not isinstance(loss_fn, WaveGlowLoss):
         # the pipelined path computes the NLL itself — a custom loss cannot
@@ -114,7 +135,8 @@ def make_train_step(model, loss_fn, optimizer, *, mesh = None,
         def pp_train_step(params, state, opt_state, rng, inputs, targets):
             mel, audio = inputs
             loss, grads = jax.value_and_grad(
-                lambda p: pipe.loss(p, mel, audio, sigma = sigma))(params)
+                lambda p: pipe.loss(p, mel, audio, sigma = sigma,
+                                    compute_dtype = compute_dtype))(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = {'loss': loss, 'grad_norm': optax.global_norm(grads)}
@@ -126,7 +148,8 @@ def make_train_step(model, loss_fn, optimizer, *, mesh = None,
         def loss_of(p):
             preds, new_state = model_forward(model, p, state, inputs,
                                              rng = rng, train = True,
-                                             targets = targets)
+                                             targets = targets,
+                                             compute_dtype = compute_dtype)
             losses = loss_fn(targets, preds)
             return jnp.mean(losses['loss']), (losses, new_state)
 
@@ -145,13 +168,20 @@ def make_train_step(model, loss_fn, optimizer, *, mesh = None,
     return jax.jit(train_step, donate_argnums = (0, 2))
 
 
-def make_eval_step(model, loss_fn, *, mesh = None):
+def make_eval_step(model, loss_fn, *, mesh = None, precision = None):
     import jax
     import jax.numpy as jnp
 
+    from .precision import get_policy
+
+    policy = get_policy(precision)
+    compute_dtype = jnp.dtype(policy.compute_dtype) if policy.is_mixed \
+        else None
+
     def eval_step(params, state, rng, inputs, targets):
         preds, _ = model_forward(model, params, state, inputs,
-                                 rng = rng, train = False, targets = targets)
+                                 rng = rng, train = False, targets = targets,
+                                 compute_dtype = compute_dtype)
         losses = loss_fn(targets, preds)
         return {k: jnp.mean(v) for k, v in losses.items()}
 
@@ -217,6 +247,7 @@ def fit(model,
         terminate_on_nan = True,
         token_multiple = 32,
         frame_multiple = 64,
+        precision = None,
         seed = 0,
         verbose = True,
         async_checkpointing = True,
@@ -282,8 +313,10 @@ def fit(model,
             batch_multiple *= pp_microbatches
 
     train_step = make_train_step(
-        model, loss_fn, tx, mesh = mesh, pp_microbatches = pp_microbatches)
-    eval_step = make_eval_step(model, loss_fn, mesh = mesh)
+        model, loss_fn, tx, mesh = mesh, pp_microbatches = pp_microbatches,
+        precision = precision)
+    eval_step = make_eval_step(model, loss_fn, mesh = mesh,
+                               precision = precision)
 
     params, state = model.params, model.state
     opt_state = tx.init(params)
@@ -358,6 +391,7 @@ def fit(model,
     history.set_config({
         'epochs': epochs, 'batch_size': batch_size, 'optimizer': str(optimizer),
         'lr': lr, 'loss': getattr(loss_fn, 'name', str(loss_fn)),
+        'precision': _get_policy_name(precision),
         'mesh': str(mesh.shape) if mesh is not None else None,
         'dataset': _ds_summary(train_ds), 'valid_dataset': _ds_summary(valid_ds),
     })
@@ -506,6 +540,11 @@ def fit(model,
                     raise
                 logger.exception('emergency save failed')   # keep primary exc
     return history
+
+
+def _get_policy_name(precision):
+    from .precision import get_policy
+    return get_policy(precision).name
 
 
 def _item_length(item):
