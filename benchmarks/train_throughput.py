@@ -3,6 +3,11 @@ TacotronLoss) and WaveGlow (flow NLL), full-size models, synthetic batches.
 
 Usage: python benchmarks/train_throughput.py [--model tacotron2|waveglow|both]
        [--batch 32] [--frames 384] [--tokens 128] [--iters 5]
+       [--precision float32|mixed_bfloat16]
+
+``--precision mixed_bfloat16`` runs the steps under the train/precision.py
+policy (bf16 compute / f32 masters) — the headline claim is the measured
+speedup over the f32 rows in docs/PERFORMANCE.md's training ledger.
 
 Reference context: the reference trains on a single RTX 3090 through Keras
 `fit` (no published step times); the speaker-encoder headline is ~99%
@@ -54,7 +59,7 @@ def mfu_str(flops, el):
     return ', %.1f TFLOP/s = %.0f%%%% of bf16 peak' % (tf, 100. * flops / el / PEAK_BF16)
 
 
-def bench_tacotron(batch, tokens, frames, iters):
+def bench_tacotron(batch, tokens, frames, iters, precision = 'float32'):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -68,6 +73,10 @@ def bench_tacotron(batch, tokens, frames, iters):
     opt = get_optimizer('adam', lr = 1e-3)
     opt_state = opt.init(params)
 
+    from text_to_speech_tpu.train.precision import get_policy, cast_floating
+    policy = get_policy(precision)
+    cd = jnp.dtype(policy.compute_dtype) if policy.is_mixed else None
+
     tok = jnp.ones((batch, tokens), jnp.int32)
     mel_in = jnp.zeros((batch, frames, 80))
     mel_out = jnp.zeros((batch, frames, 80))
@@ -78,10 +87,14 @@ def bench_tacotron(batch, tokens, frames, iters):
     def step(params, state, opt_state, rng):
         import optax
         def loss_of(p):
+            mi = mel_in
+            if cd is not None:           # the trainer's generic boundary cast
+                p, mi = cast_floating(p, cd), mel_in.astype(cd)
             (dec, post, g), new_state = arch(
-                p, state, tok, mel_in, mel_lengths = lengths,
+                p, state, tok, mi, mel_lengths = lengths,
                 train = True, rng = rng)
-            losses = loss((mel_out, gate), (dec, post, g))
+            preds = tuple(t.astype(jnp.float32) for t in (dec, post, g))
+            losses = loss((mel_out, gate), preds)
             return jnp.mean(losses['loss']), new_state
         (l, new_state), grads = jax.value_and_grad(loss_of, has_aux = True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -104,7 +117,7 @@ def bench_tacotron(batch, tokens, frames, iters):
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
-def bench_waveglow(batch, frames, iters):
+def bench_waveglow(batch, frames, iters, precision = 'float32'):
     import jax
     import jax.numpy as jnp
     import optax
@@ -120,11 +133,15 @@ def bench_waveglow(batch, frames, iters):
     audio = jax.random.normal(jax.random.PRNGKey(2),
                               (batch, frames * 256)) * 0.1
 
+    from text_to_speech_tpu.train.precision import get_policy
+    policy = get_policy(precision)
+    cd = jnp.bfloat16 if policy.is_mixed else None
+
     def step(params, opt_state):
         def loss_of(p):
             # per-flow remat: large-batch flow training does not compile
             # without it (the 12-flow fused backward overwhelms the compiler)
-            return arch.loss(p, mel, audio, remat = True)
+            return arch.loss(p, mel, audio, remat = True, compute_dtype = cd)
         l, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -193,7 +210,7 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
               n_speakers, n_utt, frames, el * 1e3, 1. / el, B / el))
 
 
-def bench_vits(batch, tokens, frames, iters):
+def bench_vits(batch, tokens, frames, iters, precision = 'float32'):
     """Full-size VITS adversarial step (VAE + MAS + GAN, windowed decode)."""
     import numpy as np
     import jax
@@ -209,7 +226,8 @@ def bench_vits(batch, tokens, frames, iters):
     tx_g = get_optimizer('adamw', lr = 2e-4)
     tx_d = get_optimizer('adamw', lr = 2e-4)
     state = init_vits_train_state(arch, jax.random.PRNGKey(0), tx_g, tx_d)
-    step = make_vits_train_step(arch, tx_g, tx_d, mel_fn_from_stft(mel))
+    step = make_vits_train_step(arch, tx_g, tx_d, mel_fn_from_stft(mel),
+                                precision = precision)
 
     hop = arch.upsample_rate
     rs = np.random.RandomState(0)
@@ -238,7 +256,7 @@ def bench_vits(batch, tokens, frames, iters):
               batch, tokens, frames, el * 1e3, 1. / el, audio_s / el))
 
 
-def bench_hifigan(batch, frames, iters):
+def bench_hifigan(batch, frames, iters, precision = 'float32'):
     """Full-size HiFi-GAN v1 adversarial step (MPD+MSD, mel+FM terms)."""
     import numpy as np
     import jax
@@ -255,7 +273,8 @@ def bench_hifigan(batch, frames, iters):
     tx_d = get_optimizer('adamw', lr = 2e-4)
     state = init_hifigan_train_state(arch, jax.random.PRNGKey(0), tx_g, tx_d)
     step = make_hifigan_train_step(arch, tx_g, tx_d,
-                                   mel_fn_from_stft(mel_stft))
+                                   mel_fn_from_stft(mel_stft),
+                                   precision = precision)
 
     hop = arch.total_upsampling
     rs = np.random.RandomState(0)
@@ -283,6 +302,8 @@ def main():
     parser.add_argument('--frames', type = int, default = 384)
     parser.add_argument('--tokens', type = int, default = 128)
     parser.add_argument('--iters', type = int, default = 5)
+    parser.add_argument('--precision', default = 'float32',
+                        choices = ('float32', 'mixed_bfloat16'))
     args = parser.parse_args()
 
     # the MFU accounting AOT-compiles each step once for cost_analysis and
@@ -294,19 +315,23 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.)
 
     if args.model in ('tacotron2', 'both'):
-        bench_tacotron(args.batch, args.tokens, args.frames, args.iters)
+        bench_tacotron(args.batch, args.tokens, args.frames, args.iters,
+                       precision = args.precision)
     if args.model in ('waveglow', 'both'):
         # flow NLL is memory-heavy: halve the batch at full frame count
-        bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters)
+        bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters,
+                       precision = args.precision)
     if args.model in ('encoder', 'both'):
         bench_speaker_encoder(args.iters)
     if args.model == 'vits':
         # memory-heavy (posterior WN over T frames + GAN): small batch
         bench_vits(max(args.batch // 4, 1), args.tokens // 2,
-                   args.frames // 2, args.iters)
+                   args.frames // 2, args.iters,
+                   precision = args.precision)
     if args.model == 'hifigan':
         # GAN training windows are short in practice (8192-sample segments)
-        bench_hifigan(max(args.batch // 2, 1), 32, args.iters)
+        bench_hifigan(max(args.batch // 2, 1), 32, args.iters,
+                      precision = args.precision)
 
 
 if __name__ == '__main__':
