@@ -122,6 +122,33 @@ class TestTacotron2Model:
         out = model.infer('hello', fetch_attention = True, ** common)
         assert out['attention'][0] is not None
 
+    def test_one_launch_tts_matches_pipeline(self, monkeypatch):
+        """Single-sentence calls fuse decode→postnet→vocode into ONE jitted
+        launch + one int16 fetch (`compiled_tts` — the RTT diet behind the
+        ≥70x single-sentence target).  Mel must be bit-parity with the
+        multi-launch pipeline; audio parity to PCM16 resolution."""
+        model = make_taco()
+        wg = make_wg()
+        common = dict(vocoder = wg, max_trial = 1, max_length = 16,
+                      min_fpt_ratio = -1., max_fpt_ratio = float('inf'),
+                      deterministic = True,
+                      vocoder_config = {'deterministic': True})
+        out1 = model.infer('hello there', ** common)
+        assert 'audio' in out1
+
+        # disable the fused path: the same call rides the multi-launch
+        # pipelined decode→vocode
+        monkeypatch.delattr(WaveGlow, 'device_vocoder_fn')
+        out2 = model.infer('hello there', overwrite = True, ** common)
+
+        np.testing.assert_allclose(out1['mel'][0], out2['mel'][0],
+                                   atol = 1e-5)
+        a1, a2 = np.asarray(out1['audio']), np.asarray(out2['audio'])
+        assert a1.shape == a2.shape
+        # the fused path ships PCM16 (clip + round): parity to half an LSB
+        np.testing.assert_allclose(
+            a1, np.clip(a2, -1., 1.), atol = 1.1 / 32767.)
+
     def test_infer_windowed_vocoder_pipelined(self):
         """win_len in vocoder_config rides the pipelined decode→vocode path
         (device-sliced windows) and still yields full-length audio."""

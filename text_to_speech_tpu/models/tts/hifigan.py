@@ -21,6 +21,7 @@ logger = logging.getLogger(__name__)
 
 
 class HiFiGAN(BaseAudioModel, BaseModel):
+    serving_pad_multiple = 64    # compiled_infer's mel shape bucket
 
     def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
                  pad_mel_value = -11., ** kwargs):
@@ -88,6 +89,15 @@ class HiFiGAN(BaseAudioModel, BaseModel):
             return fn
 
         return self.get_compiled(key, builder)(self.params, mel)
+
+    def device_vocoder_fn(self, *, dtype = None, ** _):
+        """(fn, params, tag): jit-composable vocode core — `fn(params,
+        mel_dev, rng) → f32 waveform` — for single-launch
+        decode→postnet→vocode programs (`Tacotron2.compiled_tts`; the rng
+        is unused by this deterministic generator)."""
+        def fn(params, mel, rng):
+            return self.arch.apply(params, mel, dtype = dtype)
+        return fn, self.params, (self.name, dtype)
 
     @timer(name = 'inference HiFiGAN')
     def infer(self, mel, *, dtype = None, ** kwargs):

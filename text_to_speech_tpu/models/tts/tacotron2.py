@@ -205,6 +205,105 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         return fn(self.params, self.state, tokens, rng,
                   None if speaker_embedding is None else np.asarray(speaker_embedding))
 
+    def compiled_tts(self,
+                     inputs,
+                     vocoder,
+                     *,
+                     max_length = None,
+                     padding_multiple = 64,
+                     attn_mask_win_len = None,
+                     attn_mask_offset = 0.5,
+                     early_stopping = True,
+                     deterministic = False,
+                     dtype = None,
+                     rng = None,
+                     vocoder_config = {},
+                     ** _):
+        """ONE-LAUNCH text→PCM: decode (XLA while_loop) + postnet + vocoder
+        + int16 quantization fused into a single jitted program.
+
+        Returns device arrays ``(audio_i16 (B, F*rate), lengths (B,),
+        mel (B, F, n_mel), attention (B, S_dec, S_enc))`` — nothing is
+        fetched here; the caller issues ONE blocking read (audio+lengths)
+        and overlaps the rest.  Rationale: the single-sentence e2e call is
+        tunnel-RTT-bound, not device-bound (~30 ms/round-trip at a ~130 ms
+        call — docs/PERFORMANCE.md's variance protocol), so the multi-launch
+        decode→fetch→vocode→fetch pipeline pays 3-4 RTTs where this path
+        pays ~2.  The decoder is the single-program XLA while_loop (the
+        fused Pallas decoder is faster per step but multi-launch — measured
+        44 % wall spread vs 4-5 % for the one-program path).  Accelerates
+        the reference hot path ``models/tts/tacotron2.py:103-209``."""
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(inputs, tuple):
+            tokens, speaker_embedding = inputs
+        else:
+            tokens, speaker_embedding = inputs, None
+
+        tokens = np.asarray(tokens)
+        if tokens.ndim == 1: tokens = tokens[None]
+        tokens = pad_to_multiple(
+            tokens, padding_multiple, axis = 1,
+            constant_values = self.blank_token_idx)
+
+        if max_length is None:
+            max_length = self.arch.hp.max_decoder_steps
+        elif isinstance(max_length, float):
+            max_length = int(tokens.shape[1] * max_length)
+        max_length = int(min(max_length, self.max_output_length))
+        max_length = -(-max_length // padding_multiple) * padding_multiple
+
+        if rng is None:
+            rng = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+
+        voc_fn, voc_params, voc_tag = vocoder.device_vocoder_fn(
+            ** vocoder_config)
+        voc_pad = getattr(vocoder, 'serving_pad_multiple', 256)
+        pad_val = getattr(vocoder, 'pad_mel_value', -11.)
+
+        static = dict(
+            max_length = max_length,
+            early_stopping = bool(early_stopping),
+            attn_mask_win_len = attn_mask_win_len,
+            attn_mask_offset = attn_mask_offset,
+            deterministic = bool(deterministic),
+            dtype = dtype,
+        )
+        key = ('tts1', tuple(sorted(static.items())),
+               speaker_embedding is not None, voc_tag, voc_pad)
+
+        def builder():
+            def fn(params, state, voc_params, tokens, rng, spk):
+                out = self.arch.infer(
+                    params, state, tokens, rng = rng,
+                    speaker_embedding = spk, ** static)
+                mel = out.mel
+                if mel.shape[1] % voc_pad:
+                    # the decode buffer buckets by `padding_multiple`; the
+                    # vocoder's own bucket may be coarser.  Pad with the
+                    # vocoder's silence value — frames past `lengths` are
+                    # sliced off the audio anyway
+                    mel = jnp.pad(
+                        mel,
+                        ((0, 0), (0, voc_pad - mel.shape[1] % voc_pad),
+                         (0, 0)),
+                        constant_values = pad_val)
+                audio = voc_fn(voc_params, mel, jax.random.fold_in(rng, 1))
+                # on-device PCM16 (same formula as the vocoders'
+                # `_quantize_i16`): the d2h transfer halves vs f32 and the
+                # host-side dequant is trivial (the serving stepper's
+                # measured int16-transfer win, applied to the one-shot call)
+                a16 = jnp.round(jnp.clip(audio, -1., 1.) * 32767.) \
+                    .astype(jnp.int16)
+                return a16, out.lengths, out.mel, out.attention_weights
+            return fn
+
+        fn = self.get_compiled(key, builder)
+        return fn(self.params, self.state, voc_params, tokens, rng,
+                  None if speaker_embedding is None
+                  else np.asarray(speaker_embedding))
+
     def precompile_for_stream(self, ** kwargs):
         """Warm the XLA executable cache at the stream padding buckets."""
         for key in ('max_trial', 'padding_multiple', 'play', 'display',
@@ -378,6 +477,24 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         if not hasattr(vocoder, 'compiled_infer'):
             return None
 
+        if len(encoded) == 1 and not win_len \
+                and not kwargs.get('use_fused_decoder') \
+                and hasattr(vocoder, 'device_vocoder_fn') \
+                and type(self).compiled_infer is Tacotron2.compiled_infer:
+            # the guard pins the AR decode interface `compiled_tts` fuses;
+            # subclasses with their own compiled_infer (FastSpeech-2's
+            # duration-driven forward) keep the generic pipelined path
+            # single sentence: the call is RTT-bound, not device-bound —
+            # fuse decode→postnet→vocode into ONE launch + ONE int16 fetch
+            one = self._tts_one_launch(
+                encoded, vocoder, embeddings = embeddings,
+                max_length = max_length, min_fpt_ratio = min_fpt_ratio,
+                max_fpt_ratio = max_fpt_ratio,
+                vocoder_config = vocoder_config,
+                fetch_attention = fetch_attention, ** kwargs)
+            if one is not None:
+                return one
+
         lengths = [len(e) for e in encoded]
         tokens = pad_batch(encoded, pad_value = self.blank_token_idx)
         if embeddings is not None:
@@ -469,6 +586,62 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 audios.append(
                     audio_host[i // vocoder_batch][i % vocoder_batch,
                                                    : out_len * rate])
+        return mels, attn, audios
+
+    def _tts_one_launch(self, encoded, vocoder, *, embeddings = None,
+                        max_length = 10., min_fpt_ratio = 2.,
+                        max_fpt_ratio = 10., vocoder_config = {},
+                        fetch_attention = False, ** kwargs):
+        """Single-sentence fast path over `compiled_tts` (one fused
+        decode→postnet→vocode launch, one blocking int16 read; mel and
+        attention ride the transfer engine behind it).  Returns
+        (mels, attention, audios) or None on a frames-per-token gate
+        failure (the caller's retry path re-decodes chunk-by-chunk)."""
+        lengths = [len(e) for e in encoded]
+        tokens = pad_batch(encoded, pad_value = self.blank_token_idx)
+        if embeddings is not None:
+            emb = np.broadcast_to(
+                np.asarray(embeddings, np.float32),
+                (len(encoded), np.asarray(embeddings).shape[-1]),
+            )
+            inputs = (tokens, emb)
+        else:
+            inputs = tokens
+
+        with Timer('compiled_tts'):
+            a16_dev, lengths_dev, mel_dev, attn_dev = self.compiled_tts(
+                inputs, vocoder, max_length = max_length,
+                vocoder_config = vocoder_config, ** kwargs)
+
+        # start the side-channel copies first so they overlap the blocking
+        # audio read below (attention only if a consumer asked)
+        for buf in ([mel_dev, attn_dev] if fetch_attention else [mel_dev]):
+            try:
+                buf.copy_to_host_async()
+            except AttributeError:      # plain numpy under eager/CPU tests
+                pass
+
+        out_lengths = np.asarray(lengths_dev)
+        for i in range(len(encoded)):
+            ratio = float(out_lengths[i]) / max(lengths[i], 1)
+            if not (min_fpt_ratio < ratio < max_fpt_ratio):
+                logger.info('one-launch tts rejected (frames/token %.2f); '
+                            'falling back to the retry path', ratio)
+                return None
+
+        a16 = np.asarray(a16_dev)
+        mel_host = np.asarray(mel_dev)
+        attn_host = np.asarray(attn_dev) if fetch_attention else None
+        rate = getattr(vocoder, 'upsample_rate', 256)
+
+        mels, attn, audios = [], [], []
+        for i in range(len(encoded)):
+            out_len = max(1, int(out_lengths[i]))
+            mels.append(mel_host[i, :out_len])
+            attn.append(attn_host[i, :out_len] if attn_host is not None
+                        else None)
+            audios.append(
+                a16[i, : out_len * rate].astype(np.float32) / 32767.)
         return mels, attn, audios
 
     def _synthesize_chunks(self, encoded, *, embeddings, max_length, max_trial,

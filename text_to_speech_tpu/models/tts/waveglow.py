@@ -24,6 +24,7 @@ logger = logging.getLogger(__name__)
 
 class WaveGlow(BaseAudioModel, BaseModel):
     _default_loss = 'WaveGlowLoss'
+    serving_pad_multiple = 256   # compiled_infer's mel shape bucket
 
     def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
                  pad_mel_value = -11., ** kwargs):
@@ -93,17 +94,7 @@ class WaveGlow(BaseAudioModel, BaseModel):
             import time as _time
             rng = jax.random.PRNGKey(int(_time.time_ns()) % (2 ** 31))
 
-        # the fused whole-block Pallas kernel needs a TPU backend; other
-        # backends stay on the XLA chain.  `_serve_force_xla` (set when a
-        # quantization quality gate failed) pins the SAFE serving mode: the
-        # f32/XLA chain — never the bf16 kernel path, which measured −3 dB
-        # on trained weights (docs/PERFORMANCE.md)
-        default_dev = jax.config.jax_default_device
-        platform = default_dev.platform if default_dev is not None \
-            else jax.default_backend()
-        use_pallas = platform == 'tpu' \
-            and not getattr(self, '_serve_force_xla', False)
-        int8 = bool(getattr(self, '_serve_int8', False)) and use_pallas
+        use_pallas, int8 = self._serving_mode_flags()
         static = (float(sigma) if sigma is not None else None,
                   bool(deterministic), dtype, use_pallas)
         key = ('infer', static, int8)
@@ -119,12 +110,35 @@ class WaveGlow(BaseAudioModel, BaseModel):
                 return out.astype(jnp.float32)
             return fn
 
+        params = self._serving_params(use_pallas, int8)
+        return self.get_compiled(key, builder)(params, mel, rng)
+
+    def _serving_mode_flags(self):
+        """(use_pallas, int8) for the current backend + serving mode.
+
+        The fused whole-block Pallas kernel needs a TPU backend; other
+        backends stay on the XLA chain.  `_serve_force_xla` (set when a
+        quantization quality gate failed) pins the SAFE serving mode: the
+        f32/XLA chain — never the bf16 kernel path, which measured −3 dB
+        on trained weights (docs/PERFORMANCE.md)."""
+        import jax
+        default_dev = jax.config.jax_default_device
+        platform = default_dev.platform if default_dev is not None \
+            else jax.default_backend()
+        use_pallas = platform == 'tpu' \
+            and not getattr(self, '_serve_force_xla', False)
+        int8 = bool(getattr(self, '_serve_int8', False)) and use_pallas
+        return use_pallas, int8
+
+    def _serving_params(self, use_pallas, int8):
+        """The param tree the serving `arch.infer` wants: Pallas-packed
+        (optionally int8-quantized) when the kernel path applies.  Packing
+        happens ONCE outside jit (in-graph packing serializes the packing
+        concats with the kernels and costs ~3x); cached per params object."""
         params = self.params
         if use_pallas and self.arch.hp.wn_channels % 128 == 0 \
                 and self.arch.hp.wn_layers > 1 \
                 and 'kernel' in params['flow_0']['block'].get('in_conv_0', {}):
-            # pack ONCE outside jit (in-graph packing serializes the packing
-            # concats with the kernels and costs ~3x); cache per params object
             cached = getattr(self, '_packed_params', None)
             if cached is None or cached[0] is not params or cached[1] != int8:
                 packed = self.arch.pack_pallas_params(params)
@@ -132,8 +146,33 @@ class WaveGlow(BaseAudioModel, BaseModel):
                     packed = self.arch.quantize_pallas_params(packed)
                 self._packed_params = (params, int8, packed)
             params = self._packed_params[2]
+        return params
 
-        return self.get_compiled(key, builder)(params, mel, rng)
+    def device_vocoder_fn(self, *, sigma = None, deterministic = False,
+                          dtype = None, ** _):
+        """(fn, params, tag): the serving-mode-aware vocode core as a
+        jit-COMPOSABLE pure function — `fn(params, mel_dev, rng) → f32
+        waveform (B, T*256)` — plus the params to feed it and a hashable
+        tag for the caller's executable cache.  A synthesizer fuses
+        decode→postnet→vocode into ONE device program with this
+        (`Tacotron2.compiled_tts`): on a tunneled transport every merged
+        launch saves a ~30 ms round trip, which is what separates the
+        58x median single-sentence e2e from the ≥70x target."""
+        use_pallas, int8 = self._serving_mode_flags()
+        sig = float(sigma) if sigma is not None else None
+        det = bool(deterministic)
+
+        def fn(params, mel, rng):
+            import jax.numpy as jnp
+            out = self.arch.infer(
+                params, mel, rng = rng, sigma = sig,
+                deterministic = det, dtype = dtype, use_pallas = use_pallas,
+            )
+            return out.astype(jnp.float32)
+
+        params = self._serving_params(use_pallas, int8)
+        tag = (self.name, sig, det, dtype, use_pallas, int8)
+        return fn, params, tag
 
     def quantize_for_serving(self, enable = True, *, validate = None,
                              gate_db = 25.):
