@@ -96,6 +96,7 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
     sched_before = dict(engine.scheduler_stats)
     with engine:
         engine.stats['latencies'].clear()
+        engine.stats['completions'].clear()
         for key in ('step_s', 'admit_s', 'finish_s', 'rows_stepped',
                     'chunks'):
             engine.stats[key] = type(engine.stats[key])()
@@ -109,12 +110,33 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
                 time.sleep(rng.expovariate(rate))
         outputs = [r.result.get(timeout = 600) for r in pending]
         elapsed = time.perf_counter() - t0
+        completions = sorted(engine.stats['completions'])
 
     latencies = list(engine.stats['latencies'])
     audio_s = sum(len(o['audio']) for o in outputs
                   if isinstance(o, dict) and 'audio' in o) / float(rate_hz)
     first_audio = [o['first_audio_s'] for o in outputs
                    if isinstance(o, dict) and 'first_audio_s' in o]
+
+    # -- steady-state throughput (VERDICT r3 #3: exclude batch ramp/drain) --
+    # completion events partition the run; the middle half (by completion
+    # index) is the saturated regime — the whole-run average charges the
+    # engine for the interval where the batch is still filling (first
+    # arrivals) and draining (last max_batch stragglers), which at 64
+    # requests is ~a third of the run (occupancy 0.55 at max_batch 32)
+    steady = None
+    if len(completions) >= 8:
+        lo, hi = len(completions) // 4, (3 * len(completions)) // 4
+        t_lo, t_hi = completions[lo][0], completions[hi][0]
+        if t_hi > t_lo:
+            window_audio = sum(
+                s for t, s in completions[lo + 1: hi + 1]) / float(rate_hz)
+            steady = {
+                'audio_s_per_s': round(window_audio / (t_hi - t_lo), 1),
+                'requests_per_s': round((hi - lo) / (t_hi - t_lo), 2),
+                'window_s': round(t_hi - t_lo, 2),
+                'window_requests': hi - lo,
+            }
 
     chunks = max(1, engine.stats['chunks'])
     result = {
@@ -129,6 +151,7 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
         'requests': requests,
         'elapsed_s': round(elapsed, 2),
         'audio_s_per_s': round(audio_s / elapsed, 1),
+        'steady': steady,
         'latency_p50_s': round(percentile(latencies, 50), 3),
         'latency_p95_s': round(percentile(latencies, 95), 3),
         'latency_p99_s': round(percentile(latencies, 99), 3),
@@ -182,7 +205,13 @@ def main():
                                'process')
     parser.add_argument('--max-batches', default = '8,16,32')
     parser.add_argument('--rates', default = '8,16,32,0')
+    parser.add_argument('--reps', type = int, default = 0,
+                        help = 'repetitions per cell, median reported — the '
+                               'pinned protocol that makes serving numbers '
+                               'reproducible-by-contract (0 = auto: 3 in '
+                               'sweep mode, 1 otherwise)')
     args = parser.parse_args()
+    reps = args.reps or (3 if args.sweep else 1)
 
     from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
     (start_fn, step_fn, finish_fn), rate_hz = build_steppers(args)
@@ -204,23 +233,42 @@ def main():
         warmup_s = engine.warmup(sorted(set(TEXTS), key = len),
                                  ** sub_kwargs)
         for rate in rates:
-            result = run_cell(
-                engine, rate_hz, requests = args.requests, rate = rate,
-                stream = args.stream, seed = args.seed,
-                warmup_s = warmup_s, model = args.model,
-                max_batch = max_batch,
-                transfer_dtype = args.transfer_dtype)
+            # median-of-N protocol: the representative cell is the rep with
+            # the median whole-run audio-s/s; per-rep values are attached so
+            # session scatter (measured: 9 % between fresh processes) is
+            # visible instead of silently picking a lucky run
+            rep_cells = [
+                run_cell(
+                    engine, rate_hz, requests = args.requests, rate = rate,
+                    stream = args.stream, seed = args.seed + 1000 * rep,
+                    warmup_s = warmup_s, model = args.model,
+                    max_batch = max_batch,
+                    transfer_dtype = args.transfer_dtype)
+                for rep in range(reps)
+            ]
+            order = sorted(range(reps),
+                           key = lambda r: rep_cells[r]['audio_s_per_s'])
+            result = rep_cells[order[len(order) // 2]]
+            result['reps'] = {
+                'n': reps,
+                'audio_s_per_s': [c['audio_s_per_s'] for c in rep_cells],
+                'steady_audio_s_per_s': [
+                    (c['steady'] or {}).get('audio_s_per_s')
+                    for c in rep_cells],
+            }
             cells.append(result)
             print(json.dumps(result), flush = True)
     if args.sweep:
-        print('\n| max_batch | offered | served req/s | audio-s/s | '
+        print('\n| max_batch | offered | served req/s | audio-s/s | steady | '
               'p50/p95/p99 (s) | occupancy | ms/chunk | admit_s |')
-        print('|---|---|---|---|---|---|---|---|')
+        print('|---|---|---|---|---|---|---|---|---|')
         for c in cells:
-            print('| {} | {} | {} | {} | {} / {} / {} | {} | {} | {} |'
+            print('| {} | {} | {} | {} | {} | {} / {} / {} | {} | {} | {} |'
                   .format(c['max_batch'],
                           c['offered_rate'] or 'inf', c['value'],
-                          c['audio_s_per_s'], c['latency_p50_s'],
+                          c['audio_s_per_s'],
+                          (c['steady'] or {}).get('audio_s_per_s', '-'),
+                          c['latency_p50_s'],
                           c['latency_p95_s'], c['latency_p99_s'],
                           c['loop']['occupancy'],
                           c['loop']['ms_per_chunk'],

@@ -173,6 +173,34 @@ class TestContinuousServingEngine:
         assert order == ['fast', 'slow']
         assert len(engine.stats['latencies']) == 2
 
+    def test_completion_events_recorded(self):
+        """Every resolved request logs (wall time, audio samples) into
+        stats['completions'] — the event stream the steady-state throughput
+        protocol slices (benchmarks/serving_load.py)."""
+        import numpy as np
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        def start_fn(n):
+            return {'remaining': n, 'n': n}
+
+        def step_fn(states):
+            out = [dict(st, remaining = st['remaining'] - 1)
+                   for st in states]
+            return out, [st['remaining'] <= 0 for st in out]
+
+        def finish_fn(st):
+            return {'audio': np.zeros(100 * st['n'], np.float32)}
+
+        with ContinuousServingEngine(start_fn, step_fn, finish_fn) as engine:
+            handles = [engine.submit(n) for n in (1, 2, 3)]
+            for h in handles:
+                h.result.get(timeout = 10)
+        events = sorted(engine.stats['completions'])
+        assert len(events) == 3
+        assert [s for _, s in events] == [100, 200, 300]
+        ts = [t for t, _ in events]
+        assert all(b >= a for a, b in zip(ts, ts[1:]))
+
     def test_batched_admission_uses_start_many(self):
         """An admission burst goes through start_fn.start_many in ONE call
         (the serialized per-request path costs a device call per request —

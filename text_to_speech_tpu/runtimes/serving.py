@@ -261,7 +261,12 @@ class ContinuousServingEngine(_SchedulerMixin):
         self.stats = {'requests': 0, 'chunks': 0, 'aborted': 0,
                       'step_s': 0., 'admit_s': 0., 'finish_s': 0.,
                       'rows_stepped': 0,
-                      'latencies': collections.deque(maxlen = 10_000)}
+                      'latencies': collections.deque(maxlen = 10_000),
+                      # (wall time, audio samples) per resolved request —
+                      # the steady-state throughput protocol slices these
+                      # events to exclude batch ramp/drain
+                      # (benchmarks/serving_load.py)
+                      'completions': collections.deque(maxlen = 10_000)}
 
     def start(self):
         if self._running.is_set(): return self
@@ -508,9 +513,12 @@ class ContinuousServingEngine(_SchedulerMixin):
                     logger.exception('finish_fn failed')
                     self._finish(request, error = e)
                     continue
+            now = time.perf_counter()
             self.stats['latencies'].append(
-                time.perf_counter() - getattr(request, 'submitted_at',
-                                              time.perf_counter()))
+                now - getattr(request, 'submitted_at', now))
+            audio = output.get('audio') if isinstance(output, dict) else None
+            self.stats['completions'].append(
+                (now, 0 if audio is None else len(audio)))
             if request.callback is not None:
                 try:
                     request.callback(output, request.request_id)
