@@ -72,12 +72,18 @@ def build_steppers(args):
             transfer_dtype = args.transfer_dtype)
     else:
         from text_to_speech_tpu.models.tts import Tacotron2, WaveGlow
-        model = Tacotron2(lang = 'en', name = 'bench_tacotron2')
+        r = getattr(args, 'reduction', 1)
+        name = 'bench_tacotron2' if r == 1 \
+            else 'bench_tacotron2_r{}'.format(r)
+        model = Tacotron2(lang = 'en', name = name, n_frames_per_step = r)
         vocoder = WaveGlow(name = 'bench_waveglow')
         vocoder.quantize_for_serving()
         rate_hz = 22050
+        # at r>1 each sequential decode step emits r frames: halve the
+        # chunk so a serving chunk advances the same audio span (and the
+        # finish/emission frame buckets stay comparable across r)
         steppers = make_tacotron_stepper(
-            model, chunk = args.window, vocoder = vocoder,
+            model, chunk = max(1, args.window // r), vocoder = vocoder,
             stream_audio = args.stream,
             transfer_dtype = args.transfer_dtype)
     return steppers, rate_hz
@@ -184,6 +190,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--model', default = 'vits',
                         choices = ('vits', 'tacotron2'))
+    parser.add_argument('--reduction', type = int, default = 1,
+                        help = 'tacotron2 only: n_frames_per_step (r=2 '
+                               'halves the sequential decode steps; the '
+                               'r-quality gate admits it at convergence)')
     parser.add_argument('--requests', type = int, default = 64)
     parser.add_argument('--rate', type = float, default = 8.,
                         help = 'mean arrival rate (requests/s); 0 = all at once')
