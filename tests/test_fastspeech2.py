@@ -340,6 +340,27 @@ class TestFastSpeech2Model:
         n_frames = sum(m.shape[0] for m in out['mel'])
         assert len(out['audio']) == n_frames * vocoder.upsample_rate
 
+    def test_one_launch_tts_matches_pipeline(self, monkeypatch):
+        """The FS2 single-sentence path fuses forward+vocode into one
+        launch (`FastSpeech2.compiled_tts`); parity with the multi-launch
+        pipeline to PCM16 resolution (the parallel-family counterpart of
+        the Tacotron-2 one-launch test)."""
+        model = make_model(name = 'test_fs2_one')
+        vocoder = HiFiGAN(name = 'test_fs2_hifi_one', ** TINY_HIFI)
+        out1 = model.infer('hello world', vocoder = vocoder)
+        assert 'audio' in out1
+
+        monkeypatch.delattr(HiFiGAN, 'device_vocoder_fn')
+        out2 = model.infer('hello world', overwrite = True,
+                           vocoder = vocoder)
+
+        np.testing.assert_allclose(out1['mel'][0], out2['mel'][0],
+                                   atol = 1e-5)
+        a1, a2 = np.asarray(out1['audio']), np.asarray(out2['audio'])
+        assert a1.shape == a2.shape
+        np.testing.assert_allclose(
+            a1, np.clip(a2, -1., 1.), atol = 1.1 / 32767.)
+
     @pytest.mark.slow
     def test_predict_batched(self):
         model = make_model(name = 'test_fs2_batch')

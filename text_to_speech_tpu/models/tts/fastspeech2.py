@@ -18,6 +18,7 @@ split.  Pitch/energy targets are extracted on the fly from the waveform
 (`ops/pitch`) when not precomputed.
 """
 
+import time
 import logging
 
 import numpy as np
@@ -104,6 +105,84 @@ class FastSpeech2(Tacotron2):
         controls = jnp.asarray([d_control, p_control, e_control], jnp.float32)
         fn = self.get_compiled(key, builder)
         return fn(self.params, self.state, tokens, controls,
+                  None if speaker_embedding is None
+                  else np.asarray(speaker_embedding, np.float32))
+
+    def compiled_tts(self,
+                     inputs,
+                     vocoder,
+                     *,
+                     max_length = None,
+                     padding_multiple = 64,
+                     d_control = 1.,
+                     p_control = 1.,
+                     e_control = 1.,
+                     min_duration = 0,
+                     dtype = None,
+                     rng = None,
+                     vocoder_config = {},
+                     ** _):
+        """ONE-LAUNCH text→PCM for the parallel family: the duration-driven
+        forward + vocoder + int16 quantization in one jitted program (the
+        FastSpeech-2 counterpart of `Tacotron2.compiled_tts` — same
+        device-array return contract, same single-blocking-read caller)."""
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(inputs, tuple):
+            tokens, speaker_embedding = inputs
+        else:
+            tokens, speaker_embedding = inputs, None
+
+        tokens = np.asarray(tokens)
+        if tokens.ndim == 1: tokens = tokens[None]
+        tokens = pad_to_multiple(
+            tokens, padding_multiple, axis = 1,
+            constant_values = self.blank_token_idx)
+
+        if max_length is None:
+            max_length = self.arch.hp.max_frames
+        elif isinstance(max_length, float):
+            max_length = int(tokens.shape[1] * max_length)
+        max_frames = int(min(max_length, self.max_output_length,
+                             self.arch.hp.max_position))
+        max_frames = -(-max_frames // padding_multiple) * padding_multiple
+
+        if rng is None:
+            rng = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))
+
+        voc_fn, voc_params, voc_tag = vocoder.device_vocoder_fn(
+            ** vocoder_config)
+        voc_pad = getattr(vocoder, 'serving_pad_multiple', 256)
+        pad_val = getattr(vocoder, 'pad_mel_value', -11.)
+
+        key = ('tts1', max_frames, dtype, speaker_embedding is not None,
+               int(min_duration), voc_tag, voc_pad)
+
+        def builder():
+            def fn(params, state, voc_params, tokens, controls, rng, spk):
+                out = self.arch.infer(
+                    params, state, tokens, speaker_embedding = spk,
+                    max_frames = max_frames, d_control = controls[0],
+                    p_control = controls[1], e_control = controls[2],
+                    min_duration = int(min_duration), dtype = dtype,
+                )
+                mel = out.mel
+                if mel.shape[1] % voc_pad:
+                    mel = jnp.pad(
+                        mel,
+                        ((0, 0), (0, voc_pad - mel.shape[1] % voc_pad),
+                         (0, 0)),
+                        constant_values = pad_val)
+                audio = voc_fn(voc_params, mel, rng)
+                a16 = jnp.round(jnp.clip(audio, -1., 1.) * 32767.) \
+                    .astype(jnp.int16)
+                return a16, out.lengths, out.mel, out.attention_weights
+            return fn
+
+        controls = jnp.asarray([d_control, p_control, e_control], jnp.float32)
+        fn = self.get_compiled(key, builder)
+        return fn(self.params, self.state, voc_params, tokens, controls, rng,
                   None if speaker_embedding is None
                   else np.asarray(speaker_embedding, np.float32))
 

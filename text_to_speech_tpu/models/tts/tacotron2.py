@@ -41,6 +41,10 @@ DEFAULT_MAX_MEL_LENGTH = 1024
 
 class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     _default_loss = 'TacotronLoss'
+    # single-sentence calls fuse decode→postnet→vocode into one launch
+    # (`compiled_tts`); subclasses overriding `compiled_infer` must provide
+    # a matching `compiled_tts` or clear this flag
+    one_launch_tts = True
 
     def __init__(self,
                  lang = None,
@@ -480,10 +484,11 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         if len(encoded) == 1 and not win_len \
                 and not kwargs.get('use_fused_decoder') \
                 and hasattr(vocoder, 'device_vocoder_fn') \
-                and type(self).compiled_infer is Tacotron2.compiled_infer:
-            # the guard pins the AR decode interface `compiled_tts` fuses;
-            # subclasses with their own compiled_infer (FastSpeech-2's
-            # duration-driven forward) keep the generic pipelined path
+                and getattr(self, 'one_launch_tts', False):
+            # `one_launch_tts` marks classes whose `compiled_tts` fuses
+            # their own decode interface (Tacotron-2 AR while_loop,
+            # FastSpeech-2 duration-driven forward); a subclass overriding
+            # compiled_infer without a matching compiled_tts must clear it
             # single sentence: the call is RTT-bound, not device-bound —
             # fuse decode→postnet→vocode into ONE launch + ONE int16 fetch
             one = self._tts_one_launch(
