@@ -103,6 +103,7 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
     with engine:
         engine.stats['latencies'].clear()
         engine.stats['completions'].clear()
+        engine.stats['chunk_s_by_rows'] = {}
         for key in ('step_s', 'admit_s', 'finish_s', 'rows_stepped',
                     'chunks'):
             engine.stats[key] = type(engine.stats[key])()
@@ -168,6 +169,16 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
             'finish_s': round(engine.stats['finish_s'], 2),
             'chunks': engine.stats['chunks'],
             'ms_per_chunk': round(1e3 * engine.stats['step_s'] / chunks, 1),
+            # chunk cost per pow2 row bucket: separates the wide-batch
+            # saturated cost from the narrow ramp/drain chunks the
+            # whole-run average mixes in
+            'ms_per_chunk_by_rows': {
+                str(b): round(1e3 * total / max(n, 1), 1)
+                for b, (n, total) in sorted(
+                    engine.stats.get('chunk_s_by_rows', {}).items())},
+            'chunks_by_rows': {
+                str(b): n for b, (n, total) in sorted(
+                    engine.stats.get('chunk_s_by_rows', {}).items())},
             'occupancy': round(
                 engine.stats['rows_stepped'] / (chunks * max_batch), 3),
         },

@@ -460,7 +460,15 @@ class ContinuousServingEngine(_SchedulerMixin):
                 slots = []
                 continue
             finally:
-                self.stats['step_s'] += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                self.stats['step_s'] += dt
+                # per-pow2-row-bucket chunk cost — attributes the
+                # wide-batch chunk regression directly instead of the
+                # whole-run ms/chunk average mixing ramp and saturation
+                bucket = _pow2(len(live))
+                by = self.stats.setdefault('chunk_s_by_rows', {})
+                n, total = by.get(bucket, (0, 0.))
+                by[bucket] = (n + 1, total + dt)
             slots = []
             completed = []
             for (request, _), state, is_done in zip(live, states, done):
