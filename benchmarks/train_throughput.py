@@ -117,7 +117,8 @@ def bench_tacotron(batch, tokens, frames, iters, precision = 'float32'):
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
-def bench_waveglow(batch, frames, iters, precision = 'float32'):
+def bench_waveglow(batch, frames, iters, precision = 'float32',
+                   remat = True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -139,9 +140,12 @@ def bench_waveglow(batch, frames, iters, precision = 'float32'):
 
     def step(params, opt_state):
         def loss_of(p):
-            # per-flow remat: large-batch flow training does not compile
-            # without it (the 12-flow fused backward overwhelms the compiler)
-            return arch.loss(p, mel, audio, remat = True, compute_dtype = cd)
+            # per-flow remat: large-batch f32 flow training does not compile
+            # without it (the 12-flow fused backward overwhelms the
+            # compiler); bf16 halves activation memory, so --no-remat probes
+            # whether the mixed step can drop the ~1.3x recompute
+            return arch.loss(p, mel, audio, remat = remat,
+                             compute_dtype = cd)
         l, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -304,6 +308,9 @@ def main():
     parser.add_argument('--iters', type = int, default = 5)
     parser.add_argument('--precision', default = 'float32',
                         choices = ('float32', 'mixed_bfloat16'))
+    parser.add_argument('--no-remat', action = 'store_true',
+                        help = 'waveglow: disable per-flow remat (probe — '
+                               'bf16 activations may fit without it)')
     args = parser.parse_args()
 
     # the MFU accounting AOT-compiles each step once for cost_analysis and
@@ -320,7 +327,8 @@ def main():
     if args.model in ('waveglow', 'both'):
         # flow NLL is memory-heavy: halve the batch at full frame count
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters,
-                       precision = args.precision)
+                       precision = args.precision,
+                       remat = not args.no_remat)
     if args.model in ('encoder', 'both'):
         bench_speaker_encoder(args.iters)
     if args.model == 'vits':

@@ -187,15 +187,16 @@ class TestTrainStepPrecision:
         finally:
             reset_instances()
 
-    def test_generic_cast_path_tacotron(self, tmp_path, monkeypatch):
-        """The non-WaveGlow families ride the generic boundary cast: params
-        + float inputs → bf16, predictions → f32 for the loss."""
+    def test_scan_families_opt_out(self, tmp_path, monkeypatch):
+        """Sequential-scan families (Tacotron-2 teacher forcing) OPT OUT of
+        the mixed policy: their latency-bound small-matmul scans regress
+        under the boundary casts (measured 311 → 2307 ms full-size on
+        v5e), so the mixed step must be numerically the f32 step."""
         import optax
         from text_to_speech_tpu.models import saving
         from text_to_speech_tpu.models.interfaces import reset_instances
         from text_to_speech_tpu.models.tts import Tacotron2
-        from text_to_speech_tpu.train.trainer import (
-            make_train_step, bucket_pad)
+        from text_to_speech_tpu.train.trainer import make_train_step
         from text_to_speech_tpu.train.losses import TacotronLoss
 
         monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
@@ -210,6 +211,7 @@ class TestTrainStepPrecision:
                 postnet_n_conv = 2, postnet_filters = 4,
                 postnet_kernel_size = 3, max_decoder_steps = 16,
             )
+            assert model.mixed_precision_ok is False
             loss_fn = TacotronLoss()
             tx = optax.adam(1e-4)
             B, S, T, C = 2, 8, 16, 80
@@ -230,6 +232,54 @@ class TestTrainStepPrecision:
                 params, state, opt_state, metrics = step(
                     params, state, opt_state, KEY,
                     (tokens, mel_in, lengths), targets)
+                losses[prec] = float(metrics['loss'])
+            # opted out ⇒ bit-identical, not merely close
+            assert losses['mixed_bfloat16'] == losses['float32']
+        finally:
+            reset_instances()
+
+    def test_generic_cast_path_fastspeech2(self, tmp_path, monkeypatch):
+        """The parallel families ride the generic boundary cast: params +
+        float inputs → bf16, predictions → f32 for the loss."""
+        import optax
+        from text_to_speech_tpu.models import saving
+        from text_to_speech_tpu.models.interfaces import reset_instances
+        from text_to_speech_tpu.models.tts import FastSpeech2
+        from text_to_speech_tpu.train.trainer import make_train_step
+        from text_to_speech_tpu.train.losses import FastSpeech2Loss
+
+        monkeypatch.setattr(saving, '_PRETRAINED_ROOT', str(tmp_path))
+        reset_instances()
+        try:
+            model = FastSpeech2(
+                lang = 'en', name = 'prec_fs2',
+                dim = 16, encoder_layers = 1, decoder_layers = 1,
+                n_heads = 2, ffn_dim = 32, variance_filters = 8,
+                n_bins = 8, max_frames = 32, max_position = 64,
+                postnet_n_conv = 2, postnet_filters = 4,
+                postnet_kernel_size = 3,
+            )
+            assert model.mixed_precision_ok is True
+            loss_fn = FastSpeech2Loss()
+            tx = optax.adam(1e-4)
+            B, S, T, C = 2, 8, 16, 80
+            tokens = jnp.ones((B, S), jnp.int32)
+            durations = jnp.full((B, S), 2, jnp.int32)
+            pitch = jnp.zeros((B, S))
+            energy = jnp.zeros((B, S))
+            targets = (jnp.zeros((B, T, C)),
+                       jnp.full((B, S), 2.), jnp.zeros((B, S)),
+                       jnp.zeros((B, S)))
+
+            losses = {}
+            for prec in ('float32', 'mixed_bfloat16'):
+                step = make_train_step(model, loss_fn, tx, precision = prec)
+                params = jax.tree_util.tree_map(jnp.array, model.params)
+                state = model.state
+                opt_state = tx.init(params)
+                params, state, opt_state, metrics = step(
+                    params, state, opt_state, KEY,
+                    (tokens, durations, pitch, energy), targets)
                 losses[prec] = float(metrics['loss'])
                 for leaf in jax.tree_util.tree_leaves(params):
                     if jnp.issubdtype(leaf.dtype, jnp.floating):

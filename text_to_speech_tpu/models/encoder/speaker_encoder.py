@@ -21,6 +21,9 @@ logger = logging.getLogger(__name__)
 
 class SpeakerEncoder(BaseAudioModel, BaseModel):
     _default_loss = 'GE2ELoss'
+    # latency-bound LSTM scan: the mixed-precision boundary casts cost more
+    # than the tiny matmuls save (see train/trainer.model_forward)
+    mixed_precision_ok = False
 
     def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
                  audio_rate = 16000, max_audio_time = 3.0, ** kwargs):

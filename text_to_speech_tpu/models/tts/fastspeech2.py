@@ -34,6 +34,7 @@ logger = logging.getLogger(__name__)
 
 
 class FastSpeech2(Tacotron2):
+    mixed_precision_ok = True       # parallel forward: bf16 matmuls pay off
     _default_loss = 'FastSpeech2Loss'
 
     def __init__(self, lang = None, *, name = None, ** kwargs):

@@ -41,6 +41,11 @@ DEFAULT_MAX_MEL_LENGTH = 1024
 
 class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     _default_loss = 'TacotronLoss'
+    # the teacher-forced step is a latency-bound sequential scan of small
+    # matmuls: the mixed policy's boundary casts REGRESS it (measured 311 →
+    # 2307 ms full-size on v5e) — the policy no-ops here (FastSpeech-2,
+    # whose forward is parallel, re-enables it)
+    mixed_precision_ok = False
     # single-sentence calls fuse decode→postnet→vocode into one launch
     # (`compiled_tts`); subclasses overriding `compiled_infer` must provide
     # a matching `compiled_tts` or clear this flag

@@ -49,15 +49,24 @@ def model_forward(model, params, state, inputs, *, rng, train = True,
 
     arch = model.arch
     if compute_dtype is not None and not isinstance(model, WGTask):
-        import jax.numpy as jnp
-        params = cast_floating(
-            params, compute_dtype,
-            exempt = tuple(getattr(model, 'precision_exempt', ())))
-        inputs = cast_floating(inputs, compute_dtype)
-        preds, new_state = model_forward(model, params, state, inputs,
-                                         rng = rng, train = train,
-                                         targets = targets)
-        return cast_floating(preds, jnp.float32), new_state
+        if not getattr(model, 'mixed_precision_ok', True):
+            # sequential-scan families (Tacotron-2 teacher forcing, GE2E):
+            # their steps are latency-bound chains of SMALL matmuls where
+            # the boundary casts + per-step f32 islands dominate — measured
+            # 311 → 2307 ms on the full-size Tacotron step (v5e,
+            # 2026-08-20).  The policy no-ops for them; bf16 belongs to
+            # the FLOP-bound families (WaveGlow/HiFi-GAN/FS2).
+            compute_dtype = None
+        else:
+            import jax.numpy as jnp
+            params = cast_floating(
+                params, compute_dtype,
+                exempt = tuple(getattr(model, 'precision_exempt', ())))
+            inputs = cast_floating(inputs, compute_dtype)
+            preds, new_state = model_forward(model, params, state, inputs,
+                                             rng = rng, train = train,
+                                             targets = targets)
+            return cast_floating(preds, jnp.float32), new_state
     if isinstance(model, FS2Task):      # subclasses TacoTask: dispatch first
         if len(inputs) == 5:
             tokens, embeddings, durations, pitch, energy = inputs
