@@ -242,7 +242,8 @@ class ContinuousServingEngine(_SchedulerMixin):
 
     def __init__(self, start_fn, step_fn, finish_fn = None, *,
                  max_batch_size = 8, name = 'serving-cb',
-                 native_scheduler = True, async_admission = True):
+                 native_scheduler = True, async_admission = True,
+                 async_finish = None):
         self.start_fn = start_fn
         self.step_fn = step_fn
         self.finish_fn = finish_fn or (lambda state: state)
@@ -251,7 +252,16 @@ class ContinuousServingEngine(_SchedulerMixin):
         self._init_scheduler(force_python = not native_scheduler)
         self._thread = None
         self._admit_pool = None
+        self._finish_pool = None
         self._async_admission = bool(async_admission)
+        # finish (postnet + vocode + fetch) on a worker thread, overlapped
+        # with the decode loop: measured on the saturated AR engine the
+        # serialized finish was 5.8 s of an 11.1 s run (52 %) — as large as
+        # the decode itself.  None = auto: enabled when the stepper marks
+        # its finish_fn thread-safe (`finish_fn.async_ok`; a finish that
+        # shares mutable chunk state with step_fn, like the VITS stepper's
+        # parked-fetch buffer, must NOT set it).
+        self._async_finish = async_finish
         self._running = threading.Event()
         import collections
         # bounded: a long-running server must not grow per-request state.
@@ -278,6 +288,16 @@ class ContinuousServingEngine(_SchedulerMixin):
             # loop thread's step_fn launches
             self._admit_pool = ThreadPoolExecutor(
                 max_workers = 1, thread_name_prefix = self.name + '-admit')
+        use_async_finish = self._async_finish
+        if use_async_finish is None:
+            use_async_finish = bool(getattr(self.finish_fn, 'async_ok',
+                                            False))
+        if use_async_finish and self._finish_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            # ONE worker: finishes stay ordered with each other but overlap
+            # the loop thread's decode chunks
+            self._finish_pool = ThreadPoolExecutor(
+                max_workers = 1, thread_name_prefix = self.name + '-finish')
         self._thread = threading.Thread(target = self._loop, daemon = True,
                                         name = self.name)
         self._thread.start()
@@ -291,6 +311,10 @@ class ContinuousServingEngine(_SchedulerMixin):
         if self._admit_pool is not None:
             self._admit_pool.shutdown(wait = True)
             self._admit_pool = None
+        if self._finish_pool is not None:
+            # drain queued finishes so every submitted request resolves
+            self._finish_pool.shutdown(wait = True)
+            self._finish_pool = None
 
     def __enter__(self):
         return self.start()
@@ -490,6 +514,22 @@ class ContinuousServingEngine(_SchedulerMixin):
                 logger.exception('in-flight admission failed at shutdown')
 
     def _finish_completed(self, completed):
+        if self._finish_pool is not None:
+            self._finish_pool.submit(self._finish_guarded, completed)
+            return
+        self._finish_completed_sync(completed)
+
+    def _finish_guarded(self, completed):
+        """Worker-thread wrapper: an unexpected error must resolve every
+        request (an unobserved future would hang the callers)."""
+        try:
+            self._finish_completed_sync(completed)
+        except Exception as e:
+            logger.exception('async finish failed')
+            for request, _ in completed:
+                self._finish(request, error = e)
+
+    def _finish_completed_sync(self, completed):
         """Resolve this chunk's finished rows.  When several rows complete
         at the same boundary and the stepper offers
         ``finish_fn.finish_many``, ONE batched finish call serves them all
@@ -1026,6 +1066,12 @@ def make_tacotron_stepper(model, *, chunk = 64, token_multiple = 64,
         return results
 
     finish_fn.finish_many = finish_many
+    # the non-streaming finish reads only per-row state the loop no longer
+    # touches (done rows leave the slots before finishing) and stateless
+    # jitted programs — safe to overlap with the decode loop on the
+    # engine's finish worker.  Streaming finishes share the emission path
+    # with step_fn's per-chunk _emit_batch bookkeeping; keep those inline.
+    finish_fn.async_ok = not stream_audio
     step_fn._batch = batch      # introspection (tests assert shardings)
     return start_fn, step_fn, finish_fn
 
@@ -1276,7 +1322,15 @@ def make_vits_stepper(model, *, window = 64, context = 16,
         if mesh is not None:
             dev_offs = jax.device_put(dev_offs, batch_sh)
             starts = jax.device_put(starts, batch_sh)
-        fresh = any(st['emitted'] == 0 for st in states)
+        # eager (synchronous) fetch exists to keep time-to-first-audio at
+        # one window — only STREAMING rows care.  Gating it on `on_audio`
+        # keeps the pipeline parked under sustained oneshot load: with
+        # continuous admission nearly every chunk has a fresh row, and the
+        # unconditional eager path degraded the 256-request open-loop run
+        # to synchronous fetches (32-row chunks 67.8 → 133.8 ms, measured
+        # 2026-08-21)
+        fresh = any(st['emitted'] == 0 and st['on_audio'] is not None
+                    for st in states)
         if batch['cond'] is None:
             audio = decode_nocond(_params(), batch['z'], starts, dev_offs)
         else:
