@@ -76,6 +76,8 @@ def build_steppers(args):
         name = 'bench_tacotron2' if r == 1 \
             else 'bench_tacotron2_r{}'.format(r)
         model = Tacotron2(lang = 'en', name = name, n_frames_per_step = r)
+        if getattr(args, 'pin_length', False):
+            model.arch.hp.gate_threshold = 1.1      # sigmoid gate can't fire
         vocoder = WaveGlow(name = 'bench_waveglow')
         vocoder.quantize_for_serving()
         rate_hz = 22050
@@ -205,6 +207,13 @@ def main():
                         help = 'tacotron2 only: n_frames_per_step (r=2 '
                                'halves the sequential decode steps; the '
                                'r-quality gate admits it at convergence)')
+    parser.add_argument('--pin-length', action = 'store_true',
+                        help = 'tacotron2 only: disable the stop gate so '
+                               'every request decodes to max_decoder_steps '
+                               '— random r>1 weights otherwise gate at the '
+                               'first step (the e2e bench''s --fixed-length '
+                               'analog; required for a fair r=1 vs r=2 '
+                               'serving A/B on random weights)')
     parser.add_argument('--requests', type = int, default = 64)
     parser.add_argument('--rate', type = float, default = 8.,
                         help = 'mean arrival rate (requests/s); 0 = all at once')

@@ -21,6 +21,19 @@ cd "$(dirname "$0")/.."
   timeout 2400 python benchmarks/train_throughput.py --model waveglow --precision mixed_bfloat16 --batch 64
   timeout 2400 python benchmarks/train_throughput.py --model waveglow --precision mixed_bfloat16 --batch 64 --no-remat
 
+  echo "=== serving re-runs with overlapped finish + pinned pipeline ($(date)) ==="
+  echo "--- vits 256-request open-loop (was steady 117.5 with the eager-fetch bug) ---"
+  timeout 3600 python benchmarks/serving_load.py --requests 256 --rate 0 \
+      --max-batch 32 --reps 3
+  echo "--- vits 64-request capacity cell (steady protocol sanity) ---"
+  timeout 1800 python benchmarks/serving_load.py --requests 64 --rate 0 \
+      --max-batch 32 --reps 3
+  echo "--- AR r=1 vs r=2, pinned length (fair A/B; async finish live) ---"
+  timeout 3000 python benchmarks/serving_load.py --model tacotron2 \
+      --pin-length --requests 32 --rate 0 --max-batch 8 --reps 3
+  timeout 3000 python benchmarks/serving_load.py --model tacotron2 \
+      --pin-length --reduction 2 --requests 32 --rate 0 --max-batch 8 --reps 3
+
   echo "=== mixed-precision quality-parity gate (300 steps x 2) ($(date)) ==="
   timeout 3600 python benchmarks/mixed_precision_parity.py --steps 300
 
