@@ -31,9 +31,11 @@ import sys
 import json
 import subprocess
 
-BATCH = int(os.environ.get('BENCH_BATCH', 64))   # 64 amortizes the ~1.5%
-                                                 # non-kernel share 2x vs 32
-                                                 # (measured +1.5% RTF)
+BATCH = int(os.environ.get('BENCH_BATCH', 96))   # 96 probed 2026-08-20:
+                                                 # 203.72x vs 203.0 at 64
+                                                 # (further non-kernel
+                                                 # amortization; 128 blows
+                                                 # the worker budget)
 FRAMES = int(os.environ.get('BENCH_FRAMES', 256))
 ITERS = int(os.environ.get('BENCH_ITERS', 6))
 REPS = int(os.environ.get('BENCH_REPS', 3))        # timed repetitions (median)
