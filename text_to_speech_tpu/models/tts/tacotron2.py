@@ -226,10 +226,11 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                      deterministic = False,
                      dtype = None,
                      rng = None,
+                     use_fused_decoder = None,
                      vocoder_config = {},
                      ** _):
-        """ONE-LAUNCH text→PCM: decode (XLA while_loop) + postnet + vocoder
-        + int16 quantization fused into a single jitted program.
+        """ONE-LAUNCH text→PCM: decode + postnet + vocoder + int16
+        quantization fused into a single jitted program.
 
         Returns device arrays ``(audio_i16 (B, F*rate), lengths (B,),
         mel (B, F, n_mel), attention (B, S_dec, S_enc))`` — nothing is
@@ -238,10 +239,14 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         tunnel-RTT-bound, not device-bound (~30 ms/round-trip at a ~130 ms
         call — docs/PERFORMANCE.md's variance protocol), so the multi-launch
         decode→fetch→vocode→fetch pipeline pays 3-4 RTTs where this path
-        pays ~2.  The decoder is the single-program XLA while_loop (the
-        fused Pallas decoder is faster per step but multi-launch — measured
-        44 % wall spread vs 4-5 % for the one-program path).  Accelerates
-        the reference hot path ``models/tts/tacotron2.py:103-209``."""
+        pays ~2.  The decoder auto-selects like `compiled_infer`: the fused
+        Pallas decoder-step kernel (128 µs/step, itself ONE program — a
+        while_loop chaining kernel launches) for small batches on TPU, the
+        XLA while_loop otherwise — with the whole chain in one executable
+        the kernel's per-step advantage finally lands on the wall clock
+        (the 2026-08-21 session measured the XLA-decode variant at 0.19 s,
+        decode-bound).  Accelerates the reference hot path
+        ``models/tts/tacotron2.py:103-209``."""
         import jax
         import jax.numpy as jnp
 
@@ -271,6 +276,19 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
         voc_pad = getattr(vocoder, 'serving_pad_multiple', 256)
         pad_val = getattr(vocoder, 'pad_mel_value', -11.)
 
+        # decoder auto-selection: mirror compiled_infer (fused Pallas
+        # kernel for latency-bound small batches on TPU)
+        if use_fused_decoder is None:
+            default_dev = jax.config.jax_default_device
+            platform = default_dev.platform if default_dev is not None \
+                else jax.default_backend()
+            use_fused_decoder = (
+                platform == 'tpu'
+                and tokens.shape[0] <= getattr(self, 'fused_decoder_max_batch', 2)
+            )
+        fused = bool(use_fused_decoder) and self.arch.supports_fused_decoder(
+            tokens.shape[0], tokens.shape[1])
+
         static = dict(
             max_length = max_length,
             early_stopping = bool(early_stopping),
@@ -280,11 +298,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             dtype = dtype,
         )
         key = ('tts1', tuple(sorted(static.items())),
-               speaker_embedding is not None, voc_tag, voc_pad)
+               speaker_embedding is not None, fused, voc_tag, voc_pad)
 
         def builder():
+            infer_fn = self.arch.infer_fused if fused else self.arch.infer
+
             def fn(params, state, voc_params, tokens, rng, spk):
-                out = self.arch.infer(
+                out = infer_fn(
                     params, state, tokens, rng = rng,
                     speaker_embedding = spk, ** static)
                 mel = out.mel
@@ -487,13 +507,14 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
             return None
 
         if len(encoded) == 1 and not win_len \
-                and not kwargs.get('use_fused_decoder') \
                 and hasattr(vocoder, 'device_vocoder_fn') \
                 and getattr(self, 'one_launch_tts', False):
             # `one_launch_tts` marks classes whose `compiled_tts` fuses
-            # their own decode interface (Tacotron-2 AR while_loop,
-            # FastSpeech-2 duration-driven forward); a subclass overriding
-            # compiled_infer without a matching compiled_tts must clear it
+            # their own decode interface (Tacotron-2 AR decode — fused
+            # Pallas kernel or XLA while_loop, both one program —
+            # FastSpeech-2's duration-driven forward); a subclass
+            # overriding compiled_infer without a matching compiled_tts
+            # must clear it
             # single sentence: the call is RTT-bound, not device-bound —
             # fuse decode→postnet→vocode into ONE launch + ONE int16 fetch
             one = self._tts_one_launch(
