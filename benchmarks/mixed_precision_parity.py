@@ -98,9 +98,16 @@ def main():
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        curve, t0 = [], time.perf_counter()
+        curve, wall, t0 = [], None, None
         for i, (mel_b, aud_b) in enumerate(batches(args.steps)):
             params, opt_state, loss = step(params, opt_state, mel_b, aud_b)
+            if i == 0:
+                # exclude the first step's XLA compile from the step-time
+                # column (the 2026-08-21 run showed a cached-f32 vs
+                # fresh-mixed compile skewing it: the clean speedup ledger
+                # is benchmarks/train_throughput.py)
+                float(loss)
+                t0 = time.perf_counter()
             if i % 20 == 0 or i == args.steps - 1:
                 curve.append((i, float(loss)))
         wall = time.perf_counter() - t0
@@ -140,8 +147,8 @@ def main():
         'gap_pct_of_descent': round(100. * final_gap / max(descent, 1e-9), 2),
         'mel_snr_db_f32': round(snr32, 2),
         'mel_snr_db_mixed': round(snr16, 2),
-        'step_wall_s_f32': round(w32 / args.steps, 4),
-        'step_wall_s_mixed': round(w16 / args.steps, 4),
+        'step_wall_s_f32': round(w32 / max(args.steps - 1, 1), 4),
+        'step_wall_s_mixed': round(w16 / max(args.steps - 1, 1), 4),
         'speedup': round(w32 / max(w16, 1e-9), 2),
         'steps': args.steps,
         'curve_f32': [[i, round(v, 4)] for i, v in c32],
