@@ -644,9 +644,13 @@ class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
                 inputs, vocoder, max_length = max_length,
                 vocoder_config = vocoder_config, ** kwargs)
 
-        # start the side-channel copies first so they overlap the blocking
-        # audio read below (attention only if a consumer asked)
-        for buf in ([mel_dev, attn_dev] if fetch_attention else [mel_dev]):
+        # start EVERY copy before the first blocking read: by the time the
+        # (small) lengths array lands, the audio/mel payloads are already
+        # streaming — on the tunneled transport the serialized
+        # read-lengths-then-read-audio order paid an extra round trip
+        # (attention only if a consumer asked)
+        bufs = [a16_dev, mel_dev] + ([attn_dev] if fetch_attention else [])
+        for buf in bufs:
             try:
                 buf.copy_to_host_async()
             except AttributeError:      # plain numpy under eager/CPU tests
