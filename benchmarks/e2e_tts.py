@@ -61,6 +61,11 @@ def main():
                                '(random r>1 weights stop at the first step '
                                'otherwise — this pins the decode length so '
                                'r configurations time the same audio)')
+    parser.add_argument('--no-one-launch', action = 'store_true',
+                        help = 'disable the fused single-launch tts path '
+                               '(A/B against the multi-launch pipeline in '
+                               'the SAME session -- tunnel RTT drifts '
+                               'between sessions)')
     parser.add_argument('--gate', action = 'store_true',
                         help = 'keep the frames/token retry gate (default off: '
                                'random weights always fail it, so the gate '
@@ -141,6 +146,9 @@ def main():
             for i in range(args.sentences)
         ]
         warm = texts[0]
+
+    if args.no_one_launch:
+        type(model).one_launch_tts = False
 
     # warm-up (compiles the padding buckets)
     tts(warm, model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)
