@@ -324,6 +324,31 @@ class TestGANStepPrecision:
             assert abs(m16[k] - m32[k]) < 0.05 * max(1., abs(m32[k])), (
                 k, m16[k], m32[k])
 
+    def test_vocos_step_mixed(self):
+        """The Vocos arch reuses the HiFi-GAN train step: its loss wrappers
+        must forward compute_dtype (regression — the first fast-suite run
+        after the mixed feature TypeError'd here)."""
+        import optax
+        from text_to_speech_tpu.models.vocos_arch import Vocos
+        from text_to_speech_tpu.train.gan import (
+            make_hifigan_train_step, init_hifigan_train_state)
+
+        arch = Vocos(n_mel_channels = 8, dim = 16, n_layers = 1,
+                     intermediate_dim = 32, n_fft = 16, hop_length = 4,
+                     win_length = 16, mpd_periods = (2,), msd_scales = 1)
+        state = init_hifigan_train_state(arch, KEY, optax.adam(2e-4),
+                                         optax.adam(2e-4))
+        step = make_hifigan_train_step(
+            arch, optax.adam(2e-4), optax.adam(2e-4), donate = False,
+            precision = 'mixed_bfloat16')
+        mel = jax.random.normal(KEY, (2, 16, 8))
+        audio = 0.1 * jax.random.normal(KEY, (2, 16 * 4))
+        new_state, metrics = step(state, mel, audio)
+        assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+        for leaf in jax.tree_util.tree_leaves(new_state['gen']):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+
     def test_vits_step_mixed(self):
         import optax
         from text_to_speech_tpu.models.vits_arch import VITS

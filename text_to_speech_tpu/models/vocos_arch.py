@@ -163,14 +163,18 @@ class Vocos:
     feature_matching_loss = staticmethod(HiFiGAN.feature_matching_loss)
 
     def generator_loss(self, gen_params, disc_params, mel_fn, mel, audio,
-                       *, lambda_mel = 45., lambda_fm = 2.):
+                       *, lambda_mel = 45., lambda_fm = 2.,
+                       compute_dtype = None):
         return HiFiGAN.generator_loss(
             self, gen_params, disc_params, mel_fn, mel, audio,
-            lambda_mel = lambda_mel, lambda_fm = lambda_fm)
+            lambda_mel = lambda_mel, lambda_fm = lambda_fm,
+            compute_dtype = compute_dtype)
 
-    def discriminator_step_loss(self, disc_params, gen_params, mel, audio):
+    def discriminator_step_loss(self, disc_params, gen_params, mel, audio,
+                                *, compute_dtype = None):
         return HiFiGAN.discriminator_step_loss(
-            self, disc_params, gen_params, mel, audio)
+            self, disc_params, gen_params, mel, audio,
+            compute_dtype = compute_dtype)
 
     def get_config(self):
         return self.hp.get_config()
