@@ -148,7 +148,9 @@ def main():
         warm = texts[0]
 
     if args.no_one_launch:
-        type(model).one_launch_tts = False
+        # instance attribute shadows the class default: the override stays
+        # scoped to the benchmarked model, not every instance of the class
+        model.one_launch_tts = False
 
     # warm-up (compiles the padding buckets)
     tts(warm, model = model, vocoder = vocoder, max_trial = 1, save = False, display = False, ** extra)

@@ -89,6 +89,12 @@ class FastSpeech2(Tacotron2):
         max_frames = int(min(max_length, self.max_output_length,
                              self.arch.hp.max_position))
         max_frames = -(-max_frames // padding_multiple) * padding_multiple
+        # re-clamp after rounding: a clamp that is not a multiple of
+        # padding_multiple would otherwise round past max_position and the
+        # decoder's positional-table slice [:T] broadcast-fails at trace
+        if max_frames > self.arch.hp.max_position:
+            max_frames = (self.arch.hp.max_position
+                          // padding_multiple) * padding_multiple
 
         key = ('infer', max_frames, dtype, speaker_embedding is not None,
                int(min_duration))
@@ -148,6 +154,12 @@ class FastSpeech2(Tacotron2):
         max_frames = int(min(max_length, self.max_output_length,
                              self.arch.hp.max_position))
         max_frames = -(-max_frames // padding_multiple) * padding_multiple
+        # re-clamp after rounding: a clamp that is not a multiple of
+        # padding_multiple would otherwise round past max_position and the
+        # decoder's positional-table slice [:T] broadcast-fails at trace
+        if max_frames > self.arch.hp.max_position:
+            max_frames = (self.arch.hp.max_position
+                          // padding_multiple) * padding_multiple
 
         if rng is None:
             rng = jax.random.PRNGKey(int(time.time_ns()) % (2 ** 31))

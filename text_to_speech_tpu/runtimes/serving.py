@@ -91,7 +91,11 @@ class _SchedulerMixin:
     def _finish(self, request, output = None, error = None):
         """Terminal bookkeeping for a COLLECTED request: latency stamp on
         every path (success, failure, late abort), then resolve the
-        AsyncResult."""
+        AsyncResult.  Idempotent: a second call (e.g. the async-finish
+        guard error-finishing a batch whose leading rows already resolved)
+        is a no-op, so a mid-batch failure never double-completes."""
+        if request.result.done():
+            return
         self._sched.complete(request.request_id)
         if error is not None:
             request.result.set_exception(error)
@@ -308,6 +312,16 @@ class ContinuousServingEngine(_SchedulerMixin):
         self._sched.wake()
         if self._thread:
             self._thread.join(timeout = 10)
+            if self._thread.is_alive():
+                # the loop thread outlived the timed join: tearing the pools
+                # down now would race its next submit (RuntimeError on a
+                # shut-down executor, unresolved request futures).  Leave the
+                # pools up — the daemon thread still drains through them, and
+                # _finish_completed falls back to sync finish if a submit
+                # ever hits a closed pool.
+                logger.warning('%s loop thread did not exit within 10s; '
+                               'keeping worker pools alive', self.name)
+                return
         if self._admit_pool is not None:
             self._admit_pool.shutdown(wait = True)
             self._admit_pool = None
@@ -515,8 +529,13 @@ class ContinuousServingEngine(_SchedulerMixin):
 
     def _finish_completed(self, completed):
         if self._finish_pool is not None:
-            self._finish_pool.submit(self._finish_guarded, completed)
-            return
+            try:
+                self._finish_pool.submit(self._finish_guarded, completed)
+                return
+            except RuntimeError:
+                # pool already shut down (stop() raced the loop's last
+                # chunk) — resolve inline so no request future hangs
+                pass
         self._finish_completed_sync(completed)
 
     def _finish_guarded(self, completed):
