@@ -59,7 +59,8 @@ def mfu_str(flops, el):
     return ', %.1f TFLOP/s = %.0f%%%% of bf16 peak' % (tf, 100. * flops / el / PEAK_BF16)
 
 
-def bench_tacotron(batch, tokens, frames, iters, precision = 'float32'):
+def bench_tacotron(batch, tokens, frames, iters, precision = 'float32',
+                   native_scan = True):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -67,7 +68,9 @@ def bench_tacotron(batch, tokens, frames, iters, precision = 'float32'):
     from text_to_speech_tpu.train.losses import TacotronLoss
     from text_to_speech_tpu.train.optimizers import get_optimizer
 
-    arch = Tacotron2()
+    # native_scan=False restores the r4 per-step f32 attention islands —
+    # the A/B that measured 311 -> 2307 ms under mixed_bfloat16
+    arch = Tacotron2(scan_native_bf16 = native_scan)
     params, state = arch.init(jax.random.PRNGKey(0))
     loss = TacotronLoss()
     opt = get_optimizer('adam', lr = 1e-3)
@@ -311,6 +314,10 @@ def main():
     parser.add_argument('--no-remat', action = 'store_true',
                         help = 'waveglow: disable per-flow remat (probe — '
                                'bf16 activations may fit without it)')
+    parser.add_argument('--no-native-scan', action = 'store_true',
+                        help = 'tacotron2: restore the per-step f32 '
+                               'attention islands under mixed_bfloat16 '
+                               '(the r4 mechanism that regressed 7x)')
     args = parser.parse_args()
 
     # the MFU accounting AOT-compiles each step once for cost_analysis and
@@ -323,7 +330,8 @@ def main():
 
     if args.model in ('tacotron2', 'both'):
         bench_tacotron(args.batch, args.tokens, args.frames, args.iters,
-                       precision = args.precision)
+                       precision = args.precision,
+                       native_scan = not args.no_native_scan)
     if args.model in ('waveglow', 'both'):
         # flow NLL is memory-heavy: halve the batch at full frame count
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters,

@@ -291,6 +291,86 @@ class TestTrainStepPrecision:
             reset_instances()
 
 
+class TestTacotronScanNativeBf16:
+    """Scan-native bf16 for the teacher-forced decode
+    (`tacotron2_arch.py hp.scan_native_bf16`): the whole scan carry —
+    alignment maps and attention softmax included — stays bf16, replacing
+    the r4 per-step f32 islands that regressed the latency-bound scan 7x.
+    The TPU step time + 300-step parity gate live in
+    benchmarks/train_throughput.py / mixed_precision_parity.py."""
+
+    TINY = dict(
+        vocab_size = 32, n_mel_channels = 8, encoder_embedding_dim = 8,
+        encoder_n_conv = 1, encoder_kernel_size = 3, prenet_sizes = (4, 4),
+        lsa_attention_dim = 4, lsa_attention_filters = 2,
+        lsa_attention_kernel_size = 5, attention_rnn_dim = 8,
+        decoder_rnn_dim = 8, postnet_n_conv = 2, postnet_filters = 4,
+        postnet_kernel_size = 3,
+    )
+
+    def _forward(self, arch, params, state, dtype):
+        B, S, T, C = 2, 8, 16, 8
+        tokens = jnp.ones((B, S), jnp.int32)
+        mel_in = jnp.linspace(-1., 1., B * T * C).reshape(B, T, C)
+        lengths = jnp.asarray([T, T - 4], jnp.int32)
+        p, mi = params, mel_in
+        if dtype is not None:
+            p, mi = cast_floating(p, dtype), mel_in.astype(dtype)
+        (dec, post, gates), _ = arch(p, state, tokens, mi,
+                                     mel_lengths = lengths, train = True,
+                                     rng = KEY)
+        return dec, post, gates
+
+    @pytest.mark.smoke
+    def test_carry_dtype_follows_flag(self):
+        from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
+        native = Tacotron2(** self.TINY, scan_native_bf16 = True)
+        islands = Tacotron2(** self.TINY, scan_native_bf16 = False)
+        cs = native.init_cell_state(2, 8, jnp.bfloat16)
+        assert cs[3][0].dtype == jnp.bfloat16       # alignments follow
+        cs = islands.init_cell_state(2, 8, jnp.bfloat16)
+        assert cs[3][0].dtype == jnp.float32        # f32 islands restored
+        # f32 training is untouched either way
+        cs = native.init_cell_state(2, 8, jnp.float32)
+        assert cs[3][0].dtype == jnp.float32
+
+    @pytest.mark.smoke
+    def test_native_bf16_forward_close_to_f32(self):
+        from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
+        arch = Tacotron2(** self.TINY, scan_native_bf16 = True)
+        params, state = arch.init(KEY)
+        dec32, post32, _ = self._forward(arch, params, state, None)
+        dec16, post16, gates16 = self._forward(arch, params, state,
+                                               jnp.bfloat16)
+        assert dec16.dtype == jnp.bfloat16          # really ran bf16
+        for a in (dec16, post16, gates16):
+            assert np.isfinite(np.asarray(a, np.float32)).all()
+        # bf16 rounding only — the decode did not diverge
+        np.testing.assert_allclose(
+            np.asarray(dec16, np.float32), np.asarray(dec32),
+            atol = 0.05, rtol = 0.1)
+
+    def test_grads_stay_f32_through_native_scan(self):
+        from text_to_speech_tpu.models.tacotron2_arch import Tacotron2
+        from text_to_speech_tpu.train.losses import TacotronLoss
+        arch = Tacotron2(** self.TINY, scan_native_bf16 = True)
+        params, state = arch.init(KEY)
+        loss_fn = TacotronLoss()
+        B, S, T, C = 2, 8, 16, 8
+        targets = (jnp.zeros((B, T, C)), jnp.zeros((B, T)).at[:, -1:].set(1.))
+
+        def loss_of(p):
+            dec, post, gates = self._forward(arch, p, state, jnp.bfloat16)
+            preds = tuple(t.astype(jnp.float32) for t in (dec, post, gates))
+            return jnp.mean(loss_fn(targets, preds)['loss'])
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_of))(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 class TestGANStepPrecision:
     def test_hifigan_step_mixed(self):
         import optax

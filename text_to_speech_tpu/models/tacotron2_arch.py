@@ -66,6 +66,17 @@ HParamsTacotron2 = HParams(
     attention_rnn_dim = 1024,
     decoder_n_lstm = 1,
     decoder_rnn_dim = 1024,
+    # mixed-precision scan mode: when the teacher-forced inputs arrive in
+    # bfloat16 (train/precision.py boundary cast), keep the ENTIRE scan
+    # carry — including the alignment maps and the attention softmax — in
+    # bf16 instead of carving per-step f32 islands.  The islands were
+    # measured to REGRESS the latency-bound scan 311 → 2307 ms on v5e
+    # (each of T≈384 iterations paid f32<->bf16 converts that broke the
+    # while-loop fusion); bf16 shares f32's exponent range, so the -1e9
+    # mask and the softmax max-subtraction stay representable, and the
+    # quality gate (benchmarks/mixed_precision_parity.py) arbitrates the
+    # cum-attention absorption risk.  False restores the f32 islands.
+    scan_native_bf16 = True,
     n_frames_per_step = 1,
     with_logits = True,                # sigmoid on the gate output
     pred_stop_on_mel = False,
@@ -269,9 +280,8 @@ class Tacotron2:
         convolutional features over [previous, cumulative] alignments."""
         att = params['attention']
         compute_dtype = memory.dtype
+        native = compute_dtype == jnp.bfloat16 and self.hp.scan_native_bf16
         processed_query = nn.dense(att['query'], query)[:, None, :]
-        # alignment maps stay f32 (cumulative sums degrade in bf16); cast at
-        # the matmul boundary only
         attn_cat = jnp.stack([prev_attn, cum_attn], axis = -1).astype(compute_dtype)
         loc = nn.dense(att['location_dense'],
                        nn.conv1d(att['location_conv'], attn_cat, padding = 'SAME'))
@@ -280,8 +290,15 @@ class Tacotron2:
         )[..., 0]                                                        # (B, S)
         # large-negative (not -inf) so a fully-masked row softmaxes to uniform
         # instead of NaN (all-pad rows appear in ragged batches)
-        energies = jnp.where(mask, energies.astype(jnp.float32), -1e9)
-        weights = jax.nn.softmax(energies, axis = -1)                    # f32
+        if native:
+            # scan-native bf16: no per-step converts (see hp.scan_native_bf16)
+            energies = jnp.where(mask, energies, jnp.asarray(-1e9, compute_dtype))
+            weights = jax.nn.softmax(energies, axis = -1)
+        else:
+            # alignment maps stay f32 (cumulative sums degrade in bf16);
+            # cast at the matmul boundary only
+            energies = jnp.where(mask, energies.astype(jnp.float32), -1e9)
+            weights = jax.nn.softmax(energies, axis = -1)                # f32
         context = jnp.einsum('bs,bsd->bd', weights.astype(compute_dtype), memory)
         return context, weights
 
@@ -314,14 +331,17 @@ class Tacotron2:
 
     def init_cell_state(self, batch, seq_len, dtype = jnp.float32):
         hp = self.hp
+        # alignment maps follow the carry dtype only in the scan-native
+        # bf16 mode; otherwise they are f32 islands (see attention_step)
+        attn_dtype = dtype if (dtype == jnp.bfloat16
+                               and hp.scan_native_bf16) else jnp.float32
         return (
             nn.lstm_init_carry(batch, hp.attention_rnn_dim, dtype),
             tuple(nn.lstm_init_carry(batch, hp.decoder_rnn_dim, dtype)
                   for _ in range(hp.decoder_n_lstm)),
             jnp.zeros((batch, self.encoder_output_dim), dtype),
-            # alignment maps are always f32 (see attention_step)
-            (jnp.zeros((batch, seq_len), jnp.float32),
-             jnp.zeros((batch, seq_len), jnp.float32)),
+            (jnp.zeros((batch, seq_len), attn_dtype),
+             jnp.zeros((batch, seq_len), attn_dtype)),
         )
 
     def _project(self, params, cell_out):
