@@ -235,6 +235,10 @@ def main():
                                'process')
     parser.add_argument('--max-batches', default = '8,16,32')
     parser.add_argument('--rates', default = '8,16,32,0')
+    parser.add_argument('--admit-ahead', type = int, default = None,
+                        help = 'admission-prefetch depth (pre-admitted '
+                               'requests beyond the batch); default auto = '
+                               'max_batch//2, 0 = pre-r5 behavior (A/B)')
     parser.add_argument('--reps', type = int, default = 0,
                         help = 'repetitions per cell, median reported — the '
                                'pinned protocol that makes serving numbers '
@@ -255,6 +259,7 @@ def main():
     for max_batch in max_batches:
         engine = ContinuousServingEngine(
             start_fn, step_fn, finish_fn, max_batch_size = max_batch,
+            admit_ahead = args.admit_ahead,
             name = 'load-bench-b{}'.format(max_batch))
         # compile outside the measurement: every token bucket the load
         # will hit x every pow2 batch bucket, through the warmup API

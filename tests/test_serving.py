@@ -406,6 +406,67 @@ class TestContinuousServingEngine:
                 # chunks advanced while the 0.3 s admission ran
                 assert stepped_during_admit.is_set()
 
+    def test_admission_prefetch_beyond_batch(self):
+        """admit_ahead pre-admits requests BEYOND the batch (up to
+        max_batch + admit_ahead) while the device is mid-chunk, so freed
+        slots refill at the next boundary without waiting on admission;
+        the cap is respected and every request still resolves exactly
+        once."""
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        started, gate = [], threading.Event()
+
+        def start_fn(x):
+            started.append(x)
+            return {'x': x, 'left': 2}
+
+        def step_fn(states):
+            gate.wait(timeout = 10)         # park the loop mid-chunk
+            out = [dict(st, left = st['left'] - 1) for st in states]
+            return out, [st['left'] <= 0 for st in out]
+
+        engine = ContinuousServingEngine(
+            start_fn, step_fn, lambda st: st['x'],
+            max_batch_size = 2, admit_ahead = 3)
+        rs = [engine.submit(i) for i in range(6)]   # queued before start
+        with engine:
+            deadline = time.time() + 5
+            # batch (2) + prefetch pool (3) admit while the chunk is parked
+            while len(started) < 5 and time.time() < deadline:
+                time.sleep(0.01)
+            assert len(started) == 5        # cap: never the 6th
+            gate.set()
+            outs = [r.result.get(timeout = 10) for r in rs]
+        assert sorted(outs) == list(range(6))
+        assert sorted(started) == list(range(6))
+
+    def test_admit_ahead_zero_keeps_old_semantics(self):
+        """admit_ahead=0 must not admit past the batch while it is full."""
+        import threading
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        started, gate = [], threading.Event()
+
+        def start_fn(x):
+            started.append(x)
+            return {'x': x}
+
+        def step_fn(states):
+            gate.wait(timeout = 10)
+            return states, [True] * len(states)
+
+        engine = ContinuousServingEngine(
+            start_fn, step_fn, lambda st: st['x'],
+            max_batch_size = 2, admit_ahead = 0)
+        rs = [engine.submit(i) for i in range(5)]
+        with engine:
+            time.sleep(0.3)                 # loop parked inside chunk 1
+            assert len(started) <= 2
+            gate.set()
+            outs = [r.result.get(timeout = 10) for r in rs]
+        assert sorted(outs) == list(range(5))
+
     def test_batch_slot_reuse_and_abort(self):
         from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
 
