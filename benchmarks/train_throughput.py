@@ -121,14 +121,14 @@ def bench_tacotron(batch, tokens, frames, iters, precision = 'float32',
 
 
 def bench_waveglow(batch, frames, iters, precision = 'float32',
-                   remat = True):
+                   remat = True, conv_mode = 'dilated'):
     import jax
     import jax.numpy as jnp
     import optax
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
     from text_to_speech_tpu.train.optimizers import get_optimizer
 
-    arch = WaveGlow()
+    arch = WaveGlow(wn_train_conv = conv_mode)
     params = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
     opt = get_optimizer('adam', lr = 1e-4)
     opt_state = opt.init(params)
@@ -314,6 +314,17 @@ def main():
     parser.add_argument('--no-remat', action = 'store_true',
                         help = 'waveglow: disable per-flow remat (probe — '
                                'bf16 activations may fit without it)')
+    parser.add_argument('--conv-mode', default = 'dilated',
+                        choices = ('dilated', 'shifted'),
+                        help = 'WaveGlow WN conv formulation on the '
+                               'differentiable path: conv_general_dilated '
+                               'vs shifted matmuls (A/B)')
+    parser.add_argument('--remat-policy', default = 'full',
+                        choices = ('full', 'acts'),
+                        help = "WaveGlow flow remat: 'full' recomputes the "
+                               "flow forward in backward; 'acts' saves "
+                               "per-layer acts + residual stream so the "
+                               "backward recomputes only elementwise gates")
     parser.add_argument('--no-native-scan', action = 'store_true',
                         help = 'tacotron2: restore the per-step f32 '
                                'attention islands under mixed_bfloat16 '
@@ -334,9 +345,11 @@ def main():
                        native_scan = not args.no_native_scan)
     if args.model in ('waveglow', 'both'):
         # flow NLL is memory-heavy: halve the batch at full frame count
+        remat = (False if args.no_remat
+                 else ('acts' if args.remat_policy == 'acts' else True))
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters,
                        precision = args.precision,
-                       remat = not args.no_remat)
+                       remat = remat, conv_mode = args.conv_mode)
     if args.model in ('encoder', 'both'):
         bench_speaker_encoder(args.iters)
     if args.model == 'vits':

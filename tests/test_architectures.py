@@ -196,6 +196,60 @@ class TestWaveGlow:
         loss = model.loss(params, mel, audio)
         assert np.isfinite(float(loss))
 
+    def test_conv1d_shifted_matches_dilated(self):
+        from text_to_speech_tpu.nn import layers as nnl
+        p = nnl.init_conv1d(jax.random.PRNGKey(7), 3, 8, 16)
+        x = jax.random.normal(jax.random.PRNGKey(8), (2, 20, 8))
+        for d in (1, 2, 4):
+            np.testing.assert_allclose(
+                np.asarray(nnl.conv1d(p, x, dilation = d, padding = 'SAME')),
+                np.asarray(nnl.conv1d_shifted(p, x, dilation = d)),
+                atol = 1e-5)
+        p1 = nnl.init_conv1d(jax.random.PRNGKey(9), 1, 8, 16)
+        np.testing.assert_allclose(
+            np.asarray(nnl.conv1d(p1, x)),
+            np.asarray(nnl.conv1d_shifted(p1, x)), atol = 1e-6)
+        with pytest.raises(ValueError):
+            nnl.conv1d_shifted(
+                {'kernel': jnp.zeros((2, 8, 16))}, x, dilation = 2)
+
+    def test_wn_train_conv_shifted_parity(self, wg):
+        """The shifted-matmul conv formulation is the same contraction:
+        forward outputs AND gradients match the dilated-conv path."""
+        model, params = wg
+        shifted = WaveGlow(** {** TINY_WG, 'wn_train_conv': 'shifted'})
+        mel = jax.random.normal(KEY, (2, 8, 6))
+        audio = jax.random.normal(jax.random.PRNGKey(4), (2, 8 * 4)) * 0.1
+        z0, s0, d0 = model.forward(params, mel, audio)
+        z1, s1, d1 = shifted.forward(params, mel, audio)
+        np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                                   atol = 1e-4)
+        np.testing.assert_allclose(float(s0), float(s1), rtol = 1e-4)
+        g0 = jax.grad(lambda p: model.loss(p, mel, audio))(params)
+        g1 = jax.grad(lambda p: shifted.loss(p, mel, audio))(params)
+        for (k0, l0), (k1, l1) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            assert k0 == k1
+            np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                                       atol = 2e-4, err_msg = str(k0))
+
+    def test_remat_acts_matches_full(self, wg):
+        """remat='acts' (save WN acts + residual stream, recompute only
+        elementwise) computes the same loss and gradients as full remat."""
+        model, params = wg
+        mel = jax.random.normal(KEY, (2, 8, 6))
+        audio = jax.random.normal(jax.random.PRNGKey(4), (2, 8 * 4)) * 0.1
+        l0, g0 = jax.value_and_grad(
+            lambda p: model.loss(p, mel, audio, remat = True))(params)
+        l1, g1 = jax.value_and_grad(
+            lambda p: model.loss(p, mel, audio, remat = 'acts'))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol = 1e-6)
+        for l0_, l1_ in zip(jax.tree_util.tree_leaves(g0),
+                            jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(l0_), np.asarray(l1_),
+                                       atol = 1e-5)
+
     def test_fused_cond_equivalence(self, wg):
         """fuse_params concatenates cond convs; outputs must be identical."""
         model, params = wg

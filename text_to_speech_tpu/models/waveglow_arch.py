@@ -32,6 +32,10 @@ HParamsWaveGlow = HParams(
     wn_kernel_size = 3,
     wn_fused = False,      # one (cond_ch, n_layers*2*wn_ch) cond matmul per block
     use_pallas = False,    # fused double-buffered Pallas WN-layer kernel
+    # differentiable-path conv formulation: 'dilated' = conv_general_dilated,
+    # 'shifted' = width shifted matmuls (nn.conv1d_shifted — pure MXU dots
+    # for any dilation; the training-step A/B in train_throughput.py)
+    wn_train_conv = 'dilated',
     upsample_width = 1024,
     upsample_stride = 256,
     sigma = 1.0,
@@ -313,14 +317,22 @@ class WaveGlow:
             # returns in the CALLER's dtype (f32 callers forced to bf16
             # buffers above still get their f32 back)
             return out if int8_kernel else out.astype(spect.dtype)
-        x = nn.conv1d(block['start'], audio_half)
+        # 'shifted' expresses every conv as plain dots (see conv1d_shifted)
+        # — the differentiable-path formulation the training-step A/B
+        # selects; pointwise (width-1) convs become bare matmuls
+        shifted = hp.get('wn_train_conv', 'dilated') == 'shifted'
+        _conv = (lambda p, v, dilation = 1:
+                 nn.conv1d_shifted(p, v, dilation = dilation)) if shifted \
+            else (lambda p, v, dilation = 1:
+                  nn.conv1d(p, v, dilation = dilation, padding = 'SAME'))
+        x = _conv(block['start'], audio_half)
         cond_all = None
         if 'cond_layer' in block:
             # single wide matmul for every layer's conditioning projection
             if int8:
                 cond_all = self._conv_int8(block['cond_layer'], spect)
             else:
-                cond_all = nn.conv1d(block['cond_layer'], spect)
+                cond_all = _conv(block['cond_layer'], spect)
 
         # the fused Pallas kernel needs lane-aligned channels and whole tiles
         pallas_ok = (
@@ -373,20 +385,23 @@ class WaveGlow:
                     dilation = dilation, pad = pad, residual = not last,
                 )
             else:
-                acts = (
-                    nn.conv1d(in_conv, x, dilation = 2 ** i, padding = 'SAME')
-                    + cond
-                )
+                from jax.ad_checkpoint import checkpoint_name
+                # checkpoint_name marks the remat-policy save points the
+                # training forward can elect (forward(remat='acts'):
+                # saving acts + the residual stream makes the flow backward
+                # recompute only elementwise gates, never a conv)
+                acts = checkpoint_name(
+                    _conv(in_conv, x, dilation = 2 ** i) + cond, 'wn_acts')
                 gated = jnp.tanh(acts[..., :n_ch]) * jax.nn.sigmoid(acts[..., n_ch:])
-                res_skip = nn.conv1d(rs_conv, gated)
+                res_skip = _conv(rs_conv, gated)
                 if not last:
-                    x = x + res_skip[..., :n_ch]
+                    x = checkpoint_name(x + res_skip[..., :n_ch], 'wn_x')
                     skip = res_skip[..., n_ch:]
                 else:
                     skip = res_skip
             output = skip if output is None else output + skip
         # int8 layers accumulate skips in f32; match the end kernel's dtype
-        return nn.conv1d(block['end'], output.astype(block['end']['kernel'].dtype))
+        return _conv(block['end'], output.astype(block['end']['kernel'].dtype))
 
     # -- mel conditioning ------------------------------------------------------
 
@@ -619,7 +634,17 @@ class WaveGlow:
             audio = jnp.concatenate([audio_0, audio_1], axis = -1)
             return audio, jnp.sum(s), logdet
 
-        if remat:
+        if remat == 'acts':
+            # policy remat: per-layer acts + residual stream are SAVED
+            # (checkpoint_name marks in wn_block), so the flow backward
+            # recomputes only elementwise gates — no conv recompute — at
+            # ~3x the activation memory of full per-flow remat.  A/B:
+            # benchmarks/train_throughput.py --remat-policy acts
+            from jax.ad_checkpoint import checkpoint_policies
+            flow_step = jax.checkpoint(
+                flow_step, policy = checkpoint_policies.save_only_these_names(
+                    'wn_acts', 'wn_x'))
+        elif remat:
             flow_step = jax.checkpoint(flow_step)
 
         def body(carry, flow):

@@ -106,6 +106,34 @@ def conv1d(params, x, *, stride = 1, padding = 'SAME', dilation = 1):
     return y
 
 
+def conv1d_shifted(params, x, *, dilation = 1):
+    """SAME odd-width dilated conv as `width` SHIFTED MATMULS — pure
+    dot_generals instead of one `conv_general_dilated` with a large
+    ``rhs_dilation``.  Each tap is a (B*T, C_in) x (C_in, C_out) dot the
+    MXU runs at full tilt regardless of dilation, and the backward is
+    again shifted dots; the conv lowering is the alternative this A/Bs
+    against (`benchmarks/train_throughput.py --conv-mode`).  Numerically
+    the same contraction as `conv1d(padding='SAME')` up to f.p.
+    reassociation (parity test: tests/test_waveglow.py)."""
+    k = params['kernel']                        # (W, C_in, C_out)
+    width = k.shape[0]
+    if width == 1:
+        y = x @ k[0]
+    else:
+        if width % 2 == 0:
+            raise ValueError('conv1d_shifted needs an odd width, got %d'
+                             % width)
+        half_pad = (width // 2) * dilation
+        xp = jnp.pad(x, ((0, 0), (half_pad, half_pad), (0, 0)))
+        T = x.shape[1]
+        y = None
+        for t in range(width):
+            tap = xp[:, t * dilation: t * dilation + T] @ k[t]
+            y = tap if y is None else y + tap
+    if 'bias' in params: y = y + params['bias']
+    return y
+
+
 def init_conv1d_transpose(key, width, in_ch, out_ch, use_bias = True):
     return init_conv1d(key, width, in_ch, out_ch, use_bias)
 
