@@ -237,6 +237,36 @@ class TestImportVerifyTool:
         assert proc.returncode == 0, proc.stdout + proc.stderr
         assert 'SELF-TEST OK (6 families)' in proc.stdout
 
+    def test_pinned_configs_are_declared_hparams(self):
+        """Every key in the pinned published-checkpoint hparam sets must
+        stay a DECLARED architecture hparam (drift here would make the
+        full-size --self-test-configs round-trip silently drop it)."""
+        sys.path.insert(0, os.path.join(REPO, 'tools'))
+        try:
+            from import_and_verify import PINNED_CHECKPOINT_CONFIGS
+        finally:
+            sys.path.pop(0)
+        from text_to_speech_tpu.models.tacotron2_arch import HParamsTacotron2
+        from text_to_speech_tpu.models.waveglow_arch import HParamsWaveGlow
+        names = [c[0] for c in PINNED_CHECKPOINT_CONFIGS]
+        for expected in ('pretrained_tacotron2', 'tacotron2_siwis',
+                         'sv2tts_tacotron2_256', 'waveglow'):
+            assert expected in names
+        for name, family, lang, cfg in PINNED_CHECKPOINT_CONFIGS:
+            hp = HParamsWaveGlow if family == 'waveglow' \
+                else HParamsTacotron2
+            for key in cfg:
+                assert key in hp, (name, key)
+
+    @pytest.mark.slow
+    def test_self_test_configs(self):
+        """Full-size pinned-config round-trip (LJSpeech / SIWIS / SV2TTS /
+        WaveGlow-256): detect → config inference → coverage → shape
+        identity, no forward."""
+        proc = run_tool('--self-test-configs')
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert 'CONFIG SELF-TEST OK (4 pinned configs)' in proc.stdout
+
     def test_corrupted_checkpoint_fails_forward_gate(self, tmp_path):
         """A checkpoint whose weights were perturbed above the gate must
         FAIL the forward stage — the gate detects real import drift."""

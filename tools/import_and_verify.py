@@ -522,6 +522,153 @@ def _tiny_model(family, root):
     return ckpt_path, golden_path
 
 
+# -- pinned published configs ---------------------------------------------------
+
+#: FULL hparam sets of the reference's published checkpoints
+#: (``/root/reference/README.md:63-70``) and the NVIDIA bases they
+#: fine-tune from — pinned HERE so import day is config-surprise-free:
+#: ``--self-test-configs`` builds each model at FULL size, exports the
+#: official layout, and round-trips it through the import chain
+#: (detect → config inference → coverage → shape identity).  No forward
+#: (full-size forwards belong on the TPU, with real weights).
+NVIDIA_TACOTRON2 = dict(
+    vocab_size = 148, n_mel_channels = 80,
+    encoder_embedding_dim = 512, encoder_n_conv = 3, encoder_kernel_size = 5,
+    prenet_sizes = (256, 256),
+    lsa_attention_dim = 128, lsa_attention_filters = 32,
+    lsa_attention_kernel_size = 31,
+    attention_rnn_dim = 1024, decoder_rnn_dim = 1024,
+    postnet_n_conv = 5, postnet_filters = 512, postnet_kernel_size = 5,
+    max_decoder_steps = 1000, gate_threshold = 0.5)
+
+#: the LJSpeech release is ``waveglow_256channels``: 256 WN channels —
+#: NOT this framework's 512-channel training default
+NVIDIA_WAVEGLOW = dict(
+    n_flows = 12, n_group = 8, n_early_every = 4, n_early_size = 2,
+    wn_layers = 8, wn_channels = 256, wn_kernel_size = 3, wn_fused = True,
+    upsample_width = 1024, upsample_stride = 256)
+
+#: (published name, family, lang, task hparams) — tacotron2_siwis and the
+#: sv2tts variants are saved in the reference's own Keras layout; the
+#: SV2TTS rows add the 256-dim speaker embedding concatenated at the
+#: encoder output ('end'), which WIDENS the attention/decoder matrices
+PINNED_CHECKPOINT_CONFIGS = (
+    ('pretrained_tacotron2', 'tacotron2', 'en', NVIDIA_TACOTRON2),
+    ('tacotron2_siwis', 'tacotron2-keras', 'fr', NVIDIA_TACOTRON2),
+    ('sv2tts_tacotron2_256', 'sv2tts-keras', 'fr',
+     dict(NVIDIA_TACOTRON2, speaker_embedding_dim = 256,
+          speaker_concat_pos = 'end')),
+    ('waveglow', 'waveglow', None, NVIDIA_WAVEGLOW),
+)
+
+
+def _tree_shapes(tree):
+    import jax
+    return {
+        jax.tree_util.keystr(path): tuple(np.shape(leaf))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def self_test_configs(base_args):
+    """Full-size layout round-trip for every pinned published config."""
+    _setup_device('cpu')
+    import jax
+    from text_to_speech_tpu.models import saving, tts_export as ex
+    from text_to_speech_tpu.models import tts_checkpoints as ck
+    from text_to_speech_tpu.models.interfaces import reset_instances
+
+    root = tempfile.mkdtemp(prefix = 'import_verify_configs_')
+    failures = []
+    for name, family, lang, config in PINNED_CHECKPOINT_CONFIGS:
+        print('=' * 64)
+        print('CONFIG SELF-TEST: {} ({})'.format(name, family))
+        report = Report()
+        saving._PRETRAINED_ROOT = os.path.join(root, name)
+        reset_instances()
+        try:
+            if family == 'tacotron2':
+                from text_to_speech_tpu.models.tts import Tacotron2
+                model = Tacotron2(lang = lang, name = 'pin_' + name,
+                                  ** config)
+                sd = ex.export_nvidia_tacotron2(model.params, model.state)
+                inferred = ck.tacotron2_config_from_state_dict(sd)
+                # every pinned key the shape inference can derive must agree
+                clash = {k: (config[k], inferred[k]) for k in inferred
+                         if k in config and tuple(np.ravel(config[k]))
+                         != tuple(np.ravel(inferred[k]))}
+                if clash:
+                    report.add('config-inference', 'FAIL', str(clash))
+                else:
+                    report.add('config-inference', 'PASS',
+                               '{} keys agree'.format(
+                                   len(set(inferred) & set(config))))
+                ckpt = os.path.join(root, name + '.pth')
+                import torch
+                torch.save(
+                    {k: torch.from_numpy(np.ascontiguousarray(v))
+                     for k, v in sd.items()}, ckpt)
+                reset_instances()
+                rebuilt, _ = import_and_build(ckpt, 'auto', {}, report)
+            elif family in ('tacotron2-keras', 'sv2tts-keras'):
+                from text_to_speech_tpu.models.tts import (
+                    Tacotron2, SV2TTSTacotron2)
+                from text_to_speech_tpu.models.weights_converter import \
+                    convert_keras_variables
+                cls = SV2TTSTacotron2 if family == 'sv2tts-keras' \
+                    else Tacotron2
+                kw = dict(config)
+                if family == 'sv2tts-keras':
+                    kw['embedding_dim'] = kw.pop('speaker_embedding_dim')
+                model = cls(lang = lang, name = 'pin_' + name, ** kw)
+                flat = ex.export_keras_tacotron2(model.params, model.state)
+                report.add('export', 'PASS',
+                           '{} keras variables'.format(len(flat)))
+                params, state = convert_keras_variables(flat)
+                rebuilt_tree, src_tree = (params, state), \
+                    (model.params, model.state)
+                rebuilt = None
+            elif family == 'waveglow':
+                from text_to_speech_tpu.models.tts import WaveGlow
+                model = WaveGlow(name = 'pin_' + name, ** config)
+                sd = ex.export_nvidia_waveglow(model.params)
+                ckpt = os.path.join(root, name + '.pth')
+                import torch
+                torch.save(
+                    {k: torch.from_numpy(np.ascontiguousarray(v))
+                     for k, v in sd.items()}, ckpt)
+                reset_instances()
+                rebuilt, _ = import_and_build(ckpt, 'auto', {}, report)
+            else:
+                raise ValueError(family)
+
+            if rebuilt is not None:
+                rebuilt_tree = (rebuilt.params, getattr(rebuilt, 'state', {}))
+                src_tree = (model.params, getattr(model, 'state', {}))
+            a, b = _tree_shapes(src_tree), _tree_shapes(rebuilt_tree)
+            diff = sorted(set(a.items()) ^ set(b.items()))
+            if diff:
+                report.add('shape-roundtrip', 'FAIL',
+                           '{} mismatches, e.g. {}'.format(
+                               len(diff), diff[:4]))
+            else:
+                report.add('shape-roundtrip', 'PASS',
+                           '{} tensors identical'.format(len(a)))
+        except Exception as e:
+            import traceback; traceback.print_exc()
+            report.add('build', 'FAIL', repr(e))
+        report.summary()
+        if report.failed:
+            failures.append(name)
+        reset_instances()
+    print('=' * 64)
+    if failures:
+        print('CONFIG SELF-TEST FAILED for: {}'.format(', '.join(failures)))
+        return 1
+    print('CONFIG SELF-TEST OK ({} pinned configs)'.format(
+        len(PINNED_CHECKPOINT_CONFIGS)))
+    return 0
+
+
 def self_test(which, base_args):
     _setup_device('cpu')
     from text_to_speech_tpu.models import saving
@@ -576,8 +723,15 @@ def main(argv = None):
     p.add_argument('--self-test', dest = 'self_test', nargs = '?',
                    const = 'all', default = None,
                    metavar = 'all|' + '|'.join(FAMILIES))
+    p.add_argument('--self-test-configs', dest = 'self_test_configs',
+                   action = 'store_true',
+                   help = 'full-size layout round-trip of every PINNED '
+                          'published-checkpoint config (LJSpeech/SIWIS/'
+                          'SV2TTS/WaveGlow-256) — no forward, no weights')
     args = p.parse_args(argv)
 
+    if args.self_test_configs:
+        return self_test_configs(args)
     if args.self_test:
         return self_test(args.self_test, args)
     if not args.checkpoint:
