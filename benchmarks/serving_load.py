@@ -109,6 +109,10 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
         for key in ('step_s', 'admit_s', 'finish_s', 'rows_stepped',
                     'chunks'):
             engine.stats[key] = type(engine.stats[key])()
+        stepper_stats = getattr(engine.step_fn, 'stats', None)
+        if stepper_stats:
+            for key in stepper_stats:
+                stepper_stats[key] = type(stepper_stats[key])()
 
         t0 = time.perf_counter()
         pending = []
@@ -184,6 +188,11 @@ def run_cell(engine, rate_hz, *, requests, rate, stream, seed, warmup_s,
             'occupancy': round(
                 engine.stats['rows_stepped'] / (chunks * max_batch), 3),
         },
+        # stepper-internal split (e.g. the VITS finish: tail flush vs
+        # host assembly) — attributes finish_s below the engine level
+        'stepper': ({k: (round(v, 3) if isinstance(v, float) else v)
+                     for k, v in stepper_stats.items()}
+                    if stepper_stats else None),
         'scheduler': {
             (k if isinstance(v, float) else k):
                 (round(v, 4) if isinstance(v, float)

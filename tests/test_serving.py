@@ -415,28 +415,40 @@ class TestContinuousServingEngine:
         import threading
         from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
 
-        started, gate = [], threading.Event()
+        started = []
+        proceed = threading.Semaphore(0)    # each release = one chunk runs
 
         def start_fn(x):
             started.append(x)
-            return {'x': x, 'left': 2}
+            return {'x': x, 'left': 3}
 
         def step_fn(states):
-            gate.wait(timeout = 10)         # park the loop mid-chunk
+            assert proceed.acquire(timeout = 10)
             out = [dict(st, left = st['left'] - 1) for st in states]
             return out, [st['left'] <= 0 for st in out]
+
+        def wait_started(n):
+            deadline = time.time() + 5
+            while len(started) < n and time.time() < deadline:
+                time.sleep(0.01)
+            return len(started)
 
         engine = ContinuousServingEngine(
             start_fn, step_fn, lambda st: st['x'],
             max_batch_size = 2, admit_ahead = 3)
         rs = [engine.submit(i) for i in range(6)]   # queued before start
         with engine:
-            deadline = time.time() + 5
-            # batch (2) + prefetch pool (3) admit while the chunk is parked
-            while len(started) < 5 and time.time() < deadline:
-                time.sleep(0.01)
-            assert len(started) == 5        # cap: never the 6th
-            gate.set()
+            # boundary 0: one burst (capped at max_batch) fills the slots
+            assert wait_started(2) == 2
+            proceed.release()               # chunk 1 completes
+            # boundary 1: a prefetch burst admits BEYOND the full batch
+            assert wait_started(4) == 4
+            proceed.release()               # chunk 2
+            # boundary 2: the pool tops up to max_batch + admit_ahead = 5
+            assert wait_started(5) == 5
+            assert len(started) == 5        # cap: never the 6th yet
+            for _ in range(12):
+                proceed.release()
             outs = [r.result.get(timeout = 10) for r in rs]
         assert sorted(outs) == list(range(6))
         assert sorted(started) == list(range(6))

@@ -489,7 +489,12 @@ class ContinuousServingEngine(_SchedulerMixin):
                 slots.append(ready.pop(0))
             reserved = inflight[1] if inflight is not None else 0
             short = self.max_batch_size - len(slots) - len(ready) - reserved
-            want = short + self._admit_ahead
+            # cap a single burst at max_batch: start_many pads to pow2 row
+            # buckets and warmup() compiles them only up to max_batch — an
+            # uncapped first burst (batch + prefetch depth) hit a COLD
+            # bucket-64 compile mid-traffic (measured: first 256-request
+            # rep 51 vs 143 audio-s/s, tpu_session5)
+            want = min(short + self._admit_ahead, self.max_batch_size)
             # admit when the batch cannot stay full without it (short > 0)
             # or a paced top-up burst is due (see _admit_burst)
             if inflight is None and want > 0 and (
@@ -1408,18 +1413,44 @@ def make_vits_stepper(model, *, window = 64, context = 16,
             _fetch_parts(audio, deliveries)
         return states, done
 
-    def finish_fn(st):
-        if any(d[0] is st for d in pending['deliveries']):
-            _flush()                       # the tail chunk is still pending
+    # where the finish wall goes: tail-chunk flush (a device fetch that
+    # blocks on everything queued ahead of it) vs pure host assembly —
+    # serving_load prints this split so finish cost stays attributable
+    stepper_stats = {'flush_s': 0., 'flushes': 0, 'assemble_s': 0.}
+
+    def _assemble(st):
+        t0 = time.perf_counter()
         audio = np.concatenate(st['audio_parts']) if st['audio_parts'] \
             else np.zeros((0,), np.float32)
         result = {'text': st['text'], 'audio': audio[: st['length'] * rate],
                   'rate': model.rate, 'frames': st['length']}
         if st['t_first_audio'] is not None:
             result['first_audio_s'] = st['t_first_audio'] - st['t_start']
+        stepper_stats['assemble_s'] += time.perf_counter() - t0
         return result
 
+    def _flush_for(states):
+        if any(any(d[0] is st for d in pending['deliveries'])
+               for st in states):
+            t0 = time.perf_counter()
+            _flush()                       # the tail chunk is still pending
+            stepper_stats['flush_s'] += time.perf_counter() - t0
+            stepper_stats['flushes'] += 1
+
+    def finish_fn(st):
+        _flush_for([st])
+        return _assemble(st)
+
+    def finish_many(states):
+        """Group finish: ONE tail flush for the whole completing group,
+        then pure host assembly (the per-request path re-scanned the
+        pending buffer and re-entered the flush check per row)."""
+        _flush_for(states)
+        return [_assemble(st) for st in states]
+
+    finish_fn.finish_many = finish_many
     step_fn._batch = batch      # introspection (tests assert shardings)
+    step_fn.stats = stepper_stats
     return start_fn, step_fn, finish_fn
 
 
