@@ -152,12 +152,56 @@ def main():
         ('locconv', locconv_body, attn_carry, (B, hp.attention_rnn_dim)),
         ('einsum', einsum_body, attn_carry, (B, hp.attention_rnn_dim)),
     ]
+    def run_grad(label, dtype, body, carry_fn, x_t_shape):
+        """Same scan, but timed through value_and_grad wrt the params —
+        the training step's shape (the forward probe showed the bf16
+        forward scan costs ~32 ms while the full train step regressed by
+        ~2000 ms, so the backward scan is the suspect)."""
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda l: l.astype(dtype) if jnp.issubdtype(l.dtype, jnp.floating)
+            else l, t)
+        p = cast(dec)
+        memory = cast(jax.random.normal(jax.random.PRNGKey(1), (B, S, D)))
+        pm = cast(jax.random.normal(jax.random.PRNGKey(2),
+                                    (B, S, hp.lsa_attention_dim)))
+        mask = jnp.ones((B, S), bool)
+        xs = cast(jax.random.normal(jax.random.PRNGKey(3), (T,) + x_t_shape))
+        carry = cast(carry_fn(dtype))
+
+        @jax.jit
+        def grad_fn(p, memory, pm, mask, xs, carry):
+            def loss(q):
+                def step(c, x):
+                    return body(q, memory, pm, mask, c, x)
+                c, ys = lax.scan(step, carry, xs)
+                return (jax.tree_util.tree_leaves(c)[0].sum()
+                        + ys.sum()).astype(jnp.float32)
+            return jax.value_and_grad(loss)(p)[0]
+
+        out = grad_fn(p, memory, pm, mask, xs, carry)
+        float(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = grad_fn(p, memory, pm, mask, xs, carry)
+        float(out)
+        el = (time.perf_counter() - t0) / args.iters
+        print('%-12s %-9s %7.1f ms  (%5.3f ms/step)  [grad]' % (
+            label, np.dtype(dtype).name, el * 1e3, el * 1e3 / T),
+            flush = True)
+
     for label, body, carry_fn, x_shape in variants:
         for dtype in (jnp.float32, jnp.bfloat16):
             try:
                 run(label, dtype, body, carry_fn, x_shape)
             except Exception as e:
                 print('%-12s %-9s FAILED: %r' % (
+                    label, np.dtype(dtype).name, e), flush = True)
+    for label, body, carry_fn, x_shape in variants:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            try:
+                run_grad(label, dtype, body, carry_fn, x_shape)
+            except Exception as e:
+                print('%-12s %-9s FAILED: %r  [grad]' % (
                     label, np.dtype(dtype).name, e), flush = True)
 
 

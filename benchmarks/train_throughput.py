@@ -38,6 +38,11 @@ def aot_with_flops(step, *args):
     executable is only read for cost analysis — the flops of the same
     program).  Set BENCH_TIME_AOT=1 to time the AOT object instead."""
     flops = None
+    if os.environ.get('BENCH_NO_AOT') == '1':
+        # skip the cost-analysis compile entirely (probe knob: the AOT
+        # lowering shares nothing with the timed jit path, but compiling a
+        # second donated-buffer executable is a variable worth isolating)
+        return step, flops
     try:
         compiled = step.lower(*args).compile()
         ca = compiled.cost_analysis()
@@ -50,6 +55,26 @@ def aot_with_flops(step, *args):
     except Exception:
         pass
     return step, flops
+
+
+def median_time(iters, run_and_sync):
+    """Time EVERY iteration behind a scalar-transfer barrier; return the
+    MEDIAN.  The tunnel injects multi-second stalls (measured: 10.8 s on
+    the first post-warmup dispatch, benchmarks/tacotron_stall_probe.py)
+    that poisoned averaged loops — the r4 'bf16 scan 311→2307 ms
+    regression' was exactly this artifact (true per-iter medians: f32
+    130 ms, bf16 85 ms — bf16 1.5x FASTER)."""
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        run_and_sync(i)
+        times.append(time.perf_counter() - t0)
+    s = sorted(times)
+    med = s[len(s) // 2]
+    if s[-1] > 3 * med:
+        print('  (stall filtered: per-iter ms %s)' %
+              [round(t * 1e3) for t in times], flush = True)
+    return med
 
 
 def mfu_str(flops, el):
@@ -108,12 +133,13 @@ def bench_tacotron(batch, tokens, frames, iters, precision = 'float32',
         jax.jit(step, donate_argnums = (0, 2)), params, state, opt_state, rng)
     params, state, opt_state, l = step(params, state, opt_state, rng)
     sync(l)
-    start = time.perf_counter()
-    for i in range(iters):
-        params, state, opt_state, l = step(params, state, opt_state,
-                                           jax.random.fold_in(rng, i))
-    sync(l)
-    el = (time.perf_counter() - start) / iters
+    box = [params, state, opt_state]
+
+    def run(i):
+        box[0], box[1], box[2], l = step(box[0], box[1], box[2],
+                                         jax.random.fold_in(rng, i))
+        sync(l)
+    el = median_time(iters, run)
     audio_s = batch * frames * 256 / 22050.
     print(('tacotron2 train step B=%d T=%d: %.0f ms (%.1f steps/s, '
            '%.1fx realtime-audio/step-throughput' + mfu_str(flops, el) + ')') % (
@@ -158,11 +184,12 @@ def bench_waveglow(batch, frames, iters, precision = 'float32',
         jax.jit(step, donate_argnums = (0, 1)), params, opt_state)
     params, opt_state, l = step(params, opt_state)
     sync(l)
-    start = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, l = step(params, opt_state)
-    sync(l)
-    el = (time.perf_counter() - start) / iters
+    box = [params, opt_state]
+
+    def run(i):
+        box[0], box[1], l = step(box[0], box[1])
+        sync(l)
+    el = median_time(iters, run)
     audio_s = batch * frames * 256 / 22050.
     print(('waveglow train step B=%d T=%d: %.0f ms (%.1f steps/s, '
            '%.1fx realtime-audio/step-throughput' + mfu_str(flops, el) + ')') % (
@@ -206,12 +233,13 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
         jax.jit(step, donate_argnums = (0, 2)), params, state, opt_state, rng)
     params, state, opt_state, l = step(params, state, opt_state, rng)
     sync(l)
-    start = time.perf_counter()
-    for i in range(iters):
-        params, state, opt_state, l = step(params, state, opt_state,
-                                           jax.random.fold_in(rng, i))
-    sync(l)
-    el = (time.perf_counter() - start) / iters
+    box = [params, state, opt_state]
+
+    def run(i):
+        box[0], box[1], box[2], l = step(box[0], box[1], box[2],
+                                         jax.random.fold_in(rng, i))
+        sync(l)
+    el = median_time(iters, run)
     print(('speaker-encoder GE2E step N=%d M=%d T=%d: %.1f ms (%.0f steps/s, '
            '%.0f utterances/s' + mfu_str(flops, el) + ')') % (
               n_speakers, n_utt, frames, el * 1e3, 1. / el, B / el))
@@ -251,12 +279,13 @@ def bench_vits(batch, tokens, frames, iters, precision = 'float32'):
                                  rng)
     state, metrics = step(state, (tok, spec, lengths, audio), rng)
     sync(metrics['gen_loss'])
-    start = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, (tok, spec, lengths, audio),
-                              jax.random.fold_in(rng, i))
-    sync(metrics['gen_loss'])
-    el = (time.perf_counter() - start) / iters
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step(box[0], (tok, spec, lengths, audio),
+                               jax.random.fold_in(rng, i))
+        sync(metrics['gen_loss'])
+    el = median_time(iters, run)
     audio_s = batch * frames * hop / 22050.
     print(('VITS GAN step B=%d L=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
            'realtime-audio' + mfu_str(flops, el) + ')') % (
@@ -291,11 +320,12 @@ def bench_hifigan(batch, frames, iters, precision = 'float32'):
     step, flops = aot_with_flops(step, state, mel, audio)
     state, metrics = step(state, mel, audio)
     sync(metrics['gen_loss'])
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, mel, audio)
-    sync(metrics['gen_loss'])
-    el = (time.perf_counter() - start) / iters
+    box = [state]
+
+    def run(i):
+        box[0], metrics = step(box[0], mel, audio)
+        sync(metrics['gen_loss'])
+    el = median_time(iters, run)
     audio_s = batch * frames * hop / 22050.
     print(('HiFi-GAN GAN step B=%d T=%d: %.0f ms (%.2f steps/s, %.0fx '
            'realtime-audio' + mfu_str(flops, el) + ')') % (

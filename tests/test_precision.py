@@ -187,11 +187,12 @@ class TestTrainStepPrecision:
         finally:
             reset_instances()
 
-    def test_scan_families_opt_out(self, tmp_path, monkeypatch):
-        """Sequential-scan families (Tacotron-2 teacher forcing) OPT OUT of
-        the mixed policy: their latency-bound small-matmul scans regress
-        under the boundary casts (measured 311 → 2307 ms full-size on
-        v5e), so the mixed step must be numerically the f32 step."""
+    def test_tacotron_opts_in_with_native_scan(self, tmp_path, monkeypatch):
+        """Tacotron-2 OPTS IN to the mixed policy (r5: the r4 '311→2307 ms
+        regression' was a tunnel-stall measurement artifact — per-iter
+        medians are f32 130 ms vs bf16 85 ms, tacotron_stall_probe.py).
+        The mixed step must run the bf16 path (loss differs from f32) and
+        stay finite/close at convergence scale."""
         import optax
         from text_to_speech_tpu.models import saving
         from text_to_speech_tpu.models.interfaces import reset_instances
@@ -211,7 +212,7 @@ class TestTrainStepPrecision:
                 postnet_n_conv = 2, postnet_filters = 4,
                 postnet_kernel_size = 3, max_decoder_steps = 16,
             )
-            assert model.mixed_precision_ok is False
+            assert model.mixed_precision_ok is True
             loss_fn = TacotronLoss()
             tx = optax.adam(1e-4)
             B, S, T, C = 2, 8, 16, 80
@@ -233,8 +234,12 @@ class TestTrainStepPrecision:
                     params, state, opt_state, KEY,
                     (tokens, mel_in, lengths), targets)
                 losses[prec] = float(metrics['loss'])
-            # opted out ⇒ bit-identical, not merely close
-            assert losses['mixed_bfloat16'] == losses['float32']
+            # opted in ⇒ the bf16 compute path actually runs (same value
+            # to bf16 tolerance, but not the bit-identical f32 program)
+            import math
+            assert math.isfinite(losses['mixed_bfloat16'])
+            assert abs(losses['mixed_bfloat16'] - losses['float32']) \
+                <= 0.05 * max(1., abs(losses['float32']))
         finally:
             reset_instances()
 

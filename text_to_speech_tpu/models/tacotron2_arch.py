@@ -69,13 +69,14 @@ HParamsTacotron2 = HParams(
     # mixed-precision scan mode: when the teacher-forced inputs arrive in
     # bfloat16 (train/precision.py boundary cast), keep the ENTIRE scan
     # carry — including the alignment maps and the attention softmax — in
-    # bf16 instead of carving per-step f32 islands.  The islands were
-    # measured to REGRESS the latency-bound scan 311 → 2307 ms on v5e
-    # (each of T≈384 iterations paid f32<->bf16 converts that broke the
-    # while-loop fusion); bf16 shares f32's exponent range, so the -1e9
-    # mask and the softmax max-subtraction stay representable, and the
-    # quality gate (benchmarks/mixed_precision_parity.py) arbitrates the
-    # cum-attention absorption risk.  False restores the f32 islands.
+    # bf16 instead of carving per-step f32 islands.  (The r4 "islands
+    # regress the scan 311 → 2307 ms" reading was a tunnel-stall artifact;
+    # per-iteration medians on v5e: f32 130 ms, bf16-native 85 ms,
+    # bf16-islands 82 ms — benchmarks/tacotron_stall_probe.py.)  bf16
+    # shares f32's exponent range, so the -1e9 mask and the softmax
+    # max-subtraction stay representable, and the quality gate
+    # (benchmarks/mixed_precision_parity.py) arbitrates the cum-attention
+    # absorption risk.  False restores the f32 islands.
     scan_native_bf16 = True,
     n_frames_per_step = 1,
     with_logits = True,                # sigmoid on the gate output

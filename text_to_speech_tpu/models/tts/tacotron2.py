@@ -41,11 +41,15 @@ DEFAULT_MAX_MEL_LENGTH = 1024
 
 class Tacotron2(BaseTextModel, BaseAudioModel, BaseModel):
     _default_loss = 'TacotronLoss'
-    # the teacher-forced step is a latency-bound sequential scan of small
-    # matmuls: the mixed policy's boundary casts REGRESS it (measured 311 →
-    # 2307 ms full-size on v5e) — the policy no-ops here (FastSpeech-2,
-    # whose forward is parallel, re-enables it)
-    mixed_precision_ok = False
+    # r4 opted the teacher-forced scan out after measuring "311 → 2307 ms"
+    # under the mixed policy; r5's per-iteration protocol exposed that as a
+    # tunnel-stall ARTIFACT (one 10.8 s first-dispatch stall averaged into
+    # a 5-iter loop — benchmarks/tacotron_stall_probe.py).  The true
+    # medians: f32 130 ms, bf16 85 ms — mixed is 1.5x FASTER, with the
+    # scan-native bf16 carry (hp.scan_native_bf16) and the quality gate
+    # (benchmarks/mixed_precision_parity.py --family tacotron2: loss gap
+    # 0.33 % of descent, mel MSE at parity)
+    mixed_precision_ok = True
     # single-sentence calls fuse decode→postnet→vocode into one launch
     # (`compiled_tts`); subclasses overriding `compiled_infer` must provide
     # a matching `compiled_tts` or clear this flag
