@@ -81,37 +81,34 @@ def main():
     mel8, audio8 = data(8)
     cd = jnp.bfloat16
 
+    def grad_of(remat, compute_dtype):
+        # return the FULL grads pytree so the backward stays live (taking
+        # only the value let XLA dead-code-eliminate the whole backward —
+        # the first run of this probe timed forwards labeled 'grad')
+        def fn(p, m, a):
+            l, g = jax.value_and_grad(
+                lambda q: arch.loss(q, m, a, remat = remat,
+                                    compute_dtype = compute_dtype))(p)
+            return l, g
+        return fn
+
     timed('fwd-only mixed B=8 (no remat)',
           lambda p, m, a: arch.loss(p, m, a, remat = False,
                                     compute_dtype = cd),
           params, mel8, audio8)
-    timed('grad mixed B=8 (remat)',
-          lambda p, m, a: jax.value_and_grad(
-              lambda q: arch.loss(q, m, a, remat = True,
-                                  compute_dtype = cd))(p)[0],
+    timed('grad mixed B=8 (remat)', grad_of(True, cd),
           params, mel8, audio8)
-    timed('grad f32 B=8 (remat)',
-          lambda p, m, a: jax.value_and_grad(
-              lambda q: arch.loss(q, m, a, remat = True))(p)[0],
+    timed('grad f32 B=8 (remat)', grad_of(True, None),
           params, mel8, audio8)
 
     for batch in (4, 2):
         mel, audio = data(batch)
         timed('grad mixed B=%d (NO remat)' % batch,
-              lambda p, m, a: jax.value_and_grad(
-                  lambda q: arch.loss(q, m, a, remat = False,
-                                      compute_dtype = cd))(p)[0],
-              params, mel, audio, batch = batch)
+              grad_of(False, cd), params, mel, audio, batch = batch)
     mel4, audio4 = data(4)
-    timed('grad mixed B=4 (acts policy)',
-          lambda p, m, a: jax.value_and_grad(
-              lambda q: arch.loss(q, m, a, remat = 'acts',
-                                  compute_dtype = cd))(p)[0],
+    timed('grad mixed B=4 (acts policy)', grad_of('acts', cd),
           params, mel4, audio4, batch = 4)
-    timed('grad mixed B=4 (remat)',
-          lambda p, m, a: jax.value_and_grad(
-              lambda q: arch.loss(q, m, a, remat = True,
-                                  compute_dtype = cd))(p)[0],
+    timed('grad mixed B=4 (remat)', grad_of(True, cd),
           params, mel4, audio4, batch = 4)
 
 

@@ -94,7 +94,7 @@ def stream(stream_input, *, model = None, lang = None, vocoder = None,
 
 
 def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
-          port = 8700, max_batch_size = 8, block = True, window = 64,
+          port = 8700, max_batch_size = 16, block = True, window = 96,
           chunk = 64, warmup = None, ** stepper_kwargs):
     """Serve a model over HTTP with continuous (in-flight) batching.
 
@@ -112,7 +112,14 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
 
     ``mesh=``: serve the decode across a data-parallel device mesh —
     params replicate, the active batch shards on dp (see
-    `make_vits_stepper` / `make_tacotron_stepper`)."""
+    `make_vits_stepper` / `make_tacotron_stepper`).
+
+    Defaults (r5, 1x v5e, benchmarks/serving_load.py median-of-3): VITS
+    window=96 carried the 256-request open-loop from 140 to 186 audio-s/s
+    (steady 214; window 64's 2x-context overhead per chunk was the cost,
+    window 128 regressed the tail-flush latency); AR max_batch=16 nearly
+    doubled r=1 throughput over 8 (24.8->48.4 audio-s/s — the
+    latency-bound decode chunk costs ~the same at 2x rows)."""
     from ...runtimes.serving import (
         ContinuousServingEngine, make_vits_stepper, make_tacotron_stepper)
     from ...runtimes.http_server import TTSServer
@@ -123,6 +130,12 @@ def serve(*, model = None, lang = None, vocoder = None, host = '127.0.0.1',
         # 16-bit PCM anyway, so the 4x-smaller device->host fetch is free
         # (measured 54.4 -> 35.9 ms/chunk steady at B=8 on a tunneled v5e)
         stepper_kwargs.setdefault('transfer_dtype', 'int16')
+        # a small model's latent envelope may not fit the serving-tuned
+        # default window + context span: shrink the window, never crash
+        context = stepper_kwargs.get('context', 16)
+        max_frames = getattr(model.arch.hp, 'max_frames', None)
+        if max_frames and window + 2 * context > max_frames:
+            window = max(1, max_frames - 2 * context)
         stepper = make_vits_stepper(model, window = window,
                                     ** stepper_kwargs)
     else:
