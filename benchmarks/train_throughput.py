@@ -196,7 +196,8 @@ def bench_waveglow(batch, frames, iters, precision = 'float32',
               batch, frames, el * 1e3, 1. / el, audio_s / el))
 
 
-def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
+def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160,
+                          precision = 'float32'):
     """GE2E step at the reference's recipe shape (N speakers x M utterances;
     the reference reaches ~99% accuracy in 2-3h of these on one RTX 3090)."""
     import jax
@@ -205,12 +206,15 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
     from text_to_speech_tpu.models.encoder_arch import AudioEncoder
     from text_to_speech_tpu.train.losses import GE2ELoss
     from text_to_speech_tpu.train.optimizers import get_optimizer
+    from text_to_speech_tpu.train.precision import get_policy, cast_floating
 
     arch = AudioEncoder()
     params, state = arch.init(jax.random.PRNGKey(0))
     loss_fn = GE2ELoss()
     opt = get_optimizer('adam', lr = 1e-3)
     opt_state = opt.init(params)
+    policy = get_policy(precision)
+    cd = jnp.dtype(policy.compute_dtype) if policy.is_mixed else None
 
     B = n_speakers * n_utt
     mel = jax.random.normal(jax.random.PRNGKey(1), (B, frames, 80))
@@ -218,10 +222,15 @@ def bench_speaker_encoder(iters, n_speakers = 32, n_utt = 10, frames = 160):
 
     def step(params, state, opt_state, rng):
         def loss_of(p):
-            emb, new_state = arch(p, state, mel, lengths = lengths,
+            m = mel
+            if cd is not None:
+                p, m = cast_floating(p, cd), mel.astype(cd)
+            emb, new_state = arch(p, state, m, lengths = lengths,
                                   train = True, rng = rng)
-            emb = emb.reshape(n_speakers, n_utt, -1)
-            losses = loss_fn(None, (emb, p['ge2e']['w'], p['ge2e']['b']))
+            emb = emb.astype(jnp.float32).reshape(n_speakers, n_utt, -1)
+            losses = loss_fn(None, (emb,
+                                    p['ge2e']['w'].astype(jnp.float32),
+                                    p['ge2e']['b'].astype(jnp.float32)))
             return jnp.mean(losses['loss']), new_state
         (l, new_state), grads = jax.value_and_grad(loss_of, has_aux = True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -381,7 +390,7 @@ def main():
                        precision = args.precision,
                        remat = remat, conv_mode = args.conv_mode)
     if args.model in ('encoder', 'both'):
-        bench_speaker_encoder(args.iters)
+        bench_speaker_encoder(args.iters, precision = args.precision)
     if args.model == 'vits':
         # memory-heavy (posterior WN over T frames + GAN): small batch
         bench_vits(max(args.batch // 4, 1), args.tokens // 2,

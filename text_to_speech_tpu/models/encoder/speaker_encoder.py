@@ -21,8 +21,11 @@ logger = logging.getLogger(__name__)
 
 class SpeakerEncoder(BaseAudioModel, BaseModel):
     _default_loss = 'GE2ELoss'
-    # latency-bound LSTM scan: the mixed-precision boundary casts cost more
-    # than the tiny matmuls save (see train/trainer.model_forward)
+    # measured under the r5 stall-robust protocol (train_throughput
+    # --model encoder, per-iter medians on v5e): f32 28.4 ms vs bf16
+    # 29.1 ms — a tie.  The tiny LSTM stack is latency-bound, so bf16
+    # buys nothing; staying f32 keeps the GE2E similarity math
+    # bit-stable for free
     mixed_precision_ok = False
 
     def __init__(self, *, name = None, mel_fn = 'TacotronSTFT',
