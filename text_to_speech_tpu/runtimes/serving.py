@@ -1405,6 +1405,12 @@ def make_vits_stepper(model, *, window = 64, context = 16,
         deliveries = tuple((st, i, offs[i], counts[i])
                            for i, st in enumerate(states))
         if pipeline and not fresh:
+            # NOTE: pre-queueing the d2h here with copy_to_host_async()
+            # was measured and REVERTED (2026-08-21): on the axon tunnel
+            # it did not shrink the tail-flush waits (flush_s 4.7→6.0 s
+            # at 256 requests) and the whole-run rate dropped 186→160
+            # audio-s/s — the tunnel appears to serialize the async copy
+            # with dispatches rather than overlapping it.
             pending['audio'] = audio
             pending['deliveries'] = deliveries
         else:
