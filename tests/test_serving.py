@@ -453,6 +453,38 @@ class TestContinuousServingEngine:
         assert sorted(outs) == list(range(6))
         assert sorted(started) == list(range(6))
 
+    def test_admission_burst_capped_at_max_batch(self):
+        """No single admission burst may exceed max_batch: start_many pads
+        to pow2 row buckets and warmup compiles them only up to max_batch,
+        so a larger burst would hit a cold compile mid-traffic (measured:
+        first 256-request rep 51 vs 143 audio-s/s, tpu_session5)."""
+        from text_to_speech_tpu.runtimes.serving import ContinuousServingEngine
+
+        bursts = []
+
+        def start_fn(x):
+            return {'x': x}
+
+        def start_many(items, kwargs_list):
+            bursts.append(len(items))
+            return [{'x': x} for x in items]
+
+        start_fn.start_many = start_many
+        start_fn.batchable_kwargs = ()
+
+        def step_fn(states):
+            time.sleep(0.005)
+            return states, [True] * len(states)
+
+        engine = ContinuousServingEngine(
+            start_fn, step_fn, lambda st: st['x'],
+            max_batch_size = 4, admit_ahead = 8)
+        rs = [engine.submit(i) for i in range(24)]
+        with engine:
+            outs = [r.result.get(timeout = 10) for r in rs]
+        assert sorted(outs) == list(range(24))
+        assert bursts and max(bursts) <= 4
+
     def test_admit_ahead_zero_keeps_old_semantics(self):
         """admit_ahead=0 must not admit past the batch while it is full."""
         import threading
