@@ -147,14 +147,16 @@ def bench_tacotron(batch, tokens, frames, iters, precision = 'float32',
 
 
 def bench_waveglow(batch, frames, iters, precision = 'float32',
-                   remat = True, conv_mode = 'dilated'):
+                   remat = True, conv_mode = 'dilated',
+                   train_fused = False):
     import jax
     import jax.numpy as jnp
     import optax
     from text_to_speech_tpu.models.waveglow_arch import WaveGlow
     from text_to_speech_tpu.train.optimizers import get_optimizer
 
-    arch = WaveGlow(wn_train_conv = conv_mode)
+    arch = WaveGlow(wn_train_conv = conv_mode,
+                    wn_train_fused = train_fused)
     params = arch.fuse_params(arch.init(jax.random.PRNGKey(0)))
     opt = get_optimizer('adam', lr = 1e-4)
     opt_state = opt.init(params)
@@ -364,6 +366,10 @@ def main():
                                "flow forward in backward; 'acts' saves "
                                "per-layer acts + residual stream so the "
                                "backward recomputes only elementwise gates")
+    parser.add_argument('--train-fused', action = 'store_true',
+                        help = 'WaveGlow forward through the fused Pallas '
+                               'WN-block kernel with an XLA custom_vjp '
+                               'backward (hp.wn_train_fused)')
     parser.add_argument('--no-native-scan', action = 'store_true',
                         help = 'tacotron2: restore the per-step f32 '
                                'attention islands under mixed_bfloat16 '
@@ -388,7 +394,8 @@ def main():
                  else ('acts' if args.remat_policy == 'acts' else True))
         bench_waveglow(max(args.batch // 4, 1), args.frames // 2, args.iters,
                        precision = args.precision,
-                       remat = remat, conv_mode = args.conv_mode)
+                       remat = remat, conv_mode = args.conv_mode,
+                       train_fused = args.train_fused)
     if args.model in ('encoder', 'both'):
         bench_speaker_encoder(args.iters, precision = args.precision)
     if args.model == 'vits':

@@ -250,6 +250,41 @@ class TestWaveGlow:
             np.testing.assert_allclose(np.asarray(l0_), np.asarray(l1_),
                                        atol = 1e-5)
 
+    def test_wn_train_fused_forward_and_grads(self):
+        """hp.wn_train_fused: the Pallas-forward / XLA-backward custom_vjp
+        path must produce a loss close to the XLA chain (bf16 kernel
+        buffers) and gradients that track the unfused path (the backward
+        IS the XLA chain; small drift comes only from downstream flows
+        seeing the kernel's forward values)."""
+        cfg = dict(n_mel_channels = 6, n_flows = 2, n_group = 8,
+                   n_early_every = 4, n_early_size = 2, wn_layers = 2,
+                   wn_channels = 128, upsample_width = 8,
+                   upsample_stride = 8)
+        base = WaveGlow(** cfg)
+        fused = WaveGlow(** cfg, wn_train_fused = True)
+        params = base.fuse_params(base.init(KEY))
+        # the zero-init end conv would zero most WN gradients; perturb so
+        # the parity check exercises real gradient flow
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+        params = jax.tree_util.tree_unflatten(treedef, [
+            l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)])
+        mel = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 6))
+        audio = jax.random.normal(jax.random.PRNGKey(2), (1, 4096)) * 0.1
+
+        l0, g0 = jax.value_and_grad(
+            lambda p: base.loss(p, mel, audio))(params)
+        l1, g1 = jax.value_and_grad(
+            lambda p: fused.loss(p, mel, audio))(params)
+        assert np.isfinite(float(l1))
+        assert abs(float(l1) - float(l0)) <= 0.05 * max(1., abs(float(l0)))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                rtol = 0.1, atol = 0.05 * (float(np.abs(a).max()) + 1e-3))
+
     def test_fused_cond_equivalence(self, wg):
         """fuse_params concatenates cond convs; outputs must be identical."""
         model, params = wg

@@ -36,6 +36,13 @@ HParamsWaveGlow = HParams(
     # 'shifted' = width shifted matmuls (nn.conv1d_shifted — pure MXU dots
     # for any dilation; the training-step A/B in train_throughput.py)
     wn_train_conv = 'dilated',
+    # training forward through the fused whole-block Pallas kernel with an
+    # XLA custom_vjp backward (`wn_block_train`): the kernel runs the
+    # forward at its serving efficiency while gradients come from jax.vjp
+    # over the reference XLA chain — the same recompute per-flow remat
+    # already pays.  Requires wn_channels % 128 == 0, kernel 3, and the
+    # grouped length % 512 == 0 (falls back otherwise).
+    wn_train_fused = False,
     upsample_width = 1024,
     upsample_stride = 256,
     sigma = 1.0,
@@ -120,44 +127,112 @@ class WaveGlow:
             fused[name] = {'convinv': value['convinv'], 'block': block}
         return fused
 
+    def _pack_block(self, block):
+        """ONE block's WN weights → the fused-kernel stacked layout
+        (numerically identity relayout; shared by `pack_pallas_params`
+        and the trainable fused forward)."""
+        L = self.hp.wn_layers
+        if 'cond_layer' in block:
+            k = block['cond_layer']['kernel'][0]              # (S, L*2C)
+            S = k.shape[0]
+            w_cond = jnp.transpose(k.reshape(S, L, -1), (1, 0, 2))
+            b_cond = block['cond_layer']['bias'].reshape(L, -1)
+        else:
+            w_cond = jnp.stack(
+                [block['cond_conv_{}'.format(i)]['kernel'][0] for i in range(L)])
+            b_cond = jnp.stack(
+                [block['cond_conv_{}'.format(i)]['bias'] for i in range(L)])
+        w_in = jnp.stack(
+            [block['in_conv_{}'.format(i)]['kernel'] for i in range(L)])
+        b_in = jnp.stack(
+            [block['in_conv_{}'.format(i)]['bias'] for i in range(L)])
+        w_rs = jnp.stack(
+            [block['res_skip_conv_{}'.format(i)]['kernel'][0] for i in range(L - 1)])
+        b_rs = jnp.stack(
+            [block['res_skip_conv_{}'.format(i)]['bias'] for i in range(L - 1)])
+        last = block['res_skip_conv_{}'.format(L - 1)]
+        return {
+            'w_cond': w_cond, 'b_cond': b_cond, 'w_in': w_in, 'b_in': b_in,
+            'w_rs': w_rs, 'b_rs': b_rs,
+            'w_rs_last': last['kernel'][0], 'b_rs_last': last['bias'],
+        }
+
     def pack_pallas_params(self, params):
         """Re-lay each block's WN weights into the stacked tensors the fused
         whole-block Pallas kernel (`ops.pallas_kernels.fused_wn_block`)
         consumes.  Numerically identity; call once at load time."""
-        hp = self.hp
-        L = hp.wn_layers
         packed_params = {}
         for name, value in params.items():
             if not name.startswith('flow_'):
                 packed_params[name] = value
                 continue
             block = dict(value['block'])
-            if 'cond_layer' in block:
-                k = block['cond_layer']['kernel'][0]          # (S, L*2C)
-                S = k.shape[0]
-                w_cond = jnp.transpose(k.reshape(S, L, -1), (1, 0, 2))
-                b_cond = block['cond_layer']['bias'].reshape(L, -1)
-            else:
-                w_cond = jnp.stack(
-                    [block['cond_conv_{}'.format(i)]['kernel'][0] for i in range(L)])
-                b_cond = jnp.stack(
-                    [block['cond_conv_{}'.format(i)]['bias'] for i in range(L)])
-            w_in = jnp.stack(
-                [block['in_conv_{}'.format(i)]['kernel'] for i in range(L)])
-            b_in = jnp.stack(
-                [block['in_conv_{}'.format(i)]['bias'] for i in range(L)])
-            w_rs = jnp.stack(
-                [block['res_skip_conv_{}'.format(i)]['kernel'][0] for i in range(L - 1)])
-            b_rs = jnp.stack(
-                [block['res_skip_conv_{}'.format(i)]['bias'] for i in range(L - 1)])
-            last = block['res_skip_conv_{}'.format(L - 1)]
-            block['packed'] = {
-                'w_cond': w_cond, 'b_cond': b_cond, 'w_in': w_in, 'b_in': b_in,
-                'w_rs': w_rs, 'b_rs': b_rs,
-                'w_rs_last': last['kernel'][0], 'b_rs_last': last['bias'],
-            }
+            block['packed'] = self._pack_block(block)
             packed_params[name] = {'convinv': value['convinv'], 'block': block}
         return packed_params
+
+    def wn_block_train(self, block, audio_half, spect):
+        """WN stack with a PALLAS FORWARD and an XLA BACKWARD.
+
+        `jax.custom_vjp`: the forward runs the fused whole-block kernel
+        (activations never leave VMEM between layers — the serving path's
+        efficiency, measured ~83 % of bf16 peak, vs the unfused XLA
+        chain's ~19 %); the backward recomputes through the reference XLA
+        chain with `jax.vjp` — the same recompute the per-flow remat
+        already pays, so gradients are bit-identical to the unfused
+        training path while the forward gets the kernel.  Value/gradient
+        mismatch is bounded by the kernel's bf16 buffers (the quality
+        gate in benchmarks/mixed_precision_parity.py arbitrates, as for
+        every mixed path).  Gated by ``hp.wn_train_fused`` + the kernel's
+        shape envelope (see `forward`)."""
+        import jax as _jax
+        from ..ops.pallas_kernels import fused_wn_block, wn_block_pad
+
+        hp = self.hp
+
+        def kernel_forward(block, audio_half, spect):
+            pad = wn_block_pad(hp.wn_layers)
+            buf_dtype = spect.dtype
+            if jnp.dtype(buf_dtype).itemsize > 2:
+                buf_dtype = jnp.bfloat16
+            T = audio_half.shape[1]
+            tile = next(t for t in (4096, 2048, 1024, 512) if T % t == 0)
+            x = nn.conv1d(block['start'], audio_half.astype(
+                block['start']['kernel'].dtype))
+            x = jnp.pad(x.astype(buf_dtype), ((0, 0), (pad, pad), (0, 0)))
+            sp = jnp.pad(spect, ((0, 0), (pad, pad), (0, 0))) \
+                .astype(buf_dtype)
+            p = _jax.tree_util.tree_map(
+                lambda l: l.astype(buf_dtype), self._pack_block(block))
+            skip_sum = fused_wn_block(
+                x, sp, p['w_cond'], p['b_cond'], p['w_in'], p['b_in'],
+                p['w_rs'], p['b_rs'], p['w_rs_last'], p['b_rs_last'],
+                tile = tile, seq_len = T,
+                interpret = _jax.default_backend() != 'tpu')
+            w_end = block['end']['kernel'][0].astype(skip_sum.dtype)
+            out = jnp.einsum('btc,ck->btk', skip_sum, w_end,
+                             preferred_element_type = jnp.float32)
+            if 'bias' in block['end']:
+                out = out + block['end']['bias'].astype(jnp.float32)
+            return out.astype(spect.dtype)
+
+        @_jax.custom_vjp
+        def f(block, audio_half, spect):
+            return kernel_forward(block, audio_half, spect)
+
+        def f_fwd(block, audio_half, spect):
+            return kernel_forward(block, audio_half, spect), \
+                (block, audio_half, spect)
+
+        def f_bwd(res, g):
+            block, audio_half, spect = res
+            _, vjp = _jax.vjp(
+                lambda b, a, s: self.wn_block(b, a, s, fused = False),
+                block, audio_half, spect)
+            return vjp(g)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(block, audio_half, spect)
 
     # -- int8 quantization -------------------------------------------------------
 
@@ -615,19 +690,29 @@ class WaveGlow:
         audio = audio[:, : lg * hp.n_group]
         audio = audio.reshape(audio.shape[0], lg, hp.n_group)
 
+        # hp.wn_train_fused: forward through the fused Pallas kernel with
+        # an XLA custom_vjp backward (wn_block_train), when the kernel's
+        # shape envelope holds; otherwise the differentiable XLA chain
+        use_fused_train = (
+            hp.get('wn_train_fused', False)
+            and hp.wn_channels % 128 == 0 and hp.wn_kernel_size == 3
+            and lg % 512 == 0)
+
         def flow_step(audio, flow, spect):
             w = flow['convinv']['kernel']
             audio = audio @ w
             _, logdet = jnp.linalg.slogdet(w)
             n_half = audio.shape[-1] // 2
             audio_0, audio_1 = audio[..., :n_half], audio[..., n_half:]
-            # training stays on the differentiable XLA chain (the Pallas
-            # kernel defines no VJP); under mixed precision the WN block's
-            # operands are cast here and b/s return to f32 for the f32
-            # audio stream + the log|s| sum
-            wn_out = self.wn_block(flow['block'],
-                                   audio_0.astype(spect.dtype), spect,
-                                   fused = False)
+            # under mixed precision the WN block's operands are cast here
+            # and b/s return to f32 for the f32 audio stream + log|s| sum
+            if use_fused_train:
+                wn_out = self.wn_block_train(
+                    flow['block'], audio_0.astype(spect.dtype), spect)
+            else:
+                wn_out = self.wn_block(flow['block'],
+                                       audio_0.astype(spect.dtype), spect,
+                                       fused = False)
             b, s = wn_out[..., :n_half], wn_out[..., n_half:]
             s = s.astype(jnp.float32)
             audio_1 = jnp.exp(s) * audio_1 + b.astype(jnp.float32)
